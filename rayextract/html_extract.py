@@ -1,0 +1,126 @@
+"""D2 analog — HTML boilerplate stripper (main-content extraction).
+
+The reference's D2 stage turns a raw page into ordered text lines via Tesseract
+(/root/reference/TextExtraction/Worker.cs:144-200). For transcript payloads the
+equivalent "decode" is Readability/trafilatura-style block scoring over a
+lightweight DOM: segment into block-level elements, score each block by text
+density vs link density, drop chrome (nav/header/footer/aside/script/style)
+and link-farm blocks, keep content blocks in document order.
+
+Pure stdlib (html.parser); deterministic; no network, no external models.
+The parser tables are built once per actor (D4 pattern) when this runs inside
+the ContentParser actor stage (see pipeline.py).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+BLOCK_TAGS = frozenset(
+    {"p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "th",
+     "article", "section", "blockquote", "pre", "main", "tr", "table", "ul", "ol", "body"}
+)
+CHROME_TAGS = frozenset({"nav", "header", "footer", "aside", "script", "style", "noscript", "form"})
+
+MIN_BLOCK_CHARS = 25      # blocks shorter than this are boilerplate fragments
+MAX_LINK_DENSITY = 0.33   # fraction of block text inside <a> links
+
+_WS = re.compile(r"\s+")
+
+
+class _Block:
+    __slots__ = ("parts", "link_chars", "order")
+
+    def __init__(self, order: int):
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.order = order
+
+    def text(self) -> str:
+        return _WS.sub(" ", "".join(self.parts)).strip()
+
+
+class _BlockParser(HTMLParser):
+    """Single pass: accumulate text into blocks; track chrome + link depth."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._cur: _Block | None = None
+        self._chrome_depth = 0
+        self._link_depth = 0
+        self._n = 0
+
+    def _flush(self):
+        if self._cur is not None and self._cur.parts:
+            self.blocks.append(self._cur)
+        self._cur = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in CHROME_TAGS:
+            self._chrome_depth += 1
+            self._flush()
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._cur = _Block(self._n)
+            self._n += 1
+        if tag == "br" and self._cur is not None:
+            self._cur.parts.append(" ")
+
+    def handle_endtag(self, tag):
+        if tag in CHROME_TAGS:
+            self._chrome_depth = max(0, self._chrome_depth - 1)
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._chrome_depth > 0 or not data:
+            return
+        if self._cur is None:
+            self._cur = _Block(self._n)
+            self._n += 1
+        self._cur.parts.append(data)
+        if self._link_depth > 0:
+            self._cur.link_chars += len(data.strip())
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def extract_blocks(html: str) -> list[tuple[str, float, bool]]:
+    """[(block_text, link_density, kept)] in document order."""
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        # malformed markup: fall back to tag-stripped text as one block
+        txt = _WS.sub(" ", re.sub(r"<[^>]+>", " ", html)).strip()
+        return [(txt, 0.0, len(txt) >= MIN_BLOCK_CHARS)]
+    out = []
+    for b in p.blocks:
+        t = b.text()
+        if not t:
+            continue
+        ld = b.link_chars / max(1, len(t))
+        kept = len(t) >= MIN_BLOCK_CHARS and ld <= MAX_LINK_DENSITY
+        out.append((t, ld, kept))
+    return out
+
+
+def extract_main_content(html: str) -> str:
+    """Kept content blocks joined by newlines, in document order."""
+    return "\n".join(t for t, _, kept in extract_blocks(html) if kept)
+
+
+def looks_like_html(text: str) -> bool:
+    s = text.lstrip()
+    return s.startswith("<") and "</" in text

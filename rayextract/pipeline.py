@@ -1,0 +1,181 @@
+"""Pipeline wiring: read -> parse/extract -> fold -> partitioned parquet.
+
+Replaces the reference's poll-loop + sequential foreach
+(/root/reference/TextExtraction/Worker.cs:34-143) with a streaming
+``ray.data.Dataset`` and its SQL-Server sink + file-move progress marker
+(Services/DbHelper.cs:31-36, Worker.cs:529) with resumable partitioned parquet
+plus a per-shard manifest of lineage + metrics (SURVEY.md §4).
+
+Scale notes:
+- the transcript read prunes to the needed columns;
+- the parse stage is an actor pool (models built once per actor);
+- the only shuffle is the conv fold (pre-combined partials, optional salt);
+- nothing materializes the corpus; both sinks stream.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .config import ExtractConfig
+from .fold import fold_conversations
+from .stages import ContentParser
+
+PARSE_COLUMNS = ["conv_id", "turn_idx", "text"]  # role/tool/ts not needed to extract
+
+
+def read_transcripts(path: str | list[str], columns: list[str] | None = PARSE_COLUMNS):
+    """Pruned parquet read of the transcript table (S1 analog)."""
+    return rd.read_parquet(path, columns=columns)
+
+
+def build_turns(ds, cfg: ExtractConfig | None = None):
+    """turns_out dataset: decode + normalize + span/candidate emission."""
+    cfg = cfg or ExtractConfig()
+    return ds.map_batches(
+        ContentParser,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        # autoscaling pool (min 1): idle actors release their CPU so the
+        # shuffle/write stages never starve — a fixed pool sized to the whole
+        # node deadlocks the streaming executor (observed on 4 CPUs)
+        concurrency=(1, cfg.tagger_concurrency),
+        num_cpus=1,
+    )
+
+
+def build_conv_fields(turns_ds, cfg: ExtractConfig | None = None):
+    """conv_fields dataset from a turns_out dataset (E9/A1 fold)."""
+    cfg = cfg or ExtractConfig()
+    return fold_conversations(
+        turns_ds.select_columns(["conv_id", "turn_idx", "confidence", "candidates"]),
+        salt_buckets=cfg.salt_buckets,
+        num_partitions=cfg.fold_num_partitions,
+    )
+
+
+def run_extraction(input_path: str | list[str], cfg: ExtractConfig | None = None):
+    """(turns_out, conv_fields) lazy datasets for an input path."""
+    cfg = cfg or ExtractConfig()
+    turns = build_turns(read_transcripts(input_path), cfg)
+    return turns, build_conv_fields(turns, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Resumable sharded runner (K1/K3 analog)
+# ---------------------------------------------------------------------------
+
+def _shard_inputs(paths: list[str], n_shards: int) -> list[list[str]]:
+    """Deterministic round-robin file grouping -> shard id is stable across
+    runs (resume correctness, SURVEY.md §7.4 item 5)."""
+    shards: list[list[str]] = [[] for _ in range(min(n_shards, len(paths)))]
+    for i, p in enumerate(sorted(paths)):
+        shards[i % len(shards)].append(p)
+    return shards
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.jsonl")
+
+
+def load_manifest(out_dir: str) -> dict[int, dict]:
+    done = {}
+    mp = _manifest_path(out_dir)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            for line in f:
+                if line.strip():
+                    rec = json.loads(line)
+                    done[rec["shard"]] = rec
+    return done
+
+
+def run_sharded(
+    input_glob: str | list[str],
+    out_dir: str,
+    cfg: ExtractConfig | None = None,
+    n_shards: int = 16,
+    write_turns: bool = True,
+) -> dict:
+    """Resumable run: per shard, write turns/ and conv_fields/ partitions and
+    append a manifest row (lineage: input files, row counts, wall, digest).
+    Already-manifested shards are skipped — a crashed run resumes where it
+    stopped, the reference's moved-file marker generalized (Worker.cs:529).
+
+    PARTITIONING ASSUMPTION (document per SURVEY.md §2 custom-operator rule):
+    the conv fold is per-shard, so globally-correct conv_fields require the
+    input layout to be conv-aligned (all files of a conversation in one shard
+    — e.g. files partitioned by hash(conv_id), the recommended 100 TB layout).
+    For arbitrary row-shuffled layouts use ``run_extraction`` (global fold);
+    resume is then at job granularity. Turns output is correct either way.
+    """
+    cfg = cfg or ExtractConfig()
+    paths = (
+        sorted(glob.glob(input_glob)) if isinstance(input_glob, str) else sorted(input_glob)
+    )
+    if not paths:
+        raise FileNotFoundError(f"no input files match {input_glob!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    done = load_manifest(out_dir)
+    shards = _shard_inputs(paths, n_shards)
+    stats = {"shards_total": len(shards), "shards_skipped": 0, "turns": 0, "convs": 0}
+    for sid, shard_paths in enumerate(shards):
+        if sid in done:
+            stats["shards_skipped"] += 1
+            stats["turns"] += done[sid]["n_turns"]
+            stats["convs"] += done[sid]["n_convs"]
+            continue
+        t0 = time.perf_counter()
+        turns = build_turns(read_transcripts(shard_paths), cfg)
+        turns_dir = os.path.join(out_dir, "turns", f"shard={sid:05d}")
+        tmp_turns = turns_dir + ".tmp"
+        n_turns = 0
+        if write_turns:
+            turns.write_parquet(tmp_turns)
+            # fold reads back only the narrow columns (column-pruned) instead
+            # of recomputing the parse stage
+            folded_src = rd.read_parquet(
+                tmp_turns, columns=["conv_id", "turn_idx", "confidence", "candidates"]
+            )
+        else:
+            folded_src = turns.select_columns(
+                ["conv_id", "turn_idx", "confidence", "candidates"]
+            )
+        conv = fold_conversations(folded_src, cfg.salt_buckets, cfg.fold_num_partitions)
+        conv_dir = os.path.join(out_dir, "conv_fields", f"shard={sid:05d}")
+        tmp_conv = conv_dir + ".tmp"
+        conv.write_parquet(tmp_conv)
+        # atomic-ish finalize: rename then manifest
+        if write_turns:
+            os.replace(tmp_turns, turns_dir)
+            n_turns = sum(
+                pq.read_metadata(os.path.join(turns_dir, f)).num_rows
+                for f in os.listdir(turns_dir)
+                if f.endswith(".parquet")
+            )
+        os.replace(tmp_conv, conv_dir)
+        n_convs = sum(
+            pq.read_metadata(os.path.join(conv_dir, f)).num_rows
+            for f in os.listdir(conv_dir)
+            if f.endswith(".parquet")
+        )
+        rec = {
+            "shard": sid,
+            "inputs": shard_paths,
+            "n_turns": n_turns,
+            "n_convs": n_convs,
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        with open(_manifest_path(out_dir), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        stats["turns"] += n_turns
+        stats["convs"] += n_convs
+    return stats

@@ -1,0 +1,85 @@
+"""Canonical Arrow schemas (SURVEY.md §1.4).
+
+Input is exactly the BASELINE.json ``input_hint`` transcript shape; outputs
+replace the reference's JSON-string payload columns
+(/root/reference/TextExtraction/Model/ImageOcr.cs:8-17, Worker.cs:271-272)
+with native Arrow nested types.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# ---- input ---------------------------------------------------------------
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# ---- per-turn output (reference OCRText page-tree analog) ----------------
+SPAN_TYPE = pa.struct(
+    [
+        ("label", pa.string()),   # PERSON | ORG | DATE
+        ("start", pa.int32()),    # char offsets into clean_text
+        ("end", pa.int32()),
+        ("text", pa.string()),
+    ]
+)
+
+TURNS_OUT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("kind", pa.string()),            # plain | html | pdfish
+        ("extracted_text", pa.string()),  # main content after boilerplate strip
+        ("clean_text", pa.string()),      # F1-normalized extracted_text
+        ("clean_upper", pa.string()),     # F2 on clean_text (gate/extract input)
+        ("confidence", pa.float64()),     # per-turn extraction confidence (A1 input)
+        ("spans", pa.list_(SPAN_TYPE)),
+    ]
+)
+
+# ---- per-conversation output (reference Output/TextExtractionFields analog,
+#      ImageOcr.cs:19-88: one nullable {text, locator} per field) ----------
+FIELD_NAMES = (
+    "patient_name",
+    "patient_birthdate",
+    "invoice_number",
+    "invoice_date",
+    "order_number",
+    "vendor_name",
+    "gross_total",
+)
+
+CONV_FIELDS_SCHEMA = pa.schema(
+    [("conv_id", pa.string())]
+    + [(f, pa.string()) for f in FIELD_NAMES]
+    + [(f + "_turn", pa.int32()) for f in FIELD_NAMES]
+    + [
+        ("mean_confidence", pa.float64()),
+        ("confidence_fmt", pa.string()),  # F11 "{0:0.00}" analog (Worker.cs:268)
+        ("n_turns", pa.int64()),
+    ]
+)
+
+# candidate rows emitted by the extractor stage, folded by E9
+CANDIDATE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("field", pa.string()),
+        ("value", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+    ]
+)
+
+
+def empty_table(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()

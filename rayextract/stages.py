@@ -1,0 +1,151 @@
+"""Batch-level stages for the transcript pipeline.
+
+``ContentParser`` is the D2/D4-analog stateful stage: one instance per actor
+process (regexes/parser tables/gazetteers built once in ``__init__``, the
+reference loads Tesseract + CRF once per worker at Worker.cs:61-95), then
+``__call__`` per Arrow batch. Everything that can be vectorized is done with
+pyarrow.compute; per-row Python runs only for (a) non-plain payload decoding
+and (b) candidate extraction on keyword-gated rows — the same rows the
+reference runs its expensive stages on (Worker.cs:216-220).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .config import ExtractConfig
+from .extractors import candidates_for_turn
+from .html_extract import extract_main_content
+from .pdf_layout import extract_reading_order
+from .schema import SPAN_TYPE
+from .textnorm import keyword_mask, remove_special_array, upper_invariant_array
+
+CANDIDATE_TYPE = pa.struct(
+    [("field", pa.string()), ("value", pa.string()), ("start", pa.int32()), ("end", pa.int32())]
+)
+
+# span label per extractor field
+_FIELD_LABEL = {
+    "patient_name": "PERSON",
+    "patient_birthdate": "DATE",
+    "invoice_number": "INVOICE_NUM",
+    "invoice_date": "DATE",
+    "order_number": "ORDER_NUM",
+    "gross_total": "MONEY",
+    "vendor_name": "ORG",
+}
+
+
+class ContentParser:
+    """text -> kind, extracted_text, clean_text, clean_upper, confidence,
+    spans, candidates. Use with
+    ``ds.map_batches(ContentParser, fn_constructor_kwargs={"cfg": cfg},
+    batch_format="pyarrow", batch_size=B, concurrency=N)``.
+    """
+
+    def __init__(self, cfg: ExtractConfig | None = None):
+        self.cfg = cfg or ExtractConfig()
+        self._patient_keys = self.cfg.patient_keys_upper()
+        self._invoice_keys = self.cfg.invoice_keys_upper()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+
+        # ---- kind routing (vectorized) ----------------------------------
+        pdfish = pc.starts_with(pc.utf8_ltrim_whitespace(text), "<<x:")
+        htmlish = pc.and_(
+            pc.starts_with(pc.utf8_ltrim_whitespace(text), "<"),
+            pc.match_substring(text, "</"),
+        )
+        htmlish = pc.and_(htmlish, pc.invert(pdfish))
+        pdf_np = pdfish.to_numpy(zero_copy_only=False)
+        html_np = htmlish.to_numpy(zero_copy_only=False)
+
+        # ---- decode non-plain payloads (Python only on flagged rows) ----
+        special = np.flatnonzero(pdf_np | html_np)
+        if special.size:
+            raw = text.to_pylist()
+            decoded = list(raw)
+            for i in special:
+                s = raw[i]
+                if s is None:
+                    continue
+                decoded[i] = (
+                    extract_reading_order(s) if pdf_np[i] else extract_main_content(s)
+                )
+            extracted = pa.array(decoded, type=pa.string())
+        else:
+            extracted = text
+
+        kind = np.where(pdf_np, "pdfish", np.where(html_np, "html", "plain"))
+
+        # ---- normalize (vectorized F1/F2) -------------------------------
+        clean = remove_special_array(extracted)
+        upper = upper_invariant_array(clean)
+        if isinstance(clean, pa.ChunkedArray):
+            clean = clean.combine_chunks()
+        if isinstance(upper, pa.ChunkedArray):
+            upper = upper.combine_chunks()
+
+        # per-turn confidence (A1 input): kept-char ratio of normalization
+        ext_len = pc.utf8_length(extracted).cast(pa.float64())
+        clean_len = pc.utf8_length(clean).cast(pa.float64())
+        conf = pc.if_else(
+            pc.greater(ext_len, 0.0),
+            pc.multiply(pc.divide(clean_len, pc.max_element_wise(ext_len, 1.0)), 100.0),
+            pa.scalar(0.0),
+        )
+
+        # ---- keyword gate (F3, vectorized) ------------------------------
+        gate = pc.fill_null(
+            pc.or_(
+                keyword_mask(upper, self._patient_keys) if self.cfg.extract_patient
+                else pc.equal(pc.utf8_length(upper), -1),
+                keyword_mask(upper, self._invoice_keys) if self.cfg.extract_invoice
+                else pc.equal(pc.utf8_length(upper), -1),
+            ),
+            False,
+        ).to_numpy(zero_copy_only=False)
+        if self.cfg.vendor_lookup:
+            gate = gate | np.ones(n, dtype=bool)  # vendor equality needs every row
+
+        # ---- candidates + spans on gated rows only ----------------------
+        conv_ids = batch.column("conv_id").to_pylist()
+        upper_py = upper.to_pylist()
+        cands: list[list[dict]] = [[] for _ in range(n)]
+        spans: list[list[dict]] = [[] for _ in range(n)]
+        for i in np.flatnonzero(gate):
+            t = upper_py[i]
+            if not t:
+                continue
+            for field, value, start, end in candidates_for_turn(conv_ids[i], t, self.cfg):
+                cands[i].append(
+                    {"field": field, "value": value, "start": start, "end": end}
+                )
+                spans[i].append(
+                    {
+                        "label": _FIELD_LABEL.get(field, field.upper()),
+                        "start": start,
+                        "end": end,
+                        "text": t[start:end] if field != "vendor_name" else value,
+                    }
+                )
+
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "kind": pa.array(kind, type=pa.string()),
+                "extracted_text": extracted,
+                "clean_text": clean,
+                "clean_upper": upper,
+                "confidence": conf,
+                "spans": pa.array(spans, type=pa.list_(SPAN_TYPE)),
+                "candidates": pa.array(cands, type=pa.list_(CANDIDATE_TYPE)),
+            }
+        )
