@@ -1,0 +1,750 @@
+"""Driver-contract query registry: Ray pipelines + DuckDB oracle SQL.
+
+One entry per implemented operator/pipeline from SURVEY.md §2 plus the
+training-data-scale operators (dedup, similarity, text stats). Each Ray
+callable takes ``sf_dir`` and returns a Dataset / DataFrame / Arrow table;
+``SQL[name]`` is the ANSI-SQL equivalent DuckDB runs on the same parquet
+(None -> non-SQL-expressible, driver does a rows-only check).
+
+Determinism rules for the driver's value-hash comparison:
+- float aggregates are emitted as integer cents/e4 units
+  (``CAST(round(sum*100) AS BIGINT)``) — bit-exact on both engines;
+- ratios are single divisions of identical ints -> identical doubles;
+- every computed column has the same name in Ray and SQL.
+
+Ray is assumed initialised by the caller (driver/tests); nothing here calls
+ray.init().
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .dates import DATE_PATTERN, recognize_date
+from .dedup import exact_dedup_groups, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_batch
+from .extractors import fire_gross_amount, fire_invoice_date, fire_invoice_number, fire_purchase_order
+from .relational import broadcast_join, broadcast_semi_join, pre_aggregate, topk
+from .similarity import embedding_neardup_pairs, knn_bruteforce, knn_ivf
+from .textnorm import keyword_mask, remove_special_array, upper_invariant_array
+from .textstats import fingerprint_batch, langid_batch, quality_batch, token_stats_batch
+
+# F1's char class (FilterData.cs:14) in RE2 form for the DuckDB oracle
+F1_CLASS = r"[^\w\s(#\-@&$:/.,|)]"
+GATE_KEYS = ("SPARK", "WINDOW")
+JACCARD_THRESHOLD = 0.9
+NEARDUP_COS = 0.4
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _read_small(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns).to_pandas()
+
+
+def _cents(x) -> "pd.Series":
+    return np.rint(np.asarray(x, dtype=np.float64) * 100).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# F-operators (scalar functions) over driver tables
+# ---------------------------------------------------------------------------
+
+def f1_remove_special(sf_dir: str):
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "clean_text": remove_special_array(t["text"])}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def f2_upper_invariant(sf_dir: str):
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "upper_text": upper_invariant_array(t["text"])}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def f3_keyword_gate(sf_dir: str):
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        up = upper_invariant_array(t["text"])
+        mask = keyword_mask(up, GATE_KEYS)
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"]}).filter(mask)
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def f4_first_date(sf_dir: str):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        line = "logged " + df["ts"].dt.strftime("%m/%d/%Y") + " event"
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "first_date": line.map(recognize_date)}
+        )
+
+    return _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def f10_encrypt_pii(sf_dir: str):
+    from .crypt import encrypt
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "cipher": df["text"].map(encrypt)}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# E-operators (field extractors) over constructed lines from events
+# ---------------------------------------------------------------------------
+
+def e3_e6_invoice_line(sf_dir: str):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        line = (
+            "INVOICE # "
+            + df["event_id"].astype(str)
+            + " TOTAL $"
+            + df["value"].map(lambda v: f"{v:.2f}")
+        )
+        inv = line.map(lambda s: (fire_invoice_number(s) or (None,))[0])
+        gross = line.map(lambda s: (fire_gross_amount(s) or (None,))[0])
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "invoice_number": inv, "gross_total": gross}
+        )
+
+    return _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def e4_invoice_date(sf_dir: str):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        date = df["ts"].dt.strftime("%m/%d/%Y")
+        line = np.where(
+            df["event_type"] == "error", "DUE DATE " + date, "INVOICE DATE " + date
+        )
+        out = [
+            (fire_invoice_date(s) or (None,))[0] for s in line
+        ]
+        return pd.DataFrame({"event_id": df["event_id"], "invoice_date": out})
+
+    return _read(sf_dir, "events", ["event_id", "ts", "event_type"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def e5_order_ref(sf_dir: str):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        line = "REFERENCE AB" + df["event_id"].astype(str) + "X"
+        out = line.map(lambda s: (fire_purchase_order(s) or (None,))[0])
+        return pd.DataFrame({"event_id": df["event_id"], "order_number": out})
+
+    return _read(sf_dir, "events", ["event_id"]).map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# E9/A1 analogs + windowed aggregates over events
+# ---------------------------------------------------------------------------
+
+def e9_first_match_fold(sf_dir: str):
+    """First purchase per user by (ts, event_id) — the ordered fold."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"]
+        if not len(p):
+            return pd.DataFrame(
+                columns=["user_id", "event_id", "ts", "value"]
+            ).astype({"user_id": "int64", "event_id": "int64", "value": "float64"})
+        return p.sort_values(["ts", "event_id"], kind="stable").groupby(
+            "user_id", sort=False
+        ).head(1)[["user_id", "event_id", "ts", "value"]]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.sort_values(["ts", "event_id"], kind="stable").iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [w["user_id"]],
+                "first_event_id": [w["event_id"]],
+                "first_value_cents": [int(np.rint(w["value"] * 100))],
+            }
+        ).astype({"user_id": "int64", "first_event_id": "int64", "first_value_cents": "int64"})
+
+    src = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    return src.map_batches(partial, batch_format="pandas").groupby("user_id").map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def a1_user_stats(sf_dir: str):
+    """Per-user count + exact-cents sum (A1 grouped-mean analog)."""
+    agg = pre_aggregate(
+        _read(sf_dir, "events", ["user_id", "value"]), ["user_id"], sums=["value"]
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "n_events": df["n"].astype("int64"),
+                "sum_value_cents": _cents(df["sum_value"]),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def sessionize_events(sf_dir: str, gap_sec: int = 1800):
+    """Per-user session stats (30-min inactivity gap) — windowed aggregate."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gaps = g["ts"].diff().dt.total_seconds()
+        new_sess = (gaps.isna() | (gaps > gap_sec)).astype(int)
+        sess_id = new_sess.cumsum()
+        sizes = sess_id.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(sess_id.max())],
+                "max_session_events": [int(sizes.max())],
+            }
+        ).astype("int64")
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def hourly_event_windows(sf_dir: str):
+    """Tumbling 1-hour windows per event_type."""
+
+    def add_window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["ts"].dt.strftime("%Y-%m-%d %H:00:00")
+        return df[["window_start", "event_type", "value"]]
+
+    src = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        add_window, batch_format="pandas"
+    )
+    agg = pre_aggregate(src, ["window_start", "event_type"], sums=["value"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": df["window_start"],
+                "event_type": df["event_type"],
+                "n": df["n"].astype("int64"),
+                "sum_value_cents": _cents(df["sum_value"]),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Relational engine breadth (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df[["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]]
+
+    src = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(prep, batch_format="pandas")
+    agg = pre_aggregate(
+        src, ["l_returnflag", "l_linestatus"],
+        sums=["l_quantity", "l_extendedprice", "disc_price"],
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty_cents": _cents(df["sum_l_quantity"]),
+                "sum_base_price_cents": _cents(df["sum_l_extendedprice"]),
+                "sum_disc_price_e4": np.rint(
+                    np.asarray(df["sum_disc_price"], dtype=np.float64) * 10000
+                ).astype("int64"),
+                "count_order": df["n"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def q3_top_orders(sf_dir: str):
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]].rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    joined = broadcast_join(orders, seg, on="o_custkey")
+    top = topk(joined, by="o_totalprice", k=10, descending=True, tiebreak="o_orderkey")
+    top = top[["o_orderkey", "o_totalprice", "o_orderdate"]].copy()
+    top["total_cents"] = _cents(top.pop("o_totalprice"))
+    top["o_orderdate"] = top["o_orderdate"].dt.strftime("%Y-%m-%d")
+    return top[["o_orderkey", "total_cents", "o_orderdate"]]
+
+
+def q5_nation_revenue(sf_dir: str):
+    """lineitem JOIN orders (hash-partitioned Dataset.join) JOIN broadcast
+    customer->nation dims -> revenue per nation."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ].rename(columns={"c_custkey": "o_custkey"})
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df[["o_custkey", "revenue"]]
+
+    enriched = broadcast_join(
+        joined.map_batches(rev, batch_format="pandas"), dim, on="o_custkey"
+    )
+    agg = pre_aggregate(enriched, ["n_name"], sums=["revenue"], counts=False)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": df["n_name"],
+                "revenue_e4": np.rint(
+                    np.asarray(df["sum_revenue"], dtype=np.float64) * 10000
+                ).astype("int64"),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def topk_parts_per_brand(sf_dir: str):
+    """Top-3 parts by retail price within each brand (windowed top-k)."""
+
+    def per_brand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True],
+                          kind="stable").head(3).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        g["price_cents"] = _cents(g["p_retailprice"])
+        return g[["p_brand", "rank", "p_partkey", "price_cents"]]
+
+    return (
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+        .groupby("p_brand")
+        .map_groups(per_brand, batch_format="pandas")
+    )
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti join via broadcast key set: customers with no big (>400k) order."""
+    big = _read_small(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    okeys = set(big.loc[big["o_totalprice"] > 400000, "o_custkey"].tolist())
+    return broadcast_semi_join(
+        _read(sf_dir, "customer", ["c_custkey"]), okeys, "c_custkey", anti=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text stats
+# ---------------------------------------------------------------------------
+
+def doc_token_stats(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pandas"
+    )
+
+
+def doc_quality(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pandas"
+    )
+
+
+def doc_langid(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        langid_batch, batch_format="pandas"
+    )
+
+
+def doc_fingerprint(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pandas"
+    )
+
+
+def dedup_exact(sf_dir: str):
+    return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        threshold=JACCARD_THRESHOLD, block_key="source", ngram=1,
+    )
+
+
+def dedup_minhash(sf_dir: str):
+    return minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7, ngram=1
+    )
+
+
+def dedup_simhash(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pandas"
+    )
+
+
+def _queries_df(sf_dir: str, n: int = 10) -> pd.DataFrame:
+    df = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return df[df["vec_id"] < n].reset_index(drop=True)
+
+
+def knn_cosine_topk(sf_dir: str):
+    return knn_bruteforce(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), _queries_df(sf_dir), k=5
+    )
+
+
+def knn_ivf_topk(sf_dir: str):
+    return knn_ivf(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), _queries_df(sf_dir), k=5
+    )
+
+
+def embed_neardup(sf_dir: str):
+    ds = embedding_neardup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), NEARDUP_COS, modulus=5
+    )
+
+    def drop_sim(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["a", "b"]]
+
+    return ds.map_batches(drop_sim, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Flagship transcript pipeline over documents (rows-only; full oracle lives
+# in tests/test_pipeline_golden.py against the pure-Python oracle)
+# ---------------------------------------------------------------------------
+
+def _docs_to_transcripts(sf_dir: str):
+    """Treat each document as a conversation: 12-token turns (flat-map)."""
+    import pyarrow as pa
+
+    def explode(t: pa.Table) -> pa.Table:
+        conv_ids, turn_idxs, texts = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = text.split()
+            chunks = [" ".join(toks[i : i + 12]) for i in range(0, len(toks), 12)] or [""]
+            for i, c in enumerate(chunks):
+                conv_ids.append(f"doc-{doc_id:08d}")
+                turn_idxs.append(i)
+                texts.append(c)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_ids, pa.string()),
+                "turn_idx": pa.array(turn_idxs, pa.int32()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def transcript_extract(sf_dir: str):
+    from .config import ExtractConfig
+    from .pipeline import build_conv_fields, build_turns
+
+    cfg = ExtractConfig(salt_buckets=4)
+    turns = build_turns(_docs_to_transcripts(sf_dir), cfg)
+    return build_conv_fields(turns, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "f1_remove_special": f1_remove_special,
+    "f2_upper_invariant": f2_upper_invariant,
+    "f3_keyword_gate": f3_keyword_gate,
+    "f4_first_date": f4_first_date,
+    "f10_encrypt_pii": f10_encrypt_pii,
+    "e3_e6_invoice_line": e3_e6_invoice_line,
+    "e4_invoice_date": e4_invoice_date,
+    "e5_order_ref": e5_order_ref,
+    "e9_first_match_fold": e9_first_match_fold,
+    "a1_user_stats": a1_user_stats,
+    "sessionize_events": sessionize_events,
+    "hourly_event_windows": hourly_event_windows,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "topk_parts_per_brand": topk_parts_per_brand,
+    "customers_without_orders": customers_without_orders,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_langid": doc_langid,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "knn_cosine_topk": knn_cosine_topk,
+    "knn_ivf_topk": knn_ivf_topk,
+    "embed_neardup": embed_neardup,
+    "transcript_extract": transcript_extract,
+}
+
+_DATE_SQL = "(?i)" + DATE_PATTERN
+
+SQL: dict[str, str] = {
+    "f1_remove_special": f"""
+        SELECT doc_id, rtrim(regexp_replace(text, '{F1_CLASS}', '', 'g')) AS clean_text
+        FROM documents
+    """,
+    "f2_upper_invariant": "SELECT doc_id, upper(text) AS upper_text FROM documents",
+    "f3_keyword_gate": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE contains(upper(text), 'SPARK') OR contains(upper(text), 'WINDOW')
+    """,
+    "f4_first_date": f"""
+        SELECT event_id,
+               regexp_extract('logged ' || strftime(ts, '%m/%d/%Y') || ' event',
+                              '{_DATE_SQL}') AS first_date
+        FROM events
+    """,
+    "e3_e6_invoice_line": r"""
+        WITH l AS (
+          SELECT event_id,
+                 'INVOICE # ' || CAST(event_id AS VARCHAR) || ' TOTAL $' ||
+                 printf('%.2f', value) AS line
+          FROM events
+        )
+        SELECT event_id,
+               CASE WHEN regexp_matches(line, '\b(INVOICE)(\W+|\s+)(\d+)\b')
+                    THEN regexp_extract(line, '[.\d]+') END AS invoice_number,
+               CASE WHEN regexp_matches(line, '\b(TOTAL|RATE|BALANCE DUE)\W+\$\d+(,\d{3})*(\.\d{2})?')
+                    THEN trim(regexp_replace(
+                           regexp_extract(line, '\b(TOTAL|RATE|BALANCE DUE)\W+\$\d+(,\d{3})*(\.\d{2})?'),
+                           'TOTAL|RATE|BALANCE|DUE', '', 'g'))
+               END AS gross_total
+        FROM l
+    """,
+    "e4_invoice_date": f"""
+        WITH l AS (
+          SELECT event_id,
+                 CASE WHEN event_type = 'error'
+                      THEN 'DUE DATE ' || strftime(ts, '%m/%d/%Y')
+                      ELSE 'INVOICE DATE ' || strftime(ts, '%m/%d/%Y') END AS line
+          FROM events
+        )
+        SELECT event_id,
+               CASE WHEN contains(line, 'DATE') AND NOT regexp_matches(line, 'DUE.*DATE')
+                    THEN nullif(regexp_extract(line, '{_DATE_SQL}'), '') END AS invoice_date
+        FROM l
+    """,
+    "e5_order_ref": r"""
+        SELECT event_id,
+               regexp_extract('REFERENCE AB' || CAST(event_id AS VARCHAR) || 'X',
+                              '\b(LOAD|REFERENCE)\W+(\w+\d+\w+)', 2) AS order_number
+        FROM events
+    """,
+    "e9_first_match_fold": """
+        SELECT user_id, event_id AS first_event_id,
+               CAST(round(value * 100) AS BIGINT) AS first_value_cents
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+          FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    """,
+    "a1_user_stats": """
+        SELECT user_id, count(*) AS n_events,
+               CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+        FROM events GROUP BY user_id
+    """,
+    "sessionize_events": """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), m AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM o
+        ), s AS (
+          SELECT user_id, sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM m
+        )
+        SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+               CAST(max(cnt) AS BIGINT) AS max_session_events
+        FROM (SELECT user_id, sess_id, count(*) AS cnt FROM s GROUP BY user_id, sess_id)
+        GROUP BY user_id
+    """,
+    "hourly_event_windows": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+               event_type,
+               count(*) AS n,
+               CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+        FROM events GROUP BY 1, 2
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents,
+               CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_cents,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+                 AS sum_disc_price_e4,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_orders": """
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "q5_nation_revenue": """
+        SELECT n_name,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+                 AS revenue_e4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "topk_parts_per_brand": """
+        SELECT p_brand, rank, p_partkey, price_cents FROM (
+          SELECT p_brand, p_partkey,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey) AS rank
+          FROM part
+        ) WHERE rank <= 3
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    "doc_token_stats": r"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents)
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+               CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
+                 AS sum_token_chars
+        FROM t
+    """,
+    "doc_quality": r"""
+        WITH t AS (SELECT doc_id, text,
+                          string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents)
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, w -> w IN
+                 ('the','a','and','of','to','in','is','for','on','with'))) AS BIGINT)
+                 AS stop_cnt,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                 AS BIGINT) AS punct_cnt,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, w -> w IN
+                      ('the','a','and','of','to','in','is','for','on','with'))) AS DOUBLE)
+                         / len(toks)
+                    ELSE 0.0 END AS stop_ratio
+        FROM t
+    """,
+    "doc_langid": r"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        r AS (SELECT doc_id,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(len(list_filter(toks, w -> w IN
+                            ('the','a','and','of','to','in','is','for','on','with')))
+                            AS DOUBLE) / len(toks)
+                          ELSE 0.0 END AS ratio
+              FROM t)
+        SELECT doc_id, CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred
+        FROM r
+    """,
+    "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": r"""
+        WITH t AS (SELECT doc_id, source,
+                          list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                   FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(a.toks || b.toks)) AS sim
+        FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(a.toks || b.toks)) >= 0.9
+    """,
+    "knn_cosine_topk": """
+        SELECT query_id, rank, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        ) WHERE rank <= 5
+    """,
+    "embed_neardup": """
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id % 5 = 0 AND b.vec_id % 5 = 0 AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+    # rows-only (non-SQL-expressible): f10_encrypt_pii (AES), dedup_minhash /
+    # dedup_simhash (hash-sketch), knn_ivf_topk (approximate), transcript_extract
+    # (full pipeline; oracled in pytest against the pure-Python oracle)
+}

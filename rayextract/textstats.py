@@ -1,0 +1,83 @@
+"""Text-analysis operators over a document corpus (training-data pipeline ops).
+
+Each is a vectorized ``map_batches`` stage over the ``documents`` table
+(doc_id, text, lang, source, n_chars) with an exact DuckDB-SQL oracle
+(queries.py). Semantics are deliberately SQL-mirrorable so the driver's
+value-hash comparison is bit-exact:
+
+- tokenization: ``\\s+`` split of ``text.strip()`` (DuckDB string_split_regex)
+- stopword stats: token membership in a fixed stop list
+- lang-id: stopword-ratio heuristic (>= threshold -> 'en')
+- fingerprint: md5 hex of the raw text (DuckDB md5)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+LANGID_THRESHOLD = 0.05
+_PUNCT = re.compile(r"[.,!?;:]")
+_WS = re.compile(r"\s+")
+
+
+def _tokens(s: str) -> list[str]:
+    s = s.strip()
+    return _WS.split(s) if s else []
+
+
+def token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, n_tokens, n_unique, sum_token_chars (all int64)."""
+    toks = df["text"].map(_tokens)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_tokens": toks.map(len).astype("int64"),
+            "n_unique": toks.map(lambda t: len(set(t))).astype("int64"),
+            "sum_token_chars": toks.map(lambda t: sum(len(w) for w in t)).astype("int64"),
+        }
+    )
+
+
+def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, n_tokens, stop_cnt, punct_cnt, stop_ratio (double)."""
+    toks = df["text"].map(_tokens)
+    stop = set(STOPWORDS)
+    n_tokens = toks.map(len).astype("int64")
+    stop_cnt = toks.map(lambda t: sum(1 for w in t if w in stop)).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_tokens": n_tokens,
+            "stop_cnt": stop_cnt,
+            "punct_cnt": df["text"].map(lambda s: len(_PUNCT.findall(s))).astype("int64"),
+            "stop_ratio": np.where(
+                n_tokens > 0, stop_cnt.astype(float) / n_tokens.astype(float), 0.0
+            ),
+        }
+    )
+
+
+def langid_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, lang_pred — stopword-ratio heuristic language id."""
+    q = quality_batch(df)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "lang_pred": np.where(q["stop_ratio"] >= LANGID_THRESHOLD, "en", "unk"),
+        }
+    )
+
+
+def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, fp = md5 hex of text (content-addressed document id)."""
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "fp": df["text"].map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
+        }
+    )
