@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship transcript-extraction pipeline (parse -> normalize ->
+extract -> first-match fold) over a deterministic synthetic transcript corpus
+sized to $GRAFT_SF_DIR's scale factor, plus representative operator queries
+over the driver tables. Prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling`` runs the headline job twice in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports both throughputs plus
+scaling efficiency (north-rule N vs 4N evidence; see BASELINE.md).
+
+The synthetic corpus is generated once per scale into /tmp and reused (the
+generator is seeded; see rayextract/synth.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+
+# conversations per scale factor (pareto-length convs, ~4.3 turns avg)
+_SF_CONVS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def _sf_name() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
+
+
+def corpus_dir() -> str:
+    return f"/tmp/rayextract_bench/{_sf_name()}"
+
+
+def ensure_corpus() -> tuple[str, int]:
+    """Generate (once) the synthetic transcript corpus for this scale."""
+    from rayextract.synth import write_synth_parallel
+
+    n_convs = _SF_CONVS.get(_sf_name(), 20_000)
+    d = corpus_dir()
+    meta = os.path.join(d, "meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            m = json.load(f)
+        if m.get("n_convs") == n_convs and m.get("seed") == SEED:
+            return d, m["n_turns"]
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for p in glob.glob(os.path.join(d, "*.parquet")):
+        os.remove(p)
+    paths = write_synth_parallel(d, n_convs=n_convs, seed=SEED, n_files=32)
+    n_turns = sum(pq.read_metadata(p).num_rows for p in paths)
+    with open(meta, "w") as f:
+        json.dump({"n_convs": n_convs, "seed": SEED, "n_turns": n_turns}, f)
+    return d, n_turns
+
+
+def run_headline(num_cpus: int) -> dict:
+    """Extraction pipeline wall time over the synthetic corpus."""
+    from rayextract.config import ExtractConfig
+    from rayextract.fold import fold_conversations
+    from rayextract.pipeline import build_turns, read_transcripts
+
+    d, n_turns = ensure_corpus()
+    out = f"/tmp/rayextract_bench/out_{_sf_name()}_{num_cpus}"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+
+    cfg = ExtractConfig(
+        batch_size=1024,
+        tagger_concurrency=max(2, num_cpus - 2),
+        salt_buckets=0,
+    )
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pqt
+
+    for p in sorted(os.listdir(d)):
+        if p.endswith(".parquet"):
+            pqt.read_table(os.path.join(d, p))
+
+    import glob as _glob
+
+    paths = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+    t0 = time.perf_counter()
+    turns = build_turns(read_transcripts(paths), cfg)
+    turns.write_parquet(out + "/turns")
+    import ray.data as rd
+
+    folded_src = rd.read_parquet(
+        out + "/turns", columns=["conv_id", "turn_idx", "confidence", "candidates"]
+    )
+    conv = fold_conversations(folded_src, cfg.salt_buckets)
+    conv.write_parquet(out + "/conv_fields")
+    wall = time.perf_counter() - t0
+    return {"sec": wall, "n_turns": n_turns, "turns_per_sec": n_turns / wall}
+
+
+def run_queries() -> dict[str, float]:
+    """Representative operator queries over the driver tables."""
+    from rayextract import queries as q
+
+    picks = [
+        "q1_pricing_summary",
+        "q5_nation_revenue",
+        "e9_first_match_fold",
+        "hourly_event_windows",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash",
+        "knn_cosine_topk",
+        "doc_quality",
+    ]
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = q.QUERIES[name](SF_DIR)
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    head = run_headline(NUM_CPUS)
+    queries = run_queries()
+    print(
+        json.dumps(
+            {
+                "metric": "transcript extraction pipeline wall sec (headline) "
+                "+ operator query timings",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_name(),
+                "num_cpus": NUM_CPUS,
+                "n_turns": head["n_turns"],
+                "turns_per_sec": round(head["turns_per_sec"], 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same headline job at 8 and 32 CPUs in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "turns_per_sec_8": r_lo["turns_per_sec"],
+                "turns_per_sec_32": r_hi["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": r_hi["sf"],
+                "n_turns": r_hi["n_turns"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

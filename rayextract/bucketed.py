@@ -1,0 +1,88 @@
+"""Bucketed group-reduce: high-cardinality grouped aggregation that scales.
+
+Ray's ``groupby(key).aggregate(...)`` / ``map_groups`` pay a per-GROUP Python
+overhead (~1 ms/group measured on Ray 2.49): fine for 25 nations, fatal for
+10^8 conversations. The scalable shape used across this engine:
+
+1. ``map_batches`` partial-aggregate (vectorized pandas groupby per batch),
+   then attach ``_bucket = hash(key) % B`` (deterministic pandas hash).
+2. ONE ``groupby("_bucket").map_groups`` over B buckets (B ~ 64-1024 — the
+   per-group overhead is now per *bucket*), where the reduce fn runs a
+   vectorized pandas groupby over the whole bucket.
+
+Equal keys always share a bucket, so the reduce sees every partial for a key;
+B bounds reducer skew (a hot key contributes at most #batches partial rows).
+This is the explicit hash-partitioned combiner the 100 TB design relies on.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+BUCKET_COL = "_bucket"
+
+
+def hash_bucket(df: pd.DataFrame, keys: Sequence[str], n_buckets: int) -> np.ndarray:
+    """Deterministic (cross-process) bucket ids from the key columns."""
+    h = pd.util.hash_pandas_object(df[list(keys)], index=False).to_numpy()
+    return (h % np.uint64(n_buckets)).astype("int64")
+
+
+def bucketed_group_reduce(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    batch_partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    bucket_reduce_fn: Callable[[pd.DataFrame], "pd.DataFrame | object"],
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """partial-per-batch -> hash-bucket shuffle -> vectorized per-bucket reduce.
+
+    ``batch_partial_fn``: raw batch -> partial rows containing ``keys``.
+    ``bucket_reduce_fn``: all partial rows of one bucket -> final rows
+    (must combine per-key partials itself, vectorized).
+    """
+    keys = list(keys)
+
+    def stage1(df: pd.DataFrame) -> pd.DataFrame:
+        out = batch_partial_fn(df)
+        out = out.reset_index(drop=True)
+        out[BUCKET_COL] = hash_bucket(out, keys, n_buckets)
+        return out
+
+    partials = ds.map_batches(stage1, batch_format="pandas")
+
+    def stage2(g: pd.DataFrame):
+        return bucket_reduce_fn(g.drop(columns=[BUCKET_COL]))
+
+    return partials.groupby(BUCKET_COL).map_groups(stage2, batch_format="pandas")
+
+
+def grouped_sum_count(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    counts: bool = True,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Scalable sum/count groupby: output = keys + sum_<c> columns + n."""
+    keys = list(keys)
+    sums = list(sums)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg: dict = {f"sum_{c}": (c, "sum") for c in sums}
+        if counts:
+            agg["n"] = (keys[0], "count")
+        return df.groupby(keys, sort=False).agg(**agg).reset_index()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg: dict = {f"sum_{c}": (f"sum_{c}", "sum") for c in sums}
+        if counts:
+            agg["n"] = ("n", "sum")
+        return g.groupby(keys, sort=False).agg(**agg).reset_index()
+
+    return bucketed_group_reduce(ds, keys, partial, reduce, n_buckets)

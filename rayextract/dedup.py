@@ -35,25 +35,32 @@ from .textstats import _tokens
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup_groups(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """(text_hash, doc_id=min, n_copies) one row per distinct content."""
+def exact_dedup_groups(docs: "ray.data.Dataset", n_buckets: int = 64) -> "ray.data.Dataset":
+    """(text_hash, doc_id=min, n_copies) one row per distinct content.
 
-    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "text_hash": df["text"].map(
-                    lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
-                ),
-                "doc_id": df["doc_id"],
-            }
+    Content hash per row inside map_batches, then a bucketed group-reduce
+    (bucketed.py) carrying only (hash, doc_id, count) partials — full text
+    never enters the shuffle, and cost is per-bucket, not per-distinct-doc.
+    """
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["text"].map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        t = pd.DataFrame({"text_hash": h, "doc_id": df["doc_id"]})
+        return (
+            t.groupby("text_hash", sort=False)
+            .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "count"))
+            .reset_index()
         )
 
-    hashed = docs.map_batches(hash_batch, batch_format="pandas")
-    from ray.data.aggregate import Count, Min
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("text_hash", sort=False)
+            .agg(doc_id=("doc_id", "min"), n_copies=("n_copies", "sum"))
+            .reset_index()
+        )
 
-    return hashed.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
-    )
+    return bucketed_group_reduce(docs, ["text_hash"], partial, reduce, n_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -133,9 +140,11 @@ class MinHasher:
         return prod.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # signatures as packed little-endian uint64 bytes: binary columns
+        # survive Arrow hash joins (list columns don't)
         sigs = [self.signature(s) for s in df["text"]]
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "sig": [s.tolist() for s in sigs]}
+            {"doc_id": df["doc_id"], "sig": [s.tobytes() for s in sigs]}
         )
 
 
@@ -150,8 +159,11 @@ def minhash_lsh_pairs(
     """Near-dup pairs via MinHash LSH, verified with signature-estimated
     Jaccard >= threshold. Returns (doc_a, doc_b, est_sim).
 
-    Pipeline: signature actor stage -> explode band rows -> groupby band ->
-    candidate pairs -> dedup pairs -> estimate sim from signatures.
+    Fully vectorized scale shape (no per-group Python UDFs):
+    signature actor stage -> numpy band explosion (band_id, band_hash, doc_id)
+    -> hash-partitioned SELF-JOIN on the band key -> a<b filter -> distinct
+    pairs via vectorized Count aggregate -> two hash joins back to the
+    signatures -> batch-level est-sim verification.
     """
     rows_per_band = num_perm // bands
 
@@ -164,47 +176,92 @@ def minhash_lsh_pairs(
     )
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"band_id": [], "band_hash": [], "doc_id": [], "sig": []}
-        for _, r in df.iterrows():
-            sig = r["sig"]
-            for b in range(bands):
-                chunk = tuple(sig[b * rows_per_band : (b + 1) * rows_per_band])
-                out["band_id"].append(b)
-                out["band_hash"].append(hash(chunk) & 0x7FFFFFFFFFFFFFFF)
-                out["doc_id"].append(r["doc_id"])
-                out["sig"].append(sig)
-        return pd.DataFrame(out)
+        if not len(df):
+            return pd.DataFrame(
+                {"band_id": pd.Series(dtype="int64"),
+                 "band_hash": pd.Series(dtype="int64"),
+                 "doc_id": pd.Series(dtype="int64")}
+            )
+        sig_mat = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in df["sig"]])
+        n = len(df)
+        # band hash: sum of rows x fixed multipliers, wrapped mod 2^64 (fast,
+        # deterministic, collision-safe enough for bucketing)
+        mult = (np.arange(rows_per_band, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + np.uint64(1))
+        bh = np.empty((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            chunk = sig_mat[:, b * rows_per_band : (b + 1) * rows_per_band]
+            bh[:, b] = (chunk * mult[None, :]).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "band_id": np.repeat(np.arange(bands, dtype=np.int64), n),
+                "band_hash": (bh.T.reshape(-1) >> np.uint64(1)).astype("int64"),
+                "doc_id": np.tile(df["doc_id"].to_numpy(), bands).astype("int64"),
+            }
+        )
 
-    band_rows = sigs.map_batches(explode_bands, batch_format="pandas")
+    # the signature table is consumed by 4 downstream operators (self-join
+    # sides + two verify joins); materialize it once or the expensive MinHasher
+    # stage re-executes per consumer. Signatures are tiny relative to the
+    # corpus (num_perm*8 bytes/doc) — at cluster scale this would be a
+    # checkpointed parquet intermediate instead.
+    sigs = sigs.materialize()
+    band_rows = sigs.map_batches(explode_bands, batch_format="pandas").materialize()
+    cand = band_rows.join(
+        band_rows, join_type="inner", num_partitions=8,
+        on=("band_id", "band_hash"), right_suffix="_r",
+    )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    def upper_tri(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] < df["doc_id_r"]]
+        # pack the pair into one int64 key: multi-key groupby shuffles were
+        # ~4x slower than single-key at equal row counts
+        pair = (df["doc_id"].to_numpy(np.int64) << np.int64(32)) | df[
+            "doc_id_r"
+        ].to_numpy(np.int64)
+        out = pd.DataFrame({"pair": pair})
+        return out.drop_duplicates("pair")  # batch-local pre-dedup
+
+    from .bucketed import bucketed_group_reduce
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["pair"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"doc_a": (p >> np.int64(32)).astype("int64"),
+             "doc_b": (p & np.int64(0xFFFFFFFF)).astype("int64")}
+        )
+
+    distinct = bucketed_group_reduce(
+        cand, ["pair"],
+        upper_tri,
+        lambda g: unpack(g.drop_duplicates("pair")),
+        n_buckets=32,
+    )
+
+    # verify: join the signatures back on both sides, then vectorized est-sim
+    pa_join = distinct.join(
+        sigs, join_type="inner", num_partitions=8, on=("doc_a",), right_on=("doc_id",)
+    )
+    pb_join = pa_join.join(
+        sigs, join_type="inner", num_partitions=8,
+        on=("doc_b",), right_on=("doc_id",), left_suffix="_a", right_suffix="_b",
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
             return pd.DataFrame(columns=["doc_a", "doc_b", "est_sim"]).astype(
                 {"doc_a": "int64", "doc_b": "int64", "est_sim": "float64"}
             )
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].tolist()
-        sigs_ = [np.asarray(s, dtype=np.uint64) for s in g["sig"]]
-        rows = []
-        for i, j in combinations(range(len(ids)), 2):
-            est = float((sigs_[i] == sigs_[j]).mean())
-            if est >= threshold:
-                rows.append((ids[i], ids[j], est))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_sim"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "est_sim": "float64"}
+        sa = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in df["sig_a"]])
+        sb = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in df["sig_b"]])
+        est = (sa == sb).mean(axis=1)
+        out = pd.DataFrame(
+            {"doc_a": df["doc_a"].astype("int64"), "doc_b": df["doc_b"].astype("int64"),
+             "est_sim": est.astype("float64")}
         )
+        return out[out["est_sim"] >= threshold]
 
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-
-    # a pair can surface from several bands — keep one row per pair
-    def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        first_of_pair, batch_format="pandas"
-    )
+    return pb_join.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

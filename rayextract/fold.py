@@ -7,132 +7,152 @@ iterating pages->lines in order (/root/reference/TextExtraction/Worker.cs:
 ``conv_id`` — never block/arrival order — which makes the result invariant
 under any partitioning/permutation of the input (property-tested).
 
-Scale shape: a two-level aggregation.
+Scale shape — fully vectorized, no per-conversation Python:
 
-1. ``map_batches`` partial combine: within each batch, keep only the min-turn
-   candidate per (conv_id, field) and a (conf_sum, n_turns) partial per
-   conv_id. This collapses shuffle volume from O(turns) to
-   O(convs-touched-per-batch x fields) before any exchange.
-2. optional salted pre-merge (``salt_buckets > 0``): groupby
-   (conv_id, salt=hash(conv)%K) first, merging partials, for conversations so
-   hot that even their partial rows skew a single reducer.
-3. ``groupby("conv_id").map_groups`` finalize: winner per field = min
-   (turn_idx); mean confidence = conf_sum / n_turns.
+1. ``map_batches`` partial combine: one WIDE row per conversation per batch —
+   (conf_sum, n_turns) plus, per field, the batch-local winner encoded as a
+   sortable string ``f"{turn_idx:010d}\\x1f{value}"`` (min == first match).
+   Shuffle volume is O(convs-touched-per-batch), never O(turns).
+2. hash-bucketed reduce (bucketed.py): ``groupby(hash(conv_id) % B)`` — B
+   buckets, per-group overhead per *bucket* — then a vectorized pandas
+   groupby(conv_id) {sum, sum, min x fields} inside each bucket. (Ray's
+   native per-key aggregate costs ~1 ms per group — unusable at 10^8 convs.)
+   An optional salt pre-pass ((conv_id, salt) buckets) exists for
+   conversations hot enough to dominate even their partial-row stream.
+3. vectorized decode of the Min-winners into (value, turn) columns, emitted
+   with the canonical Arrow schema.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
 
+from .bucketed import bucketed_group_reduce
 from .schema import CONV_FIELDS_SCHEMA, FIELD_NAMES
 
-_PARTIAL_COLS = ["conv_id", "field", "turn_idx", "value", "start", "end", "conf_sum", "n_turns"]
+_SEP = "\x1f"  # unit separator: cannot appear in normalized values
 
 
-def partial_combine(batch: pa.Table) -> pa.Table:
-    """Batch-level combiner: min-turn candidate per (conv, field) + conf partials."""
-    df = batch.select(["conv_id", "turn_idx", "confidence", "candidates"]).to_pandas()
+def _enc_col(f: str) -> str:
+    return f"enc_{f}"
 
-    conf = (
+
+_ENC_COLS = [_enc_col(f) for f in FIELD_NAMES]
+
+
+def partial_combine(df: pd.DataFrame) -> pd.DataFrame:
+    """One wide partial row per conversation in this batch (pandas in/out)."""
+    out = (
         df.groupby("conv_id", sort=False)["confidence"]
         .agg(conf_sum="sum", n_turns="count")
         .reset_index()
     )
-    conf["field"] = ""
-    conf["turn_idx"] = -1
-    conf["value"] = ""
-    conf["start"] = -1
-    conf["end"] = -1
 
     has = df["candidates"].map(len) > 0
     if has.any():
         ex = df.loc[has, ["conv_id", "turn_idx", "candidates"]].explode("candidates")
         cand = pd.DataFrame(ex["candidates"].tolist(), index=ex.index)
-        cand["conv_id"] = ex["conv_id"]
-        cand["turn_idx"] = ex["turn_idx"]
-        # min turn per (conv, field) within this batch
-        cand = cand.sort_values(["conv_id", "field", "turn_idx"], kind="stable")
-        cand = cand.drop_duplicates(["conv_id", "field"], keep="first")
-        cand["conf_sum"] = 0.0
-        cand["n_turns"] = 0
-        out = pd.concat([conf[_PARTIAL_COLS], cand[_PARTIAL_COLS]], ignore_index=True)
-    else:
-        out = conf[_PARTIAL_COLS]
-    out = out.astype(
-        {"turn_idx": "int64", "start": "int64", "end": "int64",
-         "conf_sum": "float64", "n_turns": "int64"}
-    )
-    return pa.Table.from_pandas(out, preserve_index=False)
+        cand["conv_id"] = ex["conv_id"].values
+        cand["enc"] = (
+            pd.Series(ex["turn_idx"].astype("int64").map("{:010d}".format).values,
+                      index=ex.index)
+            + _SEP
+            + cand["value"].astype(str)
+        )
+        w = (
+            cand.groupby(["conv_id", "field"], sort=False)["enc"]
+            .min()
+            .unstack("field")
+            .reset_index()
+        )
+        out = out.merge(w, on="conv_id", how="left")
+    for c in _ENC_COLS:
+        f = c[len("enc_"):]
+        # "string" extension dtype throughout: the left-merge introduces
+        # float NaN into object columns, and pandas groupby.min raises on
+        # mixed str/NaN groups
+        if f in out.columns:
+            out[c] = out.pop(f).astype("string")
+        else:
+            out[c] = pd.array([pd.NA] * len(out), dtype="string")
+    return out[["conv_id", "conf_sum", "n_turns", *_ENC_COLS]]
 
 
 def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
-    """Associative merge of partial rows (used by the salted pre-merge and
-    shared with finalize): one row per (field) winner + one conf row."""
-    conv = g["conv_id"].iloc[0]
-    conf_rows = g[g["field"] == ""]
-    merged = [
-        {
-            "conv_id": conv, "field": "", "turn_idx": -1, "value": "",
-            "start": -1, "end": -1,
-            "conf_sum": float(conf_rows["conf_sum"].sum()),
-            "n_turns": int(conf_rows["n_turns"].sum()),
-        }
-    ]
-    cand = g[g["field"] != ""]
-    if len(cand):
-        cand = cand.sort_values(["field", "turn_idx"], kind="stable")
-        cand = cand.drop_duplicates(["field"], keep="first")
-        merged.extend(cand.to_dict("records"))
-    return pd.DataFrame(merged, columns=_PARTIAL_COLS)
+    """Vectorized associative merge of wide partial rows (per bucket)."""
+    agg = {"conf_sum": ("conf_sum", "sum"), "n_turns": ("n_turns", "sum")}
+    for c in _ENC_COLS:
+        agg[c] = (c, "min")
+    out = g.groupby("conv_id", sort=False).agg(**agg).reset_index()
+    for c in _ENC_COLS:
+        # pin extension string dtype: an all-NA object column would cross the
+        # next block boundary as Arrow `null` and clash with string blocks
+        out[c] = out[c].astype("string")
+    return out
 
 
-def finalize_group(g: pd.DataFrame) -> pd.DataFrame:
-    """One conv_fields row from a conversation's partial rows."""
-    conv = g["conv_id"].iloc[0]
-    row: dict = {"conv_id": conv}
-    cand = g[g["field"] != ""].sort_values(["field", "turn_idx"], kind="stable")
-    winners = cand.drop_duplicates(["field"], keep="first").set_index("field")
+def decode_final(df: pd.DataFrame) -> pa.Table:
+    """Merged wide rows -> canonical conv_fields Arrow table (vectorized)."""
+    n = len(df)
+    cols: dict = {"conv_id": pa.array(df["conv_id"], pa.string())}
     for f in FIELD_NAMES:
-        if f in winners.index:
-            row[f] = winners.loc[f, "value"]
-            row[f + "_turn"] = int(winners.loc[f, "turn_idx"])
-        else:
-            row[f] = None
-            row[f + "_turn"] = None
-    conf_sum = float(g.loc[g["field"] == "", "conf_sum"].sum())
-    n_turns = int(g.loc[g["field"] == "", "n_turns"].sum())
-    mean_conf = conf_sum / n_turns if n_turns else 0.0
-    row["mean_confidence"] = mean_conf
+        enc = df[_enc_col(f)]
+        present = enc.notna()
+        vals = np.full(n, None, dtype=object)
+        turns = np.full(n, None, dtype=object)
+        if present.any():
+            parts = enc[present].str.split(_SEP, n=1)
+            pm = present.to_numpy()
+            vals[pm] = parts.str[1].to_numpy()
+            turns[pm] = parts.str[0].astype(int).to_numpy()
+        cols[f] = pa.array(vals, pa.string())
+        cols[f + "_turn"] = pa.array(turns, pa.int32())
+    conf_sum = df["conf_sum"].to_numpy(dtype=np.float64)
+    n_turns = df["n_turns"].to_numpy(dtype=np.int64)
+    mean = np.where(n_turns > 0, conf_sum / np.maximum(n_turns, 1), 0.0)
+    cols["mean_confidence"] = pa.array(mean, pa.float64())
     # F11: the reference formats confidence "{0:0.00}" (Worker.cs:268,449)
-    row["confidence_fmt"] = f"{mean_conf:.2f}"
-    row["n_turns"] = n_turns
-    # return Arrow with the canonical schema: pandas all-NA columns otherwise
-    # infer a `null` parquet type per partition, producing files with
-    # mismatched schemas (observed breaking DuckDB multi-file reads)
-    return pa.Table.from_pylist([row], schema=CONV_FIELDS_SCHEMA)
+    cols["confidence_fmt"] = pa.array([f"{m:.2f}" for m in mean], pa.string())
+    cols["n_turns"] = pa.array(n_turns, pa.int64())
+    return pa.table(cols).select(CONV_FIELDS_SCHEMA.names)
 
 
 def fold_conversations(
     turns: "ray.data.Dataset",
     salt_buckets: int = 0,
     num_partitions: int | None = None,
+    n_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """turns (conv_id, turn_idx, confidence, candidates) -> conv_fields."""
-    partials = turns.map_batches(partial_combine, batch_format="pyarrow")
+    src = turns
     if salt_buckets and salt_buckets > 1:
-        def add_salt(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["salt"] = pd.util.hash_array(df["turn_idx"].to_numpy()) % salt_buckets
-            return df
+        # pre-merge partials under (conv_id, salt) first: bounds any single
+        # reducer's share of a pathologically hot conversation
+        def salted_partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = partial_combine(df)
+            out["salt"] = np.arange(len(out), dtype=np.int64) % salt_buckets
+            return out
 
-        partials = partials.map_batches(add_salt, batch_format="pandas")
-        partials = partials.groupby(["conv_id", "salt"]).map_groups(
+        pre = bucketed_group_reduce(
+            turns, ["conv_id", "salt"],
+            salted_partial,
             lambda g: merge_partials(g.drop(columns=["salt"])),
-            batch_format="pandas",
+            n_buckets=n_buckets,
         )
-    if num_partitions:
-        partials = partials.repartition(num_partitions)
-    return partials.groupby("conv_id").map_groups(finalize_group, batch_format="pandas")
+        final = bucketed_group_reduce(
+            pre, ["conv_id"],
+            lambda df: df,  # already wide partials
+            lambda g: decode_final(merge_partials(g)),
+            n_buckets=n_buckets,
+        )
+        return final
+    return bucketed_group_reduce(
+        src, ["conv_id"],
+        partial_combine,
+        lambda g: decode_final(merge_partials(g)),
+        n_buckets=n_buckets,
+    )

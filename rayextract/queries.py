@@ -425,7 +425,8 @@ def dedup_ngram_jaccard(sf_dir: str):
 
 def dedup_minhash(sf_dir: str):
     return minhash_lsh_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7, ngram=1
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.9, bands=8, ngram=1,
     )
 
 
@@ -498,7 +499,7 @@ def transcript_extract(sf_dir: str):
     from .config import ExtractConfig
     from .pipeline import build_conv_fields, build_turns
 
-    cfg = ExtractConfig(salt_buckets=4)
+    cfg = ExtractConfig()
     turns = build_turns(_docs_to_transcripts(sf_dir), cfg)
     return build_conv_fields(turns, cfg)
 

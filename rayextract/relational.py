@@ -56,25 +56,13 @@ def pre_aggregate(
     sums: Sequence[str] = (),
     counts: bool = True,
 ) -> "ray.data.Dataset":
-    """Two-level sum/count: batch partials -> tiny groupby over partials.
-
-    Output columns: keys + [f"sum_{c}"] + (["n"] if counts).
+    """Two-level sum/count groupby via the bucketed combiner (bucketed.py):
+    per-batch pandas partials, hash-bucket shuffle, vectorized per-bucket
+    merge. Output columns: keys + [f"sum_{c}"] + (["n"] if counts).
     """
-    sums = list(sums)
+    from .bucketed import grouped_sum_count
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        agg: dict = {f"sum_{c}": (c, "sum") for c in sums}
-        if counts:
-            agg["n"] = (keys[0], "count")
-        return df.groupby(list(keys), sort=False).agg(**agg).reset_index()
-
-    partials = ds.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Sum
-
-    aggs = [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sums]
-    if counts:
-        aggs.append(Sum("n", alias_name="n"))
-    return partials.groupby(list(keys)).aggregate(*aggs)
+    return grouped_sum_count(ds, list(keys), sums=list(sums), counts=counts)
 
 
 def topk(

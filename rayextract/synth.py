@@ -184,6 +184,51 @@ def synth_table(n_convs: int, seed: int = 42) -> pa.Table:
     )
 
 
+def shard_table(seed: int, shard: int, n_files: int, n_convs: int) -> pa.Table:
+    """Conversations shard::n_files, rows shuffled within the shard.
+
+    Equivalent corpus to synth_table for the same (seed, n_convs) but
+    generated shard-parallel; row order within files differs (irrelevant —
+    pipelines must not depend on arrival order)."""
+    rows: list[dict] = []
+    for c in range(shard, n_convs, n_files):
+        rows.extend(conversation_rows(seed, c))
+    r = random.Random(f"{seed}:shuffle:{shard}")
+    r.shuffle(rows)
+    cols = {name: [row[name] for row in rows] for name in TRANSCRIPT_SCHEMA.names}
+    return pa.table(
+        {
+            "conv_id": pa.array(cols["conv_id"], pa.string()),
+            "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
+            "role": pa.array(cols["role"], pa.string()),
+            "text": pa.array(cols["text"], pa.string()),
+            "tool": pa.array(cols["tool"], pa.string()),
+            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+        }
+    )
+
+
+def write_synth_parallel(
+    out_dir: str, n_convs: int, seed: int = 42, n_files: int = 32
+) -> list[str]:
+    """Ray-task-parallel corpus generation (bench scale). Deterministic for
+    fixed (seed, n_convs, n_files)."""
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def gen(shard: int) -> str:
+        t = shard_table(seed, shard, n_files, n_convs)
+        p = os.path.join(out_dir, f"transcripts-{shard:04d}.parquet")
+        pq.write_table(t, p)
+        return p
+
+    return sorted(ray.get([gen.remote(i) for i in range(n_files)]))
+
+
 def write_synth(out_dir: str, n_convs: int, seed: int = 42, n_files: int = 8) -> list[str]:
     """Shuffled rows split across n_files parquet files (FIXTURES §1)."""
     import os
