@@ -1,0 +1,266 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The reference's only binary path is PDF bytes -> per-page TIFF streams
+(/root/reference/Pdf-To-ImageStream/Convert.cs:9-35) decoded in-process by
+native libs. Generalized here for training-data pipelines: image/audio/video
+travel as an Arrow ``binary`` column with a typed ``meta`` struct, and every
+media transform is an actor-pool ``map_batches`` stage (codec/model state
+built once per actor, the D4 pattern from Worker.cs:61-95).
+
+The actual codecs (PIL / soundfile / PyAV) are NOT in this container, so the
+real decode path is a clearly-marked stub (``NotImplementedError`` behind an
+import-try); the default path is a DETERMINISTIC FAKE decoder that derives
+pixel/sample arrays from the payload bytes with numpy. The Ray-side plumbing
+— schema, batch sizing, actor signatures, flat-map frame explosion, output
+layout — is real and tested (tests/test_multimodal.py).
+
+Scale notes: payload rows are large, so media stages run with SMALL
+``batch_size`` (default 64) and the binary column is dropped as soon as the
+features are computed — never carried through a shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+# typed metadata carried alongside the opaque payload
+MEDIA_META_TYPE = pa.struct(
+    [
+        ("width", pa.int32()),        # images/video
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),     # video
+        ("sample_rate", pa.int32()),  # audio
+        ("codec", pa.string()),
+    ]
+)
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),        # image | audio | video
+        ("payload", pa.binary()),
+        ("meta", MEDIA_META_TYPE),
+    ]
+)
+
+KINDS = ("image", "audio", "video")
+FEATURE_DIM = 8
+MEDIA_BATCH_SIZE = 64  # payload rows are big: keep batch x concurrency in heap
+
+
+def _try_import_codecs():
+    """Real codecs, gated behind import-try (not in this container)."""
+    try:  # pragma: no cover - not installed here
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def docs_to_media(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Deterministic media table derived from the documents table.
+
+    payload = utf-8 bytes of ``text`` (opaque to every downstream stage);
+    kind = doc_id % 3; meta synthesized from doc_id + payload length. This is
+    the fixture generator for the media plumbing — at production scale the
+    payload column comes from ``ray.data.read_binary_files`` / parquet blobs.
+    """
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        payloads = [s.encode("utf-8") for s in t.column("text").to_pylist()]
+        nb = np.array([len(p) for p in payloads], dtype=np.int64)
+        kind = np.array(KINDS, dtype=object)[ids % 3]
+        metas = [
+            {
+                "width": int(16 + i % 17),
+                "height": int(16 + i % 13),
+                "n_frames": int(1 + i % 7),
+                "sample_rate": 16000,
+                "codec": "raw",
+            }
+            for i, _ in zip(ids, nb)
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kind, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(metas, MEDIA_META_TYPE),
+            }
+        )
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decode: tile payload bytes into a (h, w) uint8 grid."""
+    need = width * height
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    if raw.size == 0:
+        raw = np.zeros(1, dtype=np.uint8)
+    reps = -(-need // raw.size)
+    return np.tile(raw, reps)[:need].reshape(height, width)
+
+
+def resize_image(pix: np.ndarray, out_h: int = 8, out_w: int = 8) -> np.ndarray:
+    """Block-mean resize (no PIL): deterministic, vectorized."""
+    h, w = pix.shape
+    ri = (np.arange(h) * out_h) // h
+    ci = (np.arange(w) * out_w) // w
+    out = np.zeros((out_h, out_w), dtype=np.float64)
+    cnt = np.zeros((out_h, out_w), dtype=np.int64)
+    np.add.at(out, (ri[:, None], ci[None, :]), pix.astype(np.float64))
+    np.add.at(cnt, (ri[:, None], ci[None, :]), 1)
+    return out / np.maximum(cnt, 1)
+
+
+class MediaDecoder:
+    """Actor-pool decode + feature-extract stage.
+
+    ``__init__`` loads codec state once per actor (here: the import probe and
+    the feature projection matrix — the D4 "engine loaded once" analog);
+    ``__call__`` decodes a batch and emits fixed-dim features, dropping the
+    payload. Use with ``map_batches(MediaDecoder, batch_size=64,
+    concurrency=(1, N), num_cpus=1, batch_format="pyarrow")``.
+    """
+
+    def __init__(self, use_real_codecs: bool = False, seed: int = 17):
+        self.real = use_real_codecs
+        if use_real_codecs and not _try_import_codecs():
+            # STUB: the real decode needs PIL/soundfile/PyAV, absent here.
+            raise NotImplementedError(
+                "real media codecs (PIL/soundfile/PyAV) are not installed; "
+                "run with use_real_codecs=False for the deterministic fake path"
+            )
+        rng = np.random.RandomState(seed)
+        self.proj = rng.standard_normal((64, FEATURE_DIM))
+
+    def _features(self, payload: bytes, kind: str, meta: dict) -> np.ndarray:
+        if kind == "image":
+            pix = _fake_pixels(payload, meta["width"], meta["height"])
+            small = resize_image(pix).reshape(-1)  # 64
+        elif kind == "audio":
+            raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            if raw.size == 0:
+                raw = np.zeros(64)
+            # 64-bin mean "spectrogram" of the fake waveform
+            bins = np.array_split(raw, 64)
+            small = np.array([b.mean() if b.size else 0.0 for b in bins])
+        else:  # video: mean over fake frames of the image path
+            nf = max(1, meta["n_frames"])
+            chunk = max(1, len(payload) // nf)
+            frames = [
+                _fake_pixels(payload[i * chunk : (i + 1) * chunk],
+                             meta["width"], meta["height"])
+                for i in range(nf)
+            ]
+            small = np.mean([resize_image(f) for f in frames], axis=0).reshape(-1)
+        return small @ self.proj
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        kinds = t.column("kind").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        metas = t.column("meta").to_pylist()
+        feats = [
+            self._features(p, k, m).astype(np.float32)
+            for p, k, m in zip(payloads, kinds, metas)
+        ]
+        nb = np.array([len(p) for p in payloads], dtype=np.int64)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "kind": t.column("kind"),
+                "n_bytes": pa.array(nb, pa.int64()),
+                "feature": pa.array([f.tolist() for f in feats],
+                                    pa.list_(pa.float32())),
+            }
+        )
+
+
+class FrameSampler:
+    """Video frame sampling as a flat-map stage: one input row -> ``stride``-th
+    frames as rows (the D1 "1 doc -> N pages" cardinality change,
+    Convert.cs:9-35). Output drops the payload (frame bytes only)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = max(1, stride)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_idx": [], "frame_bytes": [], "n_bytes": []}
+        for mid, kind, payload, meta in zip(
+            t.column("media_id").to_pylist(),
+            t.column("kind").to_pylist(),
+            t.column("payload").to_pylist(),
+            t.column("meta").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            nf = max(1, meta["n_frames"])
+            chunk = max(1, len(payload) // nf)
+            for fi in range(0, nf, self.stride):
+                fb = payload[fi * chunk : (fi + 1) * chunk]
+                out["media_id"].append(mid)
+                out["frame_idx"].append(fi)
+                out["frame_bytes"].append(fb)
+                out["n_bytes"].append(len(fb))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "frame_bytes": pa.array(out["frame_bytes"], pa.binary()),
+                "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+            }
+        )
+
+
+def media_features(
+    media: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4)
+) -> "ray.data.Dataset":
+    """media table -> (media_id, kind, n_bytes, feature) via the decoder pool."""
+    return media.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def sample_frames(
+    media: "ray.data.Dataset", stride: int = 2,
+    concurrency: tuple[int, int] = (1, 4),
+) -> "ray.data.Dataset":
+    """media table -> one row per sampled video frame."""
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def frame_features(frames: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-frame resize features (stateless, vectorized per frame)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        feats = [
+            resize_image(_fake_pixels(b, 16, 16)).reshape(-1)[:FEATURE_DIM].tolist()
+            for b in t.column("frame_bytes").to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "frame_idx": t.column("frame_idx"),
+                "feature": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+    return frames.map_batches(fn, batch_format="pyarrow")

@@ -465,6 +465,144 @@ def embed_neardup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# E7 broadcast lookup, wordcount, distinct, union
+# ---------------------------------------------------------------------------
+
+def e7_vendor_lookup(sf_dir: str):
+    """E7 generalization (Worker.cs:299-364): broadcast small-side
+    exact-equality lookup — tiny (text -> vendor) dict shipped once via
+    ray.put, matched inside map_batches (no shuffle)."""
+    small = _read_small(sf_dir, "documents", ["doc_id", "text"])
+    small = small[small["doc_id"] < 5]
+    lut = (
+        small.groupby("text", sort=False)["doc_id"].min().reset_index()
+    )
+    lookup = {t: f"V{k}" for t, k in zip(lut["text"], lut["doc_id"])}
+    import ray
+
+    ref = ray.put(lookup)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        lu = ray.get(ref)
+        v = df["text"].map(lu)
+        out = pd.DataFrame({"doc_id": df["doc_id"], "vendor": v})
+        return out[out["vendor"].notna()]
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def wordcount_top20(sf_dir: str):
+    """Global token frequency top-20 — the canonical combiner-then-tiny-shuffle
+    shape: per-batch Counter partials, bucketed sum, deterministic top-k."""
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in df["text"]:
+            c.update(_tokens(s))
+        return pd.DataFrame(
+            {"token": list(c.keys()), "n": np.fromiter(c.values(), dtype="int64")}
+        )
+
+    from .bucketed import bucketed_group_reduce
+
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["text"]),
+        ["token"],
+        partial,
+        lambda g: g.groupby("token", sort=False)["n"].sum().reset_index(),
+        n_buckets=64,
+    )
+    top = topk(counts, by="n", k=20, descending=True, tiebreak="token")
+    return top[["token", "n"]].astype({"n": "int64"})
+
+
+def distinct_brand_type(sf_dir: str):
+    """DISTINCT via the bucketed combiner (batch-local dedup -> per-bucket dedup)."""
+    from .bucketed import bucketed_group_reduce
+
+    keys = ["p_brand", "p_type"]
+    return bucketed_group_reduce(
+        _read(sf_dir, "part", keys),
+        keys,
+        lambda df: df.drop_duplicates(keys),
+        lambda g: g.drop_duplicates(keys),
+        n_buckets=16,
+    )
+
+
+def union_clicks_purchases(sf_dir: str):
+    """Set op: two filtered streams unioned (Dataset.union, no shuffle)."""
+
+    def pick(kind):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["event_type"] == kind][["event_id", "event_type"]]
+
+        return fn
+
+    src = _read(sf_dir, "events", ["event_id", "event_type"])
+    return src.map_batches(pick("click"), batch_format="pandas").union(
+        src.map_batches(pick("purchase"), batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5/F7 NER over documents (deterministic tagger; non-SQL -> rows-only)
+# ---------------------------------------------------------------------------
+
+def f5_person_ner(sf_dir: str):
+    from .ner import get_person_name
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        up = df["text"].str.upper()
+        return pd.DataFrame({"doc_id": df["doc_id"], "person": up.map(get_person_name)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: opaque binary payload columns (decode stubbed; plumbing real)
+# ---------------------------------------------------------------------------
+
+def multimodal_decode(sf_dir: str):
+    """documents -> media(binary payload + typed meta) -> actor-pool decode;
+    oracle checks the payload accounting (id, kind, byte length)."""
+    from .multimodal import docs_to_media, media_features
+
+    feats = media_features(
+        docs_to_media(_read(sf_dir, "documents", ["doc_id", "text"]))
+    )
+
+    def drop_feature(t):
+        return t.select(["media_id", "kind", "n_bytes"])
+
+    return feats.map_batches(drop_feature, batch_format="pyarrow")
+
+
+def multimodal_frame_features(sf_dir: str):
+    """Video rows -> sampled frames (flat-map) -> per-frame features."""
+    from .multimodal import docs_to_media, frame_features, sample_frames
+
+    media = docs_to_media(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return frame_features(sample_frames(media, stride=2))
+
+
+def dedup_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs via 16-bit band blocking (rows-only)."""
+    from .dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship transcript pipeline over documents (rows-only; full oracle lives
 # in tests/test_pipeline_golden.py against the pure-Python oracle)
 # ---------------------------------------------------------------------------
@@ -537,6 +675,14 @@ QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "knn_ivf_topk": knn_ivf_topk,
     "embed_neardup": embed_neardup,
+    "e7_vendor_lookup": e7_vendor_lookup,
+    "wordcount_top20": wordcount_top20,
+    "distinct_brand_type": distinct_brand_type,
+    "union_clicks_purchases": union_clicks_purchases,
+    "f5_person_ner": f5_person_ner,
+    "multimodal_decode": multimodal_decode,
+    "multimodal_frame_features": multimodal_frame_features,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "transcript_extract": transcript_extract,
 }
 
@@ -745,7 +891,37 @@ SQL: dict[str, str] = {
           ON a.vec_id % 5 = 0 AND b.vec_id % 5 = 0 AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
     """,
+    "e7_vendor_lookup": """
+        WITH l AS (
+          SELECT text, 'V' || CAST(min(doc_id) AS VARCHAR) AS vendor
+          FROM documents WHERE doc_id < 5 GROUP BY text
+        )
+        SELECT d.doc_id, l.vendor FROM documents d JOIN l ON d.text = l.text
+    """,
+    "wordcount_top20": r"""
+        SELECT token, n FROM (
+          SELECT token, count(*) AS n FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+          ) GROUP BY token
+        ) ORDER BY n DESC, token LIMIT 20
+    """,
+    "distinct_brand_type": "SELECT DISTINCT p_brand, p_type FROM part",
+    "union_clicks_purchases": """
+        SELECT event_id, event_type FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+    """,
+    "multimodal_decode": """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    """,
     # rows-only (non-SQL-expressible): f10_encrypt_pii (AES), dedup_minhash /
-    # dedup_simhash (hash-sketch), knn_ivf_topk (approximate), transcript_extract
+    # dedup_simhash / dedup_simhash_pairs (hash-sketch), knn_ivf_topk
+    # (approximate), f5_person_ner (shape+gazetteer tagger),
+    # multimodal_frame_features (fake-decode features), transcript_extract
     # (full pipeline; oracled in pytest against the pure-Python oracle)
 }
