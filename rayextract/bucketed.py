@@ -39,14 +39,22 @@ def bucketed_group_reduce(
     batch_partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
     bucket_reduce_fn: Callable[[pd.DataFrame], "pd.DataFrame | object"],
     n_buckets: int = 64,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """partial-per-batch -> hash-bucket shuffle -> vectorized per-bucket reduce.
 
     ``batch_partial_fn``: raw batch -> partial rows containing ``keys``.
     ``bucket_reduce_fn``: all partial rows of one bucket -> final rows
     (must combine per-key partials itself, vectorized).
+
+    The exchange is Ray's HASH shuffle (``groupby(num_partitions=...)``) —
+    measured ~2x faster than the sort-based shuffle on the conv fold at sf0.1
+    (14.5s vs 27s, 32 cpus) and the right shape for multi-node: partial rows
+    stream to ``num_partitions`` aggregator actors, no global sort barrier.
     """
     keys = list(keys)
+    if num_partitions is None:
+        num_partitions = min(n_buckets, 32)
 
     def stage1(df: pd.DataFrame) -> pd.DataFrame:
         out = batch_partial_fn(df)
@@ -59,7 +67,9 @@ def bucketed_group_reduce(
     def stage2(g: pd.DataFrame):
         return bucket_reduce_fn(g.drop(columns=[BUCKET_COL]))
 
-    return partials.groupby(BUCKET_COL).map_groups(stage2, batch_format="pandas")
+    return partials.groupby(BUCKET_COL, num_partitions=num_partitions).map_groups(
+        stage2, batch_format="pandas"
+    )
 
 
 def grouped_sum_count(
