@@ -424,9 +424,11 @@ def dedup_ngram_jaccard(sf_dir: str):
 
 
 def dedup_minhash(sf_dir: str):
+    # 3-gram shingles: unigram sets over the synthetic vocab make most docs
+    # near-identical (O(n^2) pair explosion at sf0.1); trigrams discriminate
     return minhash_lsh_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]),
-        threshold=0.9, bands=8, ngram=1,
+        threshold=0.9, bands=16, ngram=3,
     )
 
 
