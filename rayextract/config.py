@@ -61,7 +61,7 @@ class ExtractConfig:
     vendor_lookup: dict | None = None
 
     # physical knobs (single-node defaults; scale by cluster size)
-    batch_size: int = 2048             # rows per batch at the stateful stages
+    batch_size: int = 4096             # rows per batch at the stateful stages
     tagger_concurrency: int = 4        # actor-pool size for the parse/tag stage
     fold_num_partitions: int | None = None  # shuffle parallelism for the conv fold
     salt_buckets: int = 0              # >0 → salted two-stage fold for skewed convs

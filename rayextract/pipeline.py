@@ -39,15 +39,25 @@ def read_transcripts(path: str | list[str], columns: list[str] | None = PARSE_CO
 def build_turns(ds, cfg: ExtractConfig | None = None):
     """turns_out dataset: decode + normalize + span/candidate emission."""
     cfg = cfg or ExtractConfig()
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # pragma: no cover - ray not initialised yet
+        cpus = 4
+    # autoscaling pool, but with a substantial floor: scaling up from min=1
+    # measured 2.3x slower at sf0.1/32cpu (the autoscaler lags the work).
+    # The floor stays below cpu count so read/write/shuffle tasks never
+    # starve — a fixed pool sized to the whole node deadlocks the streaming
+    # executor (observed on 4 CPUs).
+    max_c = cfg.tagger_concurrency
+    min_c = max(1, min(max_c, cpus - 2) * 2 // 3)
     return ds.map_batches(
         ContentParser,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        # autoscaling pool (min 1): idle actors release their CPU so the
-        # shuffle/write stages never starve — a fixed pool sized to the whole
-        # node deadlocks the streaming executor (observed on 4 CPUs)
-        concurrency=(1, cfg.tagger_concurrency),
+        concurrency=(min_c, max_c),
         num_cpus=1,
     )
 
