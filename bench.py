@@ -37,15 +37,21 @@ def _sf_name() -> str:
     return os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
 
 
+def _n_convs() -> int:
+    return int(
+        os.environ.get("RAYEXTRACT_BENCH_CONVS", _SF_CONVS.get(_sf_name(), 20_000))
+    )
+
+
 def corpus_dir() -> str:
-    return f"/tmp/rayextract_bench/{_sf_name()}"
+    return f"/tmp/rayextract_bench/{_sf_name()}_{_n_convs()}"
 
 
 def ensure_corpus() -> tuple[str, int]:
     """Generate (once) the synthetic transcript corpus for this scale."""
     from rayextract.synth import write_synth_parallel
 
-    n_convs = _SF_CONVS.get(_sf_name(), 20_000)
+    n_convs = _n_convs()
     d = corpus_dir()
     meta = os.path.join(d, "meta.json")
     if os.path.exists(meta):
@@ -171,10 +177,22 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Same headline job at 8 and 32 CPUs in fresh processes."""
+    """Same headline job at 8 and 32 CPUs in fresh processes.
+
+    Uses a larger corpus than the per-round bench (RAYEXTRACT_SCALING_CONVS,
+    default 600k convs ~ 3.5M turns): the scaling-efficiency criterion models
+    the 100 TB regime where per-job fixed costs (actor pool spin-up, shuffle
+    coordination) are amortized; at sf0.1 the 32-cpu run is only ~19s and
+    fixed costs dominate the ratio.
+    """
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            RAYEXTRACT_BENCH_CONVS=os.environ.get("RAYEXTRACT_SCALING_CONVS", "600000"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env, capture_output=True, text=True, check=True,

@@ -33,6 +33,10 @@ PARSE_COLUMNS = ["conv_id", "turn_idx", "text"]  # role/tool/ts not needed to ex
 
 def read_transcripts(path: str | list[str], columns: list[str] | None = PARSE_COLUMNS):
     """Pruned parquet read of the transcript table (S1 analog)."""
+    if isinstance(path, str) and any(c in path for c in "*?["):
+        path = sorted(glob.glob(path))
+        if not path:
+            raise FileNotFoundError(f"no input files match the glob")
     return rd.read_parquet(path, columns=columns)
 
 
@@ -149,16 +153,14 @@ def run_sharded(
         tmp_turns = turns_dir + ".tmp"
         n_turns = 0
         if write_turns:
+            # materialize-once: the parse stage runs a single time; the sink
+            # and the fold both consume the object-store blocks zero-copy
+            # (spillable), no disk round-trip between the stages
+            turns = turns.materialize()
             turns.write_parquet(tmp_turns)
-            # fold reads back only the narrow columns (column-pruned) instead
-            # of recomputing the parse stage
-            folded_src = rd.read_parquet(
-                tmp_turns, columns=["conv_id", "turn_idx", "confidence", "candidates"]
-            )
-        else:
-            folded_src = turns.select_columns(
-                ["conv_id", "turn_idx", "confidence", "candidates"]
-            )
+        folded_src = turns.select_columns(
+            ["conv_id", "turn_idx", "confidence", "candidates"]
+        )
         conv = fold_conversations(folded_src, cfg.salt_buckets, cfg.fold_num_partitions)
         conv_dir = os.path.join(out_dir, "conv_fields", f"shard={sid:05d}")
         tmp_conv = conv_dir + ".tmp"
