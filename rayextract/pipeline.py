@@ -100,6 +100,26 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.jsonl")
 
 
+def _shard_metrics(conv_dir: str) -> dict:
+    """Per-partition extraction metrics for the manifest (north-rule lineage+
+    metrics requirement): field hit counts + mean confidence, computed from
+    the shard's (narrow) conv_fields columns."""
+    from .schema import FIELD_NAMES
+
+    import pyarrow.compute as pc
+
+    cols = list(FIELD_NAMES) + ["mean_confidence"]
+    tbl = pq.read_table(conv_dir, columns=cols)
+    out = {
+        f + "_found": int(len(tbl) - tbl.column(f).null_count) for f in FIELD_NAMES
+    }
+    if len(tbl):
+        out["mean_confidence"] = round(
+            pc.mean(tbl.column("mean_confidence")).as_py() or 0.0, 4
+        )
+    return out
+
+
 def load_manifest(out_dir: str) -> dict[int, dict]:
     done = {}
     mp = _manifest_path(out_dir)
@@ -185,6 +205,7 @@ def run_sharded(
             "n_turns": n_turns,
             "n_convs": n_convs,
             "wall_sec": round(time.perf_counter() - t0, 3),
+            "metrics": _shard_metrics(conv_dir),
         }
         with open(_manifest_path(out_dir), "a") as f:
             f.write(json.dumps(rec) + "\n")
