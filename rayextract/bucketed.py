@@ -41,6 +41,8 @@ def bucketed_group_reduce(
     n_buckets: int = 64,
     num_partitions: int | None = None,
     stage1_batch_size: int | None = 8192,
+    reduce_format: str = "pandas",
+    stage1_format: str = "pandas",
 ) -> "ray.data.Dataset":
     """partial-per-batch -> hash-bucket shuffle -> vectorized per-bucket reduce.
 
@@ -54,6 +56,8 @@ def bucketed_group_reduce(
     stream to ``num_partitions`` aggregator actors, no global sort barrier.
     """
     keys = list(keys)
+    if reduce_format not in ("pandas", "pyarrow"):
+        raise ValueError(reduce_format)
     if num_partitions is None:
         # one aggregator per core up to n_buckets: 32 aggregators on an
         # 8-cpu node thrash; on a big cluster more partitions = more spread
@@ -65,7 +69,9 @@ def bucketed_group_reduce(
             cpus = 8
         num_partitions = max(2, min(n_buckets, cpus))
 
-    def stage1(df: pd.DataFrame) -> pd.DataFrame:
+    def stage1(df):
+        # batch arrives in stage1_format; the partial fn must return a
+        # pandas frame (small, one row per key per batch) for bucket stamping
         out = batch_partial_fn(df)
         out = out.reset_index(drop=True)
         out[BUCKET_COL] = hash_bucket(out, keys, n_buckets)
@@ -73,14 +79,21 @@ def bucketed_group_reduce(
 
     # big stage1 batches: the per-batch partial combine collapses more
     # duplicate keys locally, shrinking the shuffle (fold 14.5s -> 11.2s)
-    partials = ds.map_batches(stage1, batch_format="pandas",
+    partials = ds.map_batches(stage1, batch_format=stage1_format,
                               batch_size=stage1_batch_size)
 
-    def stage2(g: pd.DataFrame):
-        return bucket_reduce_fn(g.drop(columns=[BUCKET_COL]))
+    if reduce_format == "pyarrow":
+
+        def stage2(g):
+            return bucket_reduce_fn(g.drop_columns([BUCKET_COL]))
+
+    else:
+
+        def stage2(g):
+            return bucket_reduce_fn(g.drop(columns=[BUCKET_COL]))
 
     return partials.groupby(BUCKET_COL, num_partitions=num_partitions).map_groups(
-        stage2, batch_format="pandas"
+        stage2, batch_format=reduce_format
     )
 
 

@@ -82,6 +82,62 @@ def partial_combine(df: pd.DataFrame) -> pd.DataFrame:
     return out[["conv_id", "conf_sum", "n_turns", *_ENC_COLS]]
 
 
+def partial_combine_arrow(t: pa.Table) -> pd.DataFrame:
+    """Arrow-native partial combine: one wide row per conversation per batch.
+
+    The batch arrives zero-copy as Arrow; the hot work (explode candidates,
+    min-encode winners, sum confidences) runs in Arrow kernels — converting
+    ``candidates: list<struct>`` to pandas dicts per row cost ~45 core-sec at
+    sf0.1 scale. Only the tiny per-conv result is pivoted through pandas.
+    """
+    import pyarrow.compute as pc
+
+    conf = (
+        t.select(["conv_id", "confidence"])
+        .group_by("conv_id", use_threads=False)
+        .aggregate([("confidence", "sum"), ("confidence", "count")])
+    )
+    out = pd.DataFrame(
+        {
+            "conv_id": conf.column("conv_id").to_pandas(),
+            "conf_sum": conf.column("confidence_sum").to_pandas(),
+            "n_turns": conf.column("confidence_count").to_pandas().astype("int64"),
+        }
+    )
+
+    lc = t.column("candidates")
+    if isinstance(lc, pa.ChunkedArray):
+        lc = lc.combine_chunks()
+    flat = pc.list_flatten(lc)
+    if len(flat):
+        parents = pc.list_parent_indices(lc)
+        turn_str = pc.utf8_lpad(
+            pc.cast(pc.take(t.column("turn_idx"), parents), pa.string()),
+            10, "0",
+        )
+        enc = pc.binary_join_element_wise(turn_str, flat.field("value"), _SEP)
+        cand = pa.table(
+            {
+                "conv_id": pc.take(t.column("conv_id"), parents),
+                "field": flat.field("field"),
+                "enc": enc,
+            }
+        ).group_by(["conv_id", "field"], use_threads=False).aggregate([("enc", "min")])
+        w = (
+            cand.to_pandas()
+            .pivot(index="conv_id", columns="field", values="enc_min")
+            .reset_index()
+        )
+        out = out.merge(w, on="conv_id", how="left")
+    for c in _ENC_COLS:
+        f = c[len("enc_"):]
+        if f in out.columns:
+            out[c] = out.pop(f).astype("string")
+        else:
+            out[c] = pd.array([pd.NA] * len(out), dtype="string")
+    return out[["conv_id", "conf_sum", "n_turns", *_ENC_COLS]]
+
+
 def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
     """Vectorized associative merge of wide partial rows (per bucket)."""
     agg = {"conf_sum": ("conf_sum", "sum"), "n_turns": ("n_turns", "sum")}
@@ -93,6 +149,56 @@ def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
         # next block boundary as Arrow `null` and clash with string blocks
         out[c] = out[c].astype("string")
     return out
+
+
+# Arrow-native merge: pandas string-dtype groupby.min measured 313 core-sec
+# on the sf0.1-scale fold; Arrow's hash_aggregate kernels do the same merge
+# in ~6 core-sec. ``use_threads=False``: one CPU per Ray task.
+_ARROW_AGGS = [("conf_sum", "sum"), ("n_turns", "sum")] + [
+    (c, "min") for c in _ENC_COLS
+]
+
+
+def merge_partials_arrow(t: pa.Table) -> pa.Table:
+    """Associative merge of wide partial rows -> canonical wide schema."""
+    merged = t.group_by("conv_id", use_threads=False).aggregate(_ARROW_AGGS)
+    cols = {"conv_id": merged.column("conv_id"),
+            "conf_sum": merged.column("conf_sum_sum"),
+            "n_turns": merged.column("n_turns_sum")}
+    for c in _ENC_COLS:
+        col = merged.column(c + "_min")
+        if pa.types.is_null(col.type):  # all-NA bucket: pin string dtype
+            col = col.cast(pa.string())
+        cols[c] = col
+    return pa.table(cols)
+
+
+def decode_final_arrow(t: pa.Table) -> pa.Table:
+    """Merge + decode one bucket of partials entirely in Arrow kernels."""
+    import pyarrow.compute as pc
+
+    m = merge_partials_arrow(t)
+    cols: dict = {"conv_id": m.column("conv_id")}
+    for f in FIELD_NAMES:
+        enc = m.column(_enc_col(f))
+        # enc = "{turn_idx:010d}\x1f{value}"; nulls propagate through slices
+        cols[f] = pc.utf8_slice_codeunits(enc, 11, 2**30)
+        cols[f + "_turn"] = pc.utf8_slice_codeunits(enc, 0, 10).cast(pa.int32())
+    conf_sum = m.column("conf_sum").cast(pa.float64())
+    n_turns = m.column("n_turns").cast(pa.int64())
+    mean = pc.if_else(
+        pc.greater(n_turns, 0),
+        pc.divide(conf_sum, pc.max_element_wise(n_turns.cast(pa.float64()),
+                                                pa.scalar(1.0))),
+        pa.scalar(0.0),
+    )
+    cols["mean_confidence"] = mean
+    # F11 "{0:0.00}" (Worker.cs:268,449): no Arrow fixed-decimals kernel
+    cols["confidence_fmt"] = pa.array(
+        [f"{v:.2f}" for v in mean.to_pylist()], pa.string()
+    )
+    cols["n_turns"] = n_turns
+    return pa.table(cols).select(CONV_FIELDS_SCHEMA.names)
 
 
 def decode_final(df: pd.DataFrame) -> pa.Table:
@@ -132,27 +238,32 @@ def fold_conversations(
     if salt_buckets and salt_buckets > 1:
         # pre-merge partials under (conv_id, salt) first: bounds any single
         # reducer's share of a pathologically hot conversation
-        def salted_partial(df: pd.DataFrame) -> pd.DataFrame:
-            out = partial_combine(df)
+        def salted_partial(t: pa.Table) -> pd.DataFrame:
+            out = partial_combine_arrow(t)
             out["salt"] = np.arange(len(out), dtype=np.int64) % salt_buckets
             return out
 
         pre = bucketed_group_reduce(
             turns, ["conv_id", "salt"],
             salted_partial,
-            lambda g: merge_partials(g.drop(columns=["salt"])),
+            lambda g: merge_partials_arrow(g.drop_columns(["salt"])),
             n_buckets=n_buckets,
+            reduce_format="pyarrow",
+            stage1_format="pyarrow",
         )
         final = bucketed_group_reduce(
             pre, ["conv_id"],
             lambda df: df,  # already wide partials
-            lambda g: decode_final(merge_partials(g)),
+            decode_final_arrow,
             n_buckets=n_buckets,
+            reduce_format="pyarrow",
         )
         return final
     return bucketed_group_reduce(
         src, ["conv_id"],
-        partial_combine,
-        lambda g: decode_final(merge_partials(g)),
+        partial_combine_arrow,
+        decode_final_arrow,
         n_buckets=n_buckets,
+        reduce_format="pyarrow",
+        stage1_format="pyarrow",
     )

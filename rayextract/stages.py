@@ -66,19 +66,21 @@ class ContentParser:
         pdf_np = pdfish.to_numpy(zero_copy_only=False)
         html_np = htmlish.to_numpy(zero_copy_only=False)
 
-        # ---- decode non-plain payloads (Python only on flagged rows) ----
+        # ---- decode non-plain payloads (Python only on flagged rows; the
+        # patched-in result is vectorized — no full-column python round trip)
         special = np.flatnonzero(pdf_np | html_np)
         if special.size:
-            raw = text.to_pylist()
-            decoded = list(raw)
-            for i in special:
-                s = raw[i]
-                if s is None:
-                    continue
-                decoded[i] = (
-                    extract_reading_order(s) if pdf_np[i] else extract_main_content(s)
-                )
-            extracted = pa.array(decoded, type=pa.string())
+            raw_special = text.take(pa.array(special, pa.int64())).to_pylist()
+            decoded = [
+                None if s is None
+                else (extract_reading_order(s) if pdf_np[i] else extract_main_content(s))
+                for i, s in zip(special, raw_special)
+            ]
+            mask = np.zeros(n, dtype=bool)
+            mask[special] = True
+            extracted = pc.replace_with_mask(
+                text, pa.array(mask), pa.array(decoded, pa.string())
+            )
         else:
             extracted = text
 
@@ -115,15 +117,16 @@ class ContentParser:
             gate = gate | np.ones(n, dtype=bool)  # vendor equality needs every row
 
         # ---- candidates + spans on gated rows only ----------------------
-        conv_ids = batch.column("conv_id").to_pylist()
-        upper_py = upper.to_pylist()
+        gate_idx = np.flatnonzero(gate)
+        take_idx = pa.array(gate_idx, pa.int64())
+        conv_gated = batch.column("conv_id").take(take_idx).to_pylist()
+        upper_gated = upper.take(take_idx).to_pylist()
         cands: list[list[dict]] = [[] for _ in range(n)]
         spans: list[list[dict]] = [[] for _ in range(n)]
-        for i in np.flatnonzero(gate):
-            t = upper_py[i]
+        for i, conv_i, t in zip(gate_idx, conv_gated, upper_gated):
             if not t:
                 continue
-            for field, value, start, end in candidates_for_turn(conv_ids[i], t, self.cfg):
+            for field, value, start, end in candidates_for_turn(conv_i, t, self.cfg):
                 cands[i].append(
                     {"field": field, "value": value, "start": start, "end": end}
                 )
