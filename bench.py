@@ -200,9 +200,16 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    # the sandbox VM's attainable core-scaling varies minute to minute
+    # (shared hypervisor): bracket each timed run with a pure-CPU ceiling
+    # measurement and normalize by the mean
+    c0 = _hw_scaling_ceiling(lo, hi)
+    r_lo = run(lo)
+    c1 = _hw_scaling_ceiling(lo, hi)
+    r_hi = run(hi)
+    c2 = _hw_scaling_ceiling(lo, hi)
+    ceiling = (c0 + c1 + c2) / 3
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    ceiling = _hw_scaling_ceiling(lo, hi)
     print(
         json.dumps(
             {
@@ -211,6 +218,7 @@ def scaling() -> None:
                 "turns_per_sec_8": r_lo["turns_per_sec"],
                 "turns_per_sec_32": r_hi["turns_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "hw_ceiling_samples": [round(c, 3) for c in (c0, c1, c2)],
                 "hw_ceiling_efficiency": round(ceiling, 3),
                 "normalized_efficiency": round(eff / ceiling, 3),
                 "sf": r_hi["sf"],
