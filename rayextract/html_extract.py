@@ -101,8 +101,11 @@ class _FastBlockParser:
     tests/test_html_parity.py), ~8x faster than stdlib html.parser, which
     dominated the ContentParser stage profile (char-wise goahead loop)."""
 
-    _TAG = re.compile(r"<([a-zA-Z][-.a-zA-Z0-9:_]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>")
-    _END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>")
+    # name charset mirrors stdlib tagfind_tolerant; endtag two-step mirrors
+    # endtagfind + the tolerant discarded-tag path of html.parser
+    _TAG = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>")
+    _END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+    _NAME_TOLERANT = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)")
 
     def __init__(self):
         self.blocks: list[_Block] = []
@@ -115,6 +118,24 @@ class _FastBlockParser:
     handle_starttag = _BlockParser.handle_starttag
     handle_endtag = _BlockParser.handle_endtag
     handle_data = _BlockParser.handle_data
+
+    def _unterminated(self, html: str, lt: int) -> int:
+        """stdlib fallback for a construct with no closing '>': emit data up
+        to (and incl.) the next '>', else to the next '<', else one char
+        (html.parser goahead's k<0 branch)."""
+        from html import unescape
+
+        gt = html.find(">", lt + 1)
+        if gt >= 0:
+            k = gt + 1
+        else:
+            nlt = html.find("<", lt + 1)
+            k = nlt if nlt >= 0 else lt + 1
+        data = html[lt:k]
+        if "&" in data:
+            data = unescape(data)
+        self.handle_data(data)
+        return k
 
     def feed(self, html: str) -> None:
         from html import unescape
@@ -136,26 +157,38 @@ class _FastBlockParser:
             if nxt == "!":
                 if html.startswith("<!--", lt):
                     end = find("-->", lt + 4)
-                    pos = n if end < 0 else end + 3
+                    pos = end + 3 if end >= 0 else self._unterminated(html, lt)
                 else:
                     end = find(">", lt)
-                    pos = n if end < 0 else end + 1
+                    pos = end + 1 if end >= 0 else self._unterminated(html, lt)
             elif nxt == "?":
                 end = find(">", lt)
-                pos = n if end < 0 else end + 1
+                pos = end + 1 if end >= 0 else self._unterminated(html, lt)
             elif nxt == "/":
+                gt = find(">", lt + 1)
+                if gt < 0:
+                    pos = self._unterminated(html, lt)
+                    continue
                 m = self._END.match(html, lt)
                 if m:
                     self.handle_endtag(m.group(1).lower())
                     pos = m.end()
+                    continue
+                nm = self._NAME_TOLERANT.match(html, lt + 2)
+                if nm:
+                    # discarded-junk end tag (</a b>): fire the name, skip junk
+                    self.handle_endtag(nm.group(1).lower())
+                    pos = find(">", nm.end()) + 1
+                elif html.startswith("</>", lt):
+                    pos = lt + 3
                 else:
-                    self.handle_data("<")
-                    pos = lt + 1
+                    # bogus end tag (</1x>): consumed silently to '>'
+                    pos = gt + 1
             elif nxt.isalpha():
                 m = self._TAG.match(html, lt)
                 if m:
                     tag = m.group(1).lower()
-                    selfclosing = m.group(2).rstrip().endswith("/")
+                    selfclosing = m.group(2).endswith("/")
                     self.handle_starttag(tag, ())
                     if selfclosing:
                         self.handle_endtag(tag)
