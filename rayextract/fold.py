@@ -233,7 +233,14 @@ def fold_conversations(
     num_partitions: int | None = None,
     n_buckets: int = 64,
 ) -> "ray.data.Dataset":
-    """turns (conv_id, turn_idx, confidence, candidates) -> conv_fields."""
+    """turns (conv_id, turn_idx, confidence, candidates) -> conv_fields.
+
+    Determinism contract: every FIELD value and winning turn_idx is exactly
+    invariant under partitioning, block permutation, and salting (the winner
+    encoding is an order-free min). ``mean_confidence`` is float-sum based
+    and may differ in the last ulp (~1e-14 observed at sf0.1) across
+    partial-merge orders — compare with a tolerance, like the tests do.
+    """
     src = turns
     if salt_buckets and salt_buckets > 1:
         # pre-merge partials under (conv_id, salt) first: bounds any single
