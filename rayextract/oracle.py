@@ -23,8 +23,9 @@ from .extractors import (
     fire_purchase_order,
     vendor_candidate,
 )
-from .html_extract import extract_main_content, looks_like_html
-from .pdf_layout import extract_reading_order, looks_like_pdfish
+from .decode import safe_decode
+from .html_extract import looks_like_html
+from .pdf_layout import looks_like_pdfish
 from .schema import FIELD_NAMES
 from .textnorm import contains_any, remove_special_characters, upper_invariant
 
@@ -39,17 +40,20 @@ _INVOICE_ORDER = [
 
 def oracle_turn(text: str) -> dict:
     """Per-turn decode + normalize (D1/D2/F1/F2 reference semantics)."""
+    err = None
     if looks_like_pdfish(text):
-        kind, extracted = "pdfish", extract_reading_order(text)
+        kind = "pdfish"
+        extracted, err = safe_decode(text, kind)
     elif looks_like_html(text):
-        kind, extracted = "html", extract_main_content(text)
+        kind = "html"
+        extracted, err = safe_decode(text, kind)
     else:
         kind, extracted = "plain", text
     clean = remove_special_characters(extracted)
     upper = upper_invariant(clean)
     conf = 100.0 * len(clean) / max(len(extracted), 1) if len(extracted) > 0 else 0.0
     return {"kind": kind, "extracted_text": extracted, "clean_text": clean,
-            "clean_upper": upper, "confidence": conf}
+            "clean_upper": upper, "confidence": conf, "parse_error": err}
 
 
 def oracle_conversation(rows: list[dict], cfg: ExtractConfig | None = None) -> dict:

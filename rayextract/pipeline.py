@@ -186,13 +186,24 @@ def run_sharded(
         tmp_conv = conv_dir + ".tmp"
         conv.write_parquet(tmp_conv)
         # atomic-ish finalize: rename then manifest
+        n_parse_errors = 0
         if write_turns:
             os.replace(tmp_turns, turns_dir)
-            n_turns = sum(
-                pq.read_metadata(os.path.join(turns_dir, f)).num_rows
-                for f in os.listdir(turns_dir)
-                if f.endswith(".parquet")
-            )
+            for f in os.listdir(turns_dir):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(turns_dir, f))
+                n_turns += md.num_rows
+                # quarantined-row count from parquet column statistics
+                # (parse_error is null for healthy rows) — no data read
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(
+                        md.schema.names.index("parse_error")
+                    )
+                    if col.statistics is not None:
+                        n_parse_errors += (
+                            md.row_group(rg).num_rows - col.statistics.null_count
+                        )
         os.replace(tmp_conv, conv_dir)
         n_convs = sum(
             pq.read_metadata(os.path.join(conv_dir, f)).num_rows
@@ -204,6 +215,7 @@ def run_sharded(
             "inputs": shard_paths,
             "n_turns": n_turns,
             "n_convs": n_convs,
+            "n_parse_errors": n_parse_errors,
             "wall_sec": round(time.perf_counter() - t0, 3),
             "metrics": _shard_metrics(conv_dir),
         }

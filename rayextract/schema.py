@@ -42,6 +42,7 @@ TURNS_OUT_SCHEMA = pa.schema(
         ("clean_upper", pa.string()),     # F2 on clean_text (gate/extract input)
         ("confidence", pa.float64()),     # per-turn extraction confidence (A1 input)
         ("spans", pa.list_(SPAN_TYPE)),
+        ("parse_error", pa.string()),     # poison-row quarantine (Worker.cs:117-125)
     ]
 )
 

@@ -16,9 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .config import ExtractConfig
+from .decode import safe_decode
 from .extractors import candidates_for_turn
-from .html_extract import extract_main_content
-from .pdf_layout import extract_reading_order
 from .schema import SPAN_TYPE
 from .textnorm import keyword_mask, remove_special_array, upper_invariant_array
 
@@ -67,15 +66,22 @@ class ContentParser:
         html_np = htmlish.to_numpy(zero_copy_only=False)
 
         # ---- decode non-plain payloads (Python only on flagged rows; the
-        # patched-in result is vectorized — no full-column python round trip)
+        # patched-in result is vectorized — no full-column python round trip).
+        # A throwing payload is quarantined: empty text + parse_error string
+        # (reference per-page try/catch, Worker.cs:117-125; see decode.py)
         special = np.flatnonzero(pdf_np | html_np)
+        errors: list[tuple[int, str]] = []
         if special.size:
             raw_special = text.take(pa.array(special, pa.int64())).to_pylist()
-            decoded = [
-                None if s is None
-                else (extract_reading_order(s) if pdf_np[i] else extract_main_content(s))
-                for i, s in zip(special, raw_special)
-            ]
+            decoded = []
+            for i, s in zip(special, raw_special):
+                if s is None:
+                    decoded.append(None)
+                    continue
+                out, err = safe_decode(s, "pdfish" if pdf_np[i] else "html")
+                decoded.append(out)
+                if err is not None:
+                    errors.append((int(i), err))
             mask = np.zeros(n, dtype=bool)
             mask[special] = True
             extracted = pc.replace_with_mask(
@@ -83,6 +89,14 @@ class ContentParser:
             )
         else:
             extracted = text
+        parse_error: pa.Array
+        if errors:
+            err_vals = np.full(n, None, dtype=object)
+            for i, msg in errors:
+                err_vals[i] = msg
+            parse_error = pa.array(err_vals, pa.string())
+        else:
+            parse_error = pa.nulls(n, pa.string())
 
         kind = np.where(pdf_np, "pdfish", np.where(html_np, "html", "plain"))
 
@@ -150,5 +164,6 @@ class ContentParser:
                 "confidence": conf,
                 "spans": pa.array(spans, type=pa.list_(SPAN_TYPE)),
                 "candidates": pa.array(cands, type=pa.list_(CANDIDATE_TYPE)),
+                "parse_error": parse_error,
             }
         )
