@@ -537,6 +537,37 @@ def distinct_brand_type(sf_dir: str):
     )
 
 
+def asof_purchase_view(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest strictly-prior
+    view event (custom operator; DuckDB ASOF JOIN oracle)."""
+    from .relational import asof_join_by_key
+
+    src = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def pick(kind):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["event_type"] == kind][["event_id", "ts", "user_id"]]
+
+        return fn
+
+    purchases = src.map_batches(pick("purchase"), batch_format="pandas")
+    views = src.map_batches(pick("view"), batch_format="pandas")
+    joined = asof_join_by_key(
+        purchases, views, key="user_id", on="ts",
+        left_cols=["event_id"], right_col="event_id", right_out="view_event_id",
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "view_event_id": df["view_event_id"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pandas")
+
+
 def union_clicks_purchases(sf_dir: str):
     """Set op: two filtered streams unioned (Dataset.union, no shuffle)."""
 
@@ -678,6 +709,7 @@ QUERIES = {
     "knn_ivf_topk": knn_ivf_topk,
     "embed_neardup": embed_neardup,
     "e7_vendor_lookup": e7_vendor_lookup,
+    "asof_purchase_view": asof_purchase_view,
     "wordcount_top20": wordcount_top20,
     "distinct_brand_type": distinct_brand_type,
     "union_clicks_purchases": union_clicks_purchases,
@@ -907,6 +939,16 @@ SQL: dict[str, str] = {
             FROM documents WHERE trim(text) <> ''
           ) GROUP BY token
         ) ORDER BY n DESC, token LIMIT 20
+    """,
+    "asof_purchase_view": """
+        WITH p AS (SELECT event_id, ts, user_id FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT user_id, ts, max(event_id) AS view_event_id
+                   FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT p.event_id,
+               COALESCE(v.view_event_id, -1) AS view_event_id
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.ts < p.ts
     """,
     "distinct_brand_type": "SELECT DISTINCT p_brand, p_type FROM part",
     "union_clicks_purchases": """

@@ -65,6 +65,61 @@ def pre_aggregate(
     return grouped_sum_count(ds, list(keys), sums=list(sums), counts=counts)
 
 
+def asof_join_by_key(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    on: str,
+    left_cols: Sequence[str],
+    right_col: str,
+    right_out: str,
+    allow_exact: bool = False,
+) -> "ray.data.Dataset":
+    """Per-key backward as-of join (an operator Ray Data lacks natively).
+
+    For each left row, attach the right row with the greatest ``on`` value
+    strictly less than (or equal, if ``allow_exact``) the left's ``on``,
+    within the same ``key``. Implementation: tag side inside ``map_batches``,
+    union the streams, ONE ``groupby(key)`` shuffle, vectorized
+    ``pd.merge_asof`` per group.
+
+    PARTITIONING ASSUMPTION: a key's rows fit one group (same contract as
+    every per-key fold here); skew in a single hot key is bounded by the
+    groupby partitioning, not salted — as-of needs the whole key ordered.
+    """
+
+    def tag(side: str, cols: Sequence[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[list(cols)].copy()
+            out["_side"] = side
+            return out
+
+        return fn
+
+    lt = left.map_batches(tag("l", [key, on, *left_cols]), batch_format="pandas")
+    rt = right.map_batches(tag("r", [key, on, right_col]), batch_format="pandas")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == "l"]
+        r = g[g["_side"] == "r"]
+        l = l.sort_values([on], kind="stable")[[key, on, *left_cols]]
+        # dedupe equal `on` values deterministically: keep max right_col;
+        # rename BEFORE the merge so a same-named left column can't collide
+        r = (
+            r.sort_values([on, right_col], kind="stable")
+            .drop_duplicates(on, keep="last")[[on, right_col]]
+            .rename(columns={right_col: right_out})
+        )
+        if not len(l):
+            return pd.DataFrame(columns=[*left_cols, right_out])
+        merged = pd.merge_asof(
+            l, r, on=on, direction="backward", allow_exact_matches=allow_exact
+        )
+        return merged[[*left_cols, right_out]]
+
+    return lt.union(rt).groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def topk(
     ds: "ray.data.Dataset",
     by: str,
