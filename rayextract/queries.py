@@ -537,6 +537,68 @@ def distinct_brand_type(sf_dir: str):
     )
 
 
+def median_value_per_type(sf_dir: str):
+    """Exact distributed median via histogram sketch: per-batch (type, cents)
+    counts -> bucketed count merge -> tiny per-type cumulative walk. The
+    shuffle carries distinct-value counts, never rows — the scalable exact
+    quantile shape when the value domain is bounded (here: cents)."""
+    from .bucketed import bucketed_group_reduce
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"event_type": df["event_type"], "cents": _cents(df["value"])}
+        )
+        return (
+            t.groupby(["event_type", "cents"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        ["event_type", "cents"],
+        hist,
+        lambda g: g.groupby(["event_type", "cents"], sort=False)["n"].sum().reset_index(),
+        n_buckets=32,
+    )
+
+    def per_type_median(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="stable")
+        total = int(g["n"].sum())
+        k = (total + 1) // 2  # quantile_disc(0.5): lower-median element
+        cum = g["n"].cumsum()
+        med = int(g.loc[cum >= k, "cents"].iloc[0])
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "median_cents": [med]}
+        )
+
+    return counts.groupby("event_type").map_groups(
+        per_type_median, batch_format="pandas"
+    )
+
+
+def distinct_users_per_type(sf_dir: str):
+    """COUNT(DISTINCT user) per event_type: batch-local dedup -> bucketed
+    (type, user) dedup -> small per-type count."""
+    from .bucketed import bucketed_group_reduce
+
+    keys = ["event_type", "user_id"]
+    pairs = bucketed_group_reduce(
+        _read(sf_dir, "events", keys),
+        keys,
+        lambda df: df.drop_duplicates(keys),
+        lambda g: g.drop_duplicates(keys),
+        n_buckets=32,
+    )
+    agg = pre_aggregate(pairs, ["event_type"], counts=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "n_users": df["n"].astype("int64")}
+        )
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
 def asof_purchase_view(sf_dir: str):
     """As-of join: each purchase matched to the user's latest strictly-prior
     view event (custom operator; DuckDB ASOF JOIN oracle)."""
@@ -710,6 +772,8 @@ QUERIES = {
     "embed_neardup": embed_neardup,
     "e7_vendor_lookup": e7_vendor_lookup,
     "asof_purchase_view": asof_purchase_view,
+    "median_value_per_type": median_value_per_type,
+    "distinct_users_per_type": distinct_users_per_type,
     "wordcount_top20": wordcount_top20,
     "distinct_brand_type": distinct_brand_type,
     "union_clicks_purchases": union_clicks_purchases,
@@ -939,6 +1003,15 @@ SQL: dict[str, str] = {
             FROM documents WHERE trim(text) <> ''
           ) GROUP BY token
         ) ORDER BY n DESC, token LIMIT 20
+    """,
+    "median_value_per_type": """
+        SELECT event_type,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS median_cents
+        FROM events GROUP BY event_type
+    """,
+    "distinct_users_per_type": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
     """,
     "asof_purchase_view": """
         WITH p AS (SELECT event_id, ts, user_id FROM events
