@@ -65,6 +65,10 @@ class ExtractConfig:
     tagger_concurrency: int = 4        # actor-pool size for the parse/tag stage
     fold_num_partitions: int | None = None  # shuffle parallelism for the conv fold
     salt_buckets: int = 0              # >0 → salted two-stage fold for skewed convs
+    # hash buckets for the fold's group-reduce. Sizing rule (SCALE.md): one
+    # bucket's partial rows (~n_convs/fold_buckets wide rows) must fit a
+    # task's heap; target ~total_cores*4 buckets on a cluster. None → 64.
+    fold_buckets: int | None = None
 
     def patient_keys_upper(self) -> tuple[str, ...]:
         return tuple(k.upper() for k in self.patient_keys)

@@ -73,6 +73,7 @@ def build_conv_fields(turns_ds, cfg: ExtractConfig | None = None):
         turns_ds.select_columns(["conv_id", "turn_idx", "confidence", "candidates"]),
         salt_buckets=cfg.salt_buckets,
         num_partitions=cfg.fold_num_partitions,
+        n_buckets=cfg.fold_buckets or 64,
     )
 
 
