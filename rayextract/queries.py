@@ -203,17 +203,30 @@ def e9_first_match_fold(sf_dir: str):
 
 
 def a1_user_stats(sf_dir: str):
-    """Per-user count + exact-cents sum (A1 grouped-mean analog)."""
-    agg = pre_aggregate(
-        _read(sf_dir, "events", ["user_id", "value"]), ["user_id"], sums=["value"]
+    """Per-user count + exact-cents sum (A1 grouped-mean analog).
+
+    Rows convert to integer cents BEFORE summing (both engines): int sums are
+    order-free, so the result is bit-stable under any batch/block split —
+    float sums rounded afterwards can flip the last digit when summation
+    order changes with cluster size.
+    """
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "value_cents": _cents(df["value"])}
+        )
+
+    src = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+        to_cents, batch_format="pandas"
     )
+    agg = pre_aggregate(src, ["user_id"], sums=["value_cents"])
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "user_id": df["user_id"].astype("int64"),
                 "n_events": df["n"].astype("int64"),
-                "sum_value_cents": _cents(df["sum_value"]),
+                "sum_value_cents": df["sum_value_cents"].astype("int64"),
             }
         )
 
@@ -248,14 +261,18 @@ def hourly_event_windows(sf_dir: str):
     """Tumbling 1-hour windows per event_type."""
 
     def add_window(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["window_start"] = df["ts"].dt.strftime("%Y-%m-%d %H:00:00")
-        return df[["window_start", "event_type", "value"]]
+        return pd.DataFrame(
+            {
+                "window_start": df["ts"].dt.strftime("%Y-%m-%d %H:00:00"),
+                "event_type": df["event_type"],
+                "value_cents": _cents(df["value"]),  # per-row: order-free int sum
+            }
+        )
 
     src = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
         add_window, batch_format="pandas"
     )
-    agg = pre_aggregate(src, ["window_start", "event_type"], sums=["value"])
+    agg = pre_aggregate(src, ["window_start", "event_type"], sums=["value_cents"])
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -263,7 +280,7 @@ def hourly_event_windows(sf_dir: str):
                 "window_start": df["window_start"],
                 "event_type": df["event_type"],
                 "n": df["n"].astype("int64"),
-                "sum_value_cents": _cents(df["sum_value"]),
+                "sum_value_cents": df["sum_value_cents"].astype("int64"),
             }
         )
 
@@ -276,9 +293,20 @@ def hourly_event_windows(sf_dir: str):
 
 def q1_pricing_summary(sf_dir: str):
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        return df[["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]]
+        # per-row integer units (cents / e4) BEFORE the sum: int sums are
+        # order-free, so results are bit-stable under any batch split
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty_cents": _cents(df["l_quantity"]),
+                "price_cents": _cents(df["l_extendedprice"]),
+                "disc_price_e4": np.rint(
+                    df["l_extendedprice"].to_numpy(np.float64)
+                    * (1 - df["l_discount"].to_numpy(np.float64)) * 10000
+                ).astype("int64"),
+            }
+        )
 
     src = _read(
         sf_dir, "lineitem",
@@ -286,7 +314,7 @@ def q1_pricing_summary(sf_dir: str):
     ).map_batches(prep, batch_format="pandas")
     agg = pre_aggregate(
         src, ["l_returnflag", "l_linestatus"],
-        sums=["l_quantity", "l_extendedprice", "disc_price"],
+        sums=["qty_cents", "price_cents", "disc_price_e4"],
     )
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
@@ -294,11 +322,9 @@ def q1_pricing_summary(sf_dir: str):
             {
                 "l_returnflag": df["l_returnflag"],
                 "l_linestatus": df["l_linestatus"],
-                "sum_qty_cents": _cents(df["sum_l_quantity"]),
-                "sum_base_price_cents": _cents(df["sum_l_extendedprice"]),
-                "sum_disc_price_e4": np.rint(
-                    np.asarray(df["sum_disc_price"], dtype=np.float64) * 10000
-                ).astype("int64"),
+                "sum_qty_cents": df["sum_qty_cents"].astype("int64"),
+                "sum_base_price_cents": df["sum_price_cents"].astype("int64"),
+                "sum_disc_price_e4": df["sum_disc_price_e4"].astype("int64"),
                 "count_order": df["n"].astype("int64"),
             }
         )
@@ -336,22 +362,27 @@ def q5_nation_revenue(sf_dir: str):
     ].rename(columns={"c_custkey": "o_custkey"})
 
     def rev(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        return df[["o_custkey", "revenue"]]
+        # per-row e4 units before summing (order-free int sum; see q1)
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "revenue_e4": np.rint(
+                    df["l_extendedprice"].to_numpy(np.float64)
+                    * (1 - df["l_discount"].to_numpy(np.float64)) * 10000
+                ).astype("int64"),
+            }
+        )
 
     enriched = broadcast_join(
         joined.map_batches(rev, batch_format="pandas"), dim, on="o_custkey"
     )
-    agg = pre_aggregate(enriched, ["n_name"], sums=["revenue"], counts=False)
+    agg = pre_aggregate(enriched, ["n_name"], sums=["revenue_e4"], counts=False)
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "n_name": df["n_name"],
-                "revenue_e4": np.rint(
-                    np.asarray(df["sum_revenue"], dtype=np.float64) * 10000
-                ).astype("int64"),
+                "revenue_e4": df["sum_revenue_e4"].astype("int64"),
             }
         )
 
@@ -848,7 +879,7 @@ SQL: dict[str, str] = {
     """,
     "a1_user_stats": """
         SELECT user_id, count(*) AS n_events,
-               CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY user_id
     """,
     "sessionize_events": """
@@ -876,15 +907,15 @@ SQL: dict[str, str] = {
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
                event_type,
                count(*) AS n,
-               CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY 1, 2
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents,
-               CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_cents,
-               CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
-                 AS sum_disc_price_e4,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS BIGINT) AS sum_disc_price_e4,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
@@ -897,8 +928,8 @@ SQL: dict[str, str] = {
     """,
     "q5_nation_revenue": """
         SELECT n_name,
-               CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
-                 AS revenue_e4
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS BIGINT) AS revenue_e4
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
