@@ -303,15 +303,19 @@ def simhash_neardup_pairs(
     sh = docs.map_batches(simhash_batch, batch_format="pandas")
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"band_id": [], "band_val": [], "doc_id": [], "simhash": []}
-        for _, r in df.iterrows():
-            h = int(r["simhash"])
-            for b in range(4):
-                out["band_id"].append(b)
-                out["band_val"].append((h >> (16 * b)) & 0xFFFF)
-                out["doc_id"].append(r["doc_id"])
-                out["simhash"].append(h)
-        return pd.DataFrame(out)
+        h = df["simhash"].to_numpy(dtype=np.uint64)
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "band_id": np.repeat(np.arange(4, dtype=np.int64), n),
+                "band_val": np.concatenate(
+                    [((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype("int64")
+                     for b in range(4)]
+                ),
+                "doc_id": np.tile(df["doc_id"].to_numpy(), 4),
+                "simhash": np.tile(h, 4),
+            }
+        )
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id").drop_duplicates("doc_id")

@@ -7,8 +7,10 @@ callable takes ``sf_dir`` and returns a Dataset / DataFrame / Arrow table;
 (None -> non-SQL-expressible, driver does a rows-only check).
 
 Determinism rules for the driver's value-hash comparison:
-- float aggregates are emitted as integer cents/e4 units
-  (``CAST(round(sum*100) AS BIGINT)``) — bit-exact on both engines;
+- money/quantity aggregates convert each ROW to integer cents/e4 units and
+  sum ints (order-free) — bit-stable under any batch/block split on both
+  engines; DuckDB int sums are cast back to BIGINT (sum(BIGINT)=HUGEINT
+  surfaces as float in pandas);
 - ratios are single divisions of identical ints -> identical doubles;
 - every computed column has the same name in Ray and SQL.
 
