@@ -14,9 +14,10 @@ Scale shape — fully vectorized, no per-conversation Python:
    sortable string ``f"{turn_idx:010d}\\x1f{value}"`` (min == first match).
    Shuffle volume is O(convs-touched-per-batch), never O(turns).
 2. hash-bucketed reduce (bucketed.py): ``groupby(hash(conv_id) % B)`` — B
-   buckets, per-group overhead per *bucket* — then a vectorized pandas
-   groupby(conv_id) {sum, sum, min x fields} inside each bucket. (Ray's
-   native per-key aggregate costs ~1 ms per group — unusable at 10^8 convs.)
+   buckets, per-group overhead per *bucket* — then an Arrow hash-aggregate
+   ``group_by(conv_id) {sum, sum, min x fields}`` inside each bucket. (Ray's
+   native per-key aggregate costs ~1 ms per group — unusable at 10^8 convs;
+   the pandas string-dtype equivalent cost 50x the Arrow kernels.)
    An optional salt pre-pass ((conv_id, salt) buckets) exists for
    conversations hot enough to dominate even their partial-row stream.
 3. vectorized decode of the Min-winners into (value, turn) columns, emitted
@@ -42,44 +43,6 @@ def _enc_col(f: str) -> str:
 
 
 _ENC_COLS = [_enc_col(f) for f in FIELD_NAMES]
-
-
-def partial_combine(df: pd.DataFrame) -> pd.DataFrame:
-    """One wide partial row per conversation in this batch (pandas in/out)."""
-    out = (
-        df.groupby("conv_id", sort=False)["confidence"]
-        .agg(conf_sum="sum", n_turns="count")
-        .reset_index()
-    )
-
-    has = df["candidates"].map(len) > 0
-    if has.any():
-        ex = df.loc[has, ["conv_id", "turn_idx", "candidates"]].explode("candidates")
-        cand = pd.DataFrame(ex["candidates"].tolist(), index=ex.index)
-        cand["conv_id"] = ex["conv_id"].values
-        cand["enc"] = (
-            pd.Series(ex["turn_idx"].astype("int64").map("{:010d}".format).values,
-                      index=ex.index)
-            + _SEP
-            + cand["value"].astype(str)
-        )
-        w = (
-            cand.groupby(["conv_id", "field"], sort=False)["enc"]
-            .min()
-            .unstack("field")
-            .reset_index()
-        )
-        out = out.merge(w, on="conv_id", how="left")
-    for c in _ENC_COLS:
-        f = c[len("enc_"):]
-        # "string" extension dtype throughout: the left-merge introduces
-        # float NaN into object columns, and pandas groupby.min raises on
-        # mixed str/NaN groups
-        if f in out.columns:
-            out[c] = out.pop(f).astype("string")
-        else:
-            out[c] = pd.array([pd.NA] * len(out), dtype="string")
-    return out[["conv_id", "conf_sum", "n_turns", *_ENC_COLS]]
 
 
 def partial_combine_arrow(t: pa.Table) -> pd.DataFrame:
@@ -138,19 +101,6 @@ def partial_combine_arrow(t: pa.Table) -> pd.DataFrame:
     return out[["conv_id", "conf_sum", "n_turns", *_ENC_COLS]]
 
 
-def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized associative merge of wide partial rows (per bucket)."""
-    agg = {"conf_sum": ("conf_sum", "sum"), "n_turns": ("n_turns", "sum")}
-    for c in _ENC_COLS:
-        agg[c] = (c, "min")
-    out = g.groupby("conv_id", sort=False).agg(**agg).reset_index()
-    for c in _ENC_COLS:
-        # pin extension string dtype: an all-NA object column would cross the
-        # next block boundary as Arrow `null` and clash with string blocks
-        out[c] = out[c].astype("string")
-    return out
-
-
 # Arrow-native merge: pandas string-dtype groupby.min measured 313 core-sec
 # on the sf0.1-scale fold; Arrow's hash_aggregate kernels do the same merge
 # in ~6 core-sec. ``use_threads=False``: one CPU per Ray task.
@@ -198,32 +148,6 @@ def decode_final_arrow(t: pa.Table) -> pa.Table:
         [f"{v:.2f}" for v in mean.to_pylist()], pa.string()
     )
     cols["n_turns"] = n_turns
-    return pa.table(cols).select(CONV_FIELDS_SCHEMA.names)
-
-
-def decode_final(df: pd.DataFrame) -> pa.Table:
-    """Merged wide rows -> canonical conv_fields Arrow table (vectorized)."""
-    n = len(df)
-    cols: dict = {"conv_id": pa.array(df["conv_id"], pa.string())}
-    for f in FIELD_NAMES:
-        enc = df[_enc_col(f)]
-        present = enc.notna()
-        vals = np.full(n, None, dtype=object)
-        turns = np.full(n, None, dtype=object)
-        if present.any():
-            parts = enc[present].str.split(_SEP, n=1)
-            pm = present.to_numpy()
-            vals[pm] = parts.str[1].to_numpy()
-            turns[pm] = parts.str[0].astype(int).to_numpy()
-        cols[f] = pa.array(vals, pa.string())
-        cols[f + "_turn"] = pa.array(turns, pa.int32())
-    conf_sum = df["conf_sum"].to_numpy(dtype=np.float64)
-    n_turns = df["n_turns"].to_numpy(dtype=np.int64)
-    mean = np.where(n_turns > 0, conf_sum / np.maximum(n_turns, 1), 0.0)
-    cols["mean_confidence"] = pa.array(mean, pa.float64())
-    # F11: the reference formats confidence "{0:0.00}" (Worker.cs:268,449)
-    cols["confidence_fmt"] = pa.array([f"{m:.2f}" for m in mean], pa.string())
-    cols["n_turns"] = pa.array(n_turns, pa.int64())
     return pa.table(cols).select(CONV_FIELDS_SCHEMA.names)
 
 
