@@ -173,6 +173,13 @@ def run_sharded(
         turns_dir = os.path.join(out_dir, "turns", f"shard={sid:05d}")
         tmp_turns = turns_dir + ".tmp"
         n_turns = 0
+        # a crash mid-shard leaves stale .tmp dirs (and possibly a stale
+        # final dir with no manifest row); write_parquet APPENDS to an
+        # existing dir, so clear all of them or re-runs double the rows
+        import shutil
+
+        for stale in (tmp_turns, turns_dir):
+            shutil.rmtree(stale, ignore_errors=True)
         if write_turns:
             # materialize-once: the parse stage runs a single time; the sink
             # and the fold both consume the object-store blocks zero-copy
@@ -182,9 +189,14 @@ def run_sharded(
         folded_src = turns.select_columns(
             ["conv_id", "turn_idx", "confidence", "candidates"]
         )
-        conv = fold_conversations(folded_src, cfg.salt_buckets, cfg.fold_num_partitions)
+        conv = fold_conversations(
+            folded_src, cfg.salt_buckets, cfg.fold_num_partitions,
+            n_buckets=cfg.fold_buckets or 64,
+        )
         conv_dir = os.path.join(out_dir, "conv_fields", f"shard={sid:05d}")
         tmp_conv = conv_dir + ".tmp"
+        for stale in (tmp_conv, conv_dir):
+            shutil.rmtree(stale, ignore_errors=True)
         conv.write_parquet(tmp_conv)
         # atomic-ish finalize: rename then manifest
         n_parse_errors = 0

@@ -66,3 +66,32 @@ def test_sharded_run_and_resume(tmp_path):
     # semantics. Assert the manifest is internally consistent instead.
     total = sum(json.loads(l)["n_convs"] for l in open(os.path.join(out_a, "_manifest.jsonl")))
     assert total == stats_a["convs"]
+
+
+def test_crash_leftover_tmp_does_not_duplicate(tmp_path):
+    """A stale .tmp (and unmanifested final dir) from a crashed shard must be
+    discarded on re-run — write_parquet appends into existing dirs, so stale
+    files would otherwise double the shard's rows."""
+    data_dir = tmp_path / "in"
+    synth.write_synth(str(data_dir), n_convs=30, seed=3, n_files=4)
+    cfg = ExtractConfig()
+    out = str(tmp_path / "out")
+    pipeline.run_sharded(str(data_dir) + "/*.parquet", out, cfg, n_shards=2)
+    want = _read_conv_fields(out)
+
+    # simulate a crash: drop shard 1 from the manifest, move its final dirs
+    # back to .tmp with their files still inside (mid-write state)
+    import shutil
+
+    mp = os.path.join(out, "_manifest.jsonl")
+    lines = [json.loads(l) for l in open(mp) if l.strip()]
+    with open(mp, "w") as f:
+        f.write(json.dumps([l for l in lines if l["shard"] == 0][0]) + "\n")
+    for sub in ("turns", "conv_fields"):
+        final = os.path.join(out, sub, "shard=00001")
+        shutil.move(final, final + ".tmp")
+
+    stats = pipeline.run_sharded(str(data_dir) + "/*.parquet", out, cfg, n_shards=2)
+    assert stats["shards_skipped"] == 1
+    got = _read_conv_fields(out)
+    pd.testing.assert_frame_equal(got, want)
