@@ -465,6 +465,17 @@ def dedup_minhash(sf_dir: str):
     )
 
 
+def dedup_clusters(sf_dir: str):
+    """Near-dup clusters: Jaccard pairs -> connected components (min-label)."""
+    from .graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        threshold=JACCARD_THRESHOLD, block_key="source", ngram=1,
+    )
+    return connected_components(pairs)
+
+
 def dedup_simhash(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         simhash_batch, batch_format="pandas"
@@ -799,6 +810,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "knn_cosine_topk": knn_cosine_topk,
     "knn_ivf_topk": knn_ivf_topk,
@@ -1036,6 +1048,27 @@ SQL: dict[str, str] = {
             FROM documents WHERE trim(text) <> ''
           ) GROUP BY token
         ) ORDER BY n DESC, token LIMIT 20
+    """,
+    "dedup_clusters": r"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, source,
+                     list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+              FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(a.toks || b.toks)) >= 0.9
+        ),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        reach(node, r) AS (
+          SELECT u, u FROM e
+          UNION
+          SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+        )
+        SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
     """,
     "median_value_per_type": """
         SELECT event_type,
