@@ -693,6 +693,72 @@ def union_clicks_purchases(sf_dir: str):
 # F5/F7 NER over documents (deterministic tagger; non-SQL -> rows-only)
 # ---------------------------------------------------------------------------
 
+def sample_hash_split(sf_dir: str):
+    """Deterministic content-hash sampling (train/val split): keep the ~10%
+    of docs whose md5(doc_id) bucket < 10. Pure filter — no shuffle, stable
+    across cluster sizes and re-runs (unlike random_sample)."""
+    import hashlib
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(
+            lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        )
+        return df.loc[h % 100 < 10, ["doc_id"]]
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
+    """Mini k-means over the embedding column: centroids broadcast per
+    iteration, assignment + per-cluster partial sums inside map_batches, tiny
+    driver-side centroid update. Deterministic init (first k by vec_id)."""
+    from .similarity import _stack
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    init = emb.filter(lambda r: r["vec_id"] < k).to_pandas().sort_values("vec_id")
+    centroids = np.vstack([np.asarray(v, dtype=np.float64) for v in init["embedding"]])
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            out = []
+            for ci in range(len(c)):
+                mask = assign == ci
+                if mask.any():
+                    out.append((ci, int(mask.sum()), m[mask].sum(axis=0).tobytes()))
+            return pd.DataFrame(out, columns=["cluster", "n", "vec_sum"])
+
+        parts = emb.map_batches(partial_sums, batch_format="pandas").to_pandas()
+        new = centroids.copy()
+        for ci, g in parts.groupby("cluster"):
+            tot = np.sum(
+                [np.frombuffer(b, dtype=np.float64) for b in g["vec_sum"]], axis=0
+            )
+            new[ci] = tot / g["n"].sum()
+        centroids = new
+
+    ref = ray.put(centroids)
+
+    def assign_fn(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64"),
+             "cluster": d.argmin(axis=1).astype("int64")}
+        )
+
+    return emb.map_batches(assign_fn, batch_format="pandas")
+
+
 def f5_person_ner(sf_dir: str):
     from .ner import get_person_name
 
@@ -823,6 +889,8 @@ QUERIES = {
     "distinct_brand_type": distinct_brand_type,
     "union_clicks_purchases": union_clicks_purchases,
     "f5_person_ner": f5_person_ner,
+    "sample_hash_split": sample_hash_split,
+    "kmeans_embeddings": kmeans_embeddings,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_features": multimodal_frame_features,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -1094,6 +1162,11 @@ SQL: dict[str, str] = {
         SELECT event_id, event_type FROM events WHERE event_type = 'click'
         UNION ALL
         SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+    """,
+    "sample_hash_split": """
+        SELECT doc_id FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 100 < 10
     """,
     "multimodal_decode": """
         SELECT doc_id AS media_id,
