@@ -126,8 +126,13 @@ def run_queries() -> dict[str, float]:
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash",
+        "dedup_clusters",
         "knn_cosine_topk",
         "doc_quality",
+        "asof_purchase_view",
+        "median_value_per_type",
+        "kmeans_embeddings",
+        "multimodal_decode",
     ]
     out = {}
     for name in picks:

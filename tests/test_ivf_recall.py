@@ -1,0 +1,38 @@
+"""IVF approximate kNN: quantify recall vs the exact brute-force baseline."""
+
+import pandas as pd
+
+import ray.data as rd
+
+from rayextract.similarity import knn_bruteforce, knn_ivf
+
+SF = "/root/testdata/sf0.001"
+
+
+def _neighbor_sets(df: pd.DataFrame) -> dict:
+    return {int(qid): set(g["neighbor_id"]) for qid, g in df.groupby("query_id")}
+
+
+def _mean_recall(exact: dict, approx: dict) -> float:
+    rs = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    return sum(rs) / len(rs)
+
+
+def test_ivf_recall_monotone_and_exact_at_full_probe():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = emb.filter(lambda r: r["vec_id"] < 10).to_pandas()
+    exact = _neighbor_sets(knn_bruteforce(emb, q, k=5).to_pandas())
+
+    recalls = {}
+    for n_probe in (2, 8, 16):
+        approx = _neighbor_sets(
+            knn_ivf(emb, q, k=5, n_lists=16, n_probe=n_probe).to_pandas()
+        )
+        recalls[n_probe] = _mean_recall(exact, approx)
+
+    # probe sets are nested (hamming-nearest prefix): recall must not drop
+    assert recalls[2] <= recalls[8] + 1e-9 <= recalls[16] + 2e-9, recalls
+    # probing every list = brute force: exact recall
+    assert recalls[16] == 1.0, recalls
+    # even 2/16 probes must beat the random-candidate floor (~2/16)
+    assert recalls[2] > 0.125, recalls
