@@ -27,6 +27,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="tagger actor pool max (0 = cpus - 2)")
     p.add_argument("--dry-run", action="store_true",
                    help="K4 Testing-mode analog: sample + log, no writes")
+    p.add_argument("--watch", type=float, default=0, metavar="SEC",
+                   help="S1 poll-loop analog: re-sweep the input glob every "
+                        "SEC seconds; only shards with new files recompute")
     args = p.parse_args(argv)
 
     import ray
@@ -55,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"sample_conv_fields": [
             {k: v for k, v in r.items() if not k.startswith("_")} for r in sample
         ]}, default=str))
+        return 0
+    if args.watch > 0:
+        from .pipeline import poll_and_run
+
+        poll_and_run(args.input_glob, args.out_dir, cfg,
+                     interval_sec=args.watch, n_shards=args.shards)
         return 0
     stats = run_sharded(
         args.input_glob, args.out_dir, cfg,

@@ -89,11 +89,20 @@ def run_extraction(input_path: str | list[str], cfg: ExtractConfig | None = None
 # ---------------------------------------------------------------------------
 
 def _shard_inputs(paths: list[str], n_shards: int) -> list[list[str]]:
-    """Deterministic round-robin file grouping -> shard id is stable across
-    runs (resume correctness, SURVEY.md §7.4 item 5)."""
-    shards: list[list[str]] = [[] for _ in range(min(n_shards, len(paths)))]
-    for i, p in enumerate(sorted(paths)):
-        shards[i % len(shards)].append(p)
+    """Hash-stable file grouping: a file's shard depends only on its name,
+    never on the rest of the listing. New files arriving between runs (the
+    reference's 2-min folder poll, Worker.cs:45-56) therefore change ONLY the
+    shards they land in; every other shard's input set — and manifest row —
+    is unchanged and resume-skips. (Positional round-robin would shift every
+    shard's membership when one file appears.)"""
+    import hashlib
+
+    shards: list[list[str]] = [[] for _ in range(n_shards)]
+    for p in sorted(paths):
+        h = int.from_bytes(
+            hashlib.md5(os.path.basename(p).encode()).digest()[:8], "little"
+        )
+        shards[h % n_shards].append(p)
     return shards
 
 
@@ -163,7 +172,11 @@ def run_sharded(
     shards = _shard_inputs(paths, n_shards)
     stats = {"shards_total": len(shards), "shards_skipped": 0, "turns": 0, "convs": 0}
     for sid, shard_paths in enumerate(shards):
-        if sid in done:
+        if not shard_paths:
+            continue
+        # skip only if the manifest row covers EXACTLY this input set — a
+        # shard whose inputs changed (new files polled in) must recompute
+        if sid in done and done[sid].get("inputs") == shard_paths:
             stats["shards_skipped"] += 1
             stats["turns"] += done[sid]["n_turns"]
             stats["convs"] += done[sid]["n_convs"]
@@ -237,3 +250,28 @@ def run_sharded(
         stats["turns"] += n_turns
         stats["convs"] += n_convs
     return stats
+
+
+def poll_and_run(
+    input_glob: str,
+    out_dir: str,
+    cfg: ExtractConfig | None = None,
+    interval_sec: float = 120.0,
+    n_shards: int = 16,
+    max_polls: int | None = None,
+) -> list[dict]:
+    """S1 analog — the reference's 2-minute folder poll (Worker.cs:45-56)
+    rebuilt on the resumable runner: each sweep re-lists the glob and calls
+    ``run_sharded``; hash-stable sharding means only shards whose input set
+    gained files recompute, everything else resume-skips. Returns per-sweep
+    stats (``max_polls`` bounds the loop for tests; None = run until killed).
+    """
+    cfg = cfg or ExtractConfig()
+    history: list[dict] = []
+    polls = 0
+    while max_polls is None or polls < max_polls:
+        if polls:
+            time.sleep(interval_sec)
+        history.append(run_sharded(input_glob, out_dir, cfg, n_shards=n_shards))
+        polls += 1
+    return history

@@ -95,3 +95,42 @@ def test_crash_leftover_tmp_does_not_duplicate(tmp_path):
     assert stats["shards_skipped"] == 1
     got = _read_conv_fields(out)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_poll_picks_up_new_files_incrementally(tmp_path):
+    """S1 poll analog: a file arriving between sweeps recomputes ONLY the
+    shard it hashes into; all other shards resume-skip (hash-stable sharding)."""
+    data_dir = tmp_path / "in"
+    synth.write_synth(str(data_dir), n_convs=30, seed=7, n_files=5)
+    cfg = ExtractConfig()
+    out = str(tmp_path / "out")
+
+    s1 = pipeline.run_sharded(str(data_dir) + "/*.parquet", out, cfg, n_shards=4)
+    assert s1["shards_skipped"] == 0
+
+    # new file arrives (distinct conv range, same schema)
+    extra_dir = tmp_path / "extra"
+    synth.write_synth(str(extra_dir), n_convs=6, seed=99, n_files=1)
+    import shutil
+
+    shutil.move(
+        os.path.join(str(extra_dir), os.listdir(str(extra_dir))[0]),
+        os.path.join(str(data_dir), "transcripts-zz-late.parquet"),
+    )
+
+    [s2] = pipeline.poll_and_run(
+        str(data_dir) + "/*.parquet", out, cfg, interval_sec=0, n_shards=4,
+        max_polls=1,
+    )
+    # exactly the shards NOT hit by the new file skip; at least one recomputes
+    assert 0 < s2["shards_skipped"] <= 3
+    assert s2["turns"] > s1["turns"]
+
+    # third sweep with nothing new: everything skips
+    [s3] = pipeline.poll_and_run(
+        str(data_dir) + "/*.parquet", out, cfg, interval_sec=0, n_shards=4,
+        max_polls=1,
+    )
+    assert s3["turns"] == s2["turns"]
+    # every populated shard skips (empty shards aren't counted either way)
+    assert s3["shards_skipped"] >= s2["shards_skipped"] + 1
