@@ -51,20 +51,14 @@ def connected_components(
             join_type="inner", num_partitions=8, on=("v",),
         )
 
-        def best(df: pd.DataFrame) -> pd.DataFrame:
-            t = pd.concat(
-                [
-                    df[["u", "label"]],
-                ],
-                ignore_index=True,
-            )
-            return t.groupby("u", sort=False)["label"].min().reset_index()
+        def min_per_node(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("u", sort=False)["label"].min().reset_index()
 
         neighbor_min = bucketed_group_reduce(
-            msgs, ["u"],
-            best,
-            lambda g: g.groupby("u", sort=False)["label"].min().reset_index(),
-            n_buckets=16,
+            msgs.map_batches(
+                lambda df: df[["u", "label"]], batch_format="pandas"
+            ),
+            ["u"], min_per_node, min_per_node, n_buckets=16,
         )
         merged = labels.join(
             neighbor_min.map_batches(
