@@ -123,3 +123,28 @@ def test_vendor_lookup_e2e(corpus):
     assert (
         want[want.conv_id == target[0]].iloc[0]["vendor_name"] == "ACME CORP"
     )
+
+
+def test_skew_convs_match_oracle():
+    """Covers the corpus's skew features end-to-end: the 2000+-turn outlier
+    conversation (conv 997, FIXTURES §1) and multi-hundred-KB tool-dump turns
+    (conv % 211 == 0) must fold to exactly the oracle's winners."""
+    import pyarrow as pa
+
+    convs = [997, 1688, 2321, 998, 999, 1000]  # 997: 2k+ turns; 1688/2321: ~300KB turns
+    rows = [r for c in convs for r in synth.conversation_rows(SEED, c)]
+    tbl = pa.Table.from_pylist(rows)
+    assert tbl.num_rows > 2000  # the outlier conversation is really in play
+    assert max(len(r["text"]) for r in rows) > 100_000  # and a huge turn
+
+    cfg = ExtractConfig(salt_buckets=4)  # exercise the salted path on skew
+    turns = pipeline.build_turns(rd.from_arrow(tbl).repartition(9), cfg)
+    got = (
+        pipeline.build_conv_fields(turns, cfg)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    _, oc = oracle.oracle_run(rows, cfg)
+    want = pd.DataFrame(oc)[got.columns.tolist()]
+    _assert_frames_match(got, want, float_cols=("mean_confidence",))
