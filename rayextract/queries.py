@@ -445,6 +445,98 @@ def doc_fingerprint(sf_dir: str):
     )
 
 
+def doc_gopher_filter(sf_dir: str):
+    """Gopher-style quality gate (public heuristic rules): length bounds,
+    stopword floor, max-word-length cap, symbol-ratio cap. Returns the
+    surviving doc ids + the rule bits for auditability."""
+    from .textstats import STOPWORDS, _tokens
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].map(_tokens)
+        n = toks.map(len).astype("int64")
+        stop = set(STOPWORDS)
+        stop_cnt = toks.map(lambda t: sum(1 for w in t if w in stop)).astype("int64")
+        maxw = toks.map(lambda t: max((len(w) for w in t), default=0)).astype("int64")
+        sym = df["text"].str.count(r"[#@$%^*=<>{}\[\]\\]").astype("int64")
+        chars = df["text"].str.len().astype("int64")
+        ok_len = (n >= 5) & (n <= 10000)
+        ok_stop = stop_cnt >= 1
+        ok_word = maxw <= 30
+        ok_sym = sym * 10 < chars.clip(lower=1) * 3  # symbol ratio < 0.3
+        keep = ok_len & ok_stop & ok_word & ok_sym
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "ok_len": ok_len.astype("int64"),
+                "ok_stop": ok_stop.astype("int64"),
+                "ok_word": ok_word.astype("int64"),
+                "ok_sym": ok_sym.astype("int64"),
+            }
+        )
+        return out[keep.to_numpy()]
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def doc_scrub_digits(sf_dir: str):
+    """PII-style scrub: mask every digit (vectorized Arrow regex kernel)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "scrubbed": pc.replace_substring_regex(
+                    t["text"], pattern=r"\d", replacement="#"
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def top_tokens_per_source(sf_dir: str, k: int = 5):
+    """Top-k tokens per source group: grouped wordcount partials -> bucketed
+    merge -> tiny per-source top-k (deterministic count-desc, token-asc)."""
+    from collections import Counter
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts: dict = {}
+        for src, text in zip(df["source"], df["text"]):
+            c = counts.setdefault(src, Counter())
+            c.update(_tokens(text))
+        rows = [
+            (src, tok, n) for src, c in counts.items() for tok, n in c.items()
+        ]
+        return pd.DataFrame(rows, columns=["source", "token", "n"]).astype(
+            {"n": "int64"}
+        )
+
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["source", "text"]),
+        ["source", "token"],
+        partial,
+        lambda g: g.groupby(["source", "token"], sort=False)["n"].sum().reset_index(),
+        n_buckets=32,
+    )
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["source", "rank", "token", "n"]].astype({"n": "int64"})
+
+    return counts.groupby("source").map_groups(per_source, batch_format="pandas")
+
+
 def dedup_exact(sf_dir: str):
     return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -873,6 +965,9 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_langid": doc_langid,
     "doc_fingerprint": doc_fingerprint,
+    "doc_gopher_filter": doc_gopher_filter,
+    "doc_scrub_digits": doc_scrub_digits,
+    "top_tokens_per_source": top_tokens_per_source,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
@@ -1071,6 +1166,49 @@ SQL: dict[str, str] = {
         FROM r
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "doc_gopher_filter": r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split_regex(trim(text), '\s+') AS toks,
+                 length(text) AS chars
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 len(toks) AS n,
+                 len(list_filter(toks, w -> w IN
+                   ('the','a','and','of','to','in','is','for','on','with'))) AS stop_cnt,
+                 COALESCE(list_max(list_transform(toks, w -> len(w))), 0) AS maxw,
+                 length(text) - length(regexp_replace(text, '[#@$%^*=<>{}\[\]\\]', '', 'g'))
+                   AS sym,
+                 chars
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(n >= 5 AND n <= 10000 AS BIGINT) AS ok_len,
+               CAST(stop_cnt >= 1 AS BIGINT) AS ok_stop,
+               CAST(maxw <= 30 AS BIGINT) AS ok_word,
+               CAST(sym * 10 < greatest(chars, 1) * 3 AS BIGINT) AS ok_sym
+        FROM m
+        WHERE n >= 5 AND n <= 10000 AND stop_cnt >= 1 AND maxw <= 30
+          AND sym * 10 < greatest(chars, 1) * 3
+    """,
+    "doc_scrub_digits": r"""
+        SELECT doc_id, regexp_replace(text, '\d', '#', 'g') AS scrubbed
+        FROM documents
+    """,
+    "top_tokens_per_source": r"""
+        SELECT source, rank, token, n FROM (
+          SELECT source, token, n,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n DESC, token) AS rank
+          FROM (
+            SELECT source, token, count(*) AS n FROM (
+              SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            ) GROUP BY source, token
+          )
+        ) WHERE rank <= 5
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)
