@@ -289,6 +289,77 @@ def hourly_event_windows(sf_dir: str):
     return agg.map_batches(fin, batch_format="pandas")
 
 
+def sliding_window_events(sf_dir: str):
+    """1-hour windows sliding by 30 min: each event lands in exactly two
+    windows (flat-map duplication inside map_batches), then the same bucketed
+    count/sum combine as the tumbling case."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        t30 = df["ts"].dt.floor("30min")
+        cents = _cents(df["value"])
+        a = pd.DataFrame({"window_start": t30, "value_cents": cents})
+        b = pd.DataFrame(
+            {"window_start": t30 - pd.Timedelta(minutes=30), "value_cents": cents}
+        )
+        out = pd.concat([a, b], ignore_index=True)
+        out["window_start"] = out["window_start"].dt.strftime("%Y-%m-%d %H:%M:00")
+        return out
+
+    src = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        explode, batch_format="pandas"
+    )
+    agg = pre_aggregate(src, ["window_start"], sums=["value_cents"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": df["window_start"],
+                "n": df["n"].astype("int64"),
+                "sum_value_cents": df["sum_value_cents"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def percentiles_value_per_type(sf_dir: str):
+    """p50/p95/p99 per event_type from ONE histogram pass (exact — counts of
+    distinct cents values shuffle, never rows; same sketch as the median)."""
+    from .bucketed import bucketed_group_reduce
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"event_type": df["event_type"], "cents": _cents(df["value"])}
+        )
+        return (
+            t.groupby(["event_type", "cents"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        ["event_type", "cents"],
+        hist,
+        lambda g: g.groupby(["event_type", "cents"], sort=False)["n"].sum().reset_index(),
+        n_buckets=32,
+    )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="stable")
+        total = int(g["n"].sum())
+        cum = g["n"].cumsum()
+        out = {"event_type": [g["event_type"].iloc[0]]}
+        for name, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            # quantile_disc: smallest value with cumulative share >= q
+            k = int(np.ceil(q * total))
+            out[name] = [int(g.loc[cum >= max(k, 1), "cents"].iloc[0])]
+        return pd.DataFrame(out).astype(
+            {"p50": "int64", "p95": "int64", "p99": "int64"}
+        )
+
+    return counts.groupby("event_type").map_groups(quantiles, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Relational engine breadth (TPC-H-ish)
 # ---------------------------------------------------------------------------
@@ -956,6 +1027,8 @@ QUERIES = {
     "a1_user_stats": a1_user_stats,
     "sessionize_events": sessionize_events,
     "hourly_event_windows": hourly_event_windows,
+    "sliding_window_events": sliding_window_events,
+    "percentiles_value_per_type": percentiles_value_per_type,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
@@ -1275,6 +1348,29 @@ SQL: dict[str, str] = {
         )
         SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
+    """,
+    "sliding_window_events": """
+        WITH e AS (
+          SELECT date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 30) MINUTE
+                   AS t30,
+                 CAST(round(value * 100) AS BIGINT) AS value_cents
+          FROM events
+        ), x AS (
+          SELECT t30 AS w, value_cents FROM e
+          UNION ALL
+          SELECT t30 - INTERVAL 30 MINUTE, value_cents FROM e
+        )
+        SELECT strftime(w, '%Y-%m-%d %H:%M:00') AS window_start,
+               count(*) AS n,
+               CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+        FROM x GROUP BY w
+    """,
+    "percentiles_value_per_type": """
+        SELECT event_type,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95) AS p95,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS p99
+        FROM events GROUP BY event_type
     """,
     "median_value_per_type": """
         SELECT event_type,
