@@ -86,8 +86,8 @@ def test_fold_is_permutation_invariant(corpus):
     perm = np.random.RandomState(7).permutation(tbl.num_rows)
     shuffled = tbl.take(pa.array(perm))
     outs = []
-    for nparts, salt in [(3, 0), (11, 0), (5, 4)]:
-        c = ExtractConfig(salt_buckets=salt)
+    for nparts, salt, buckets in [(3, 0, None), (11, 0, 8), (5, 4, 128)]:
+        c = ExtractConfig(salt_buckets=salt, fold_buckets=buckets)
         turns = pipeline.build_turns(rd.from_arrow(shuffled).repartition(nparts), c)
         outs.append(
             pipeline.build_conv_fields(turns, c)
