@@ -29,6 +29,7 @@ import pyarrow as pa
 
 import ray.data
 
+from .relational import join_partitions
 from .textstats import _tokens
 
 # ---------------------------------------------------------------------------
@@ -208,7 +209,7 @@ def minhash_lsh_pairs(
     sigs = sigs.materialize()
     band_rows = sigs.map_batches(explode_bands, batch_format="pandas").materialize()
     cand = band_rows.join(
-        band_rows, join_type="inner", num_partitions=8,
+        band_rows, join_type="inner", num_partitions=join_partitions(),
         on=("band_id", "band_hash"), right_suffix="_r",
     )
 
@@ -240,10 +241,10 @@ def minhash_lsh_pairs(
 
     # verify: join the signatures back on both sides, then vectorized est-sim
     pa_join = distinct.join(
-        sigs, join_type="inner", num_partitions=8, on=("doc_a",), right_on=("doc_id",)
+        sigs, join_type="inner", num_partitions=join_partitions(), on=("doc_a",), right_on=("doc_id",)
     )
     pb_join = pa_join.join(
-        sigs, join_type="inner", num_partitions=8,
+        sigs, join_type="inner", num_partitions=join_partitions(),
         on=("doc_b",), right_on=("doc_id",), left_suffix="_a", right_suffix="_b",
     )
 

@@ -18,6 +18,7 @@ import pandas as pd
 import ray.data
 
 from .bucketed import bucketed_group_reduce
+from .relational import join_partitions
 
 
 def connected_components(
@@ -48,7 +49,7 @@ def connected_components(
             labels.map_batches(
                 lambda df: df.rename(columns={"u": "v"}), batch_format="pandas"
             ),
-            join_type="inner", num_partitions=8, on=("v",),
+            join_type="inner", num_partitions=join_partitions(), on=("v",),
         )
 
         def min_per_node(df: pd.DataFrame) -> pd.DataFrame:
@@ -65,7 +66,7 @@ def connected_components(
                 lambda df: df.rename(columns={"label": "nlabel"}),
                 batch_format="pandas",
             ),
-            join_type="left_outer", num_partitions=8, on=("u",),
+            join_type="left_outer", num_partitions=join_partitions(), on=("u",),
         )
 
         def combine(df: pd.DataFrame) -> pd.DataFrame:

@@ -31,7 +31,7 @@ import ray.data as rd
 from .dates import DATE_PATTERN, recognize_date
 from .dedup import exact_dedup_groups, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_batch
 from .extractors import fire_gross_amount, fire_invoice_date, fire_invoice_number, fire_purchase_order
-from .relational import broadcast_join, broadcast_semi_join, pre_aggregate, topk
+from .relational import broadcast_join, broadcast_semi_join, pre_aggregate, topk, join_partitions
 from .similarity import embedding_neardup_pairs, knn_bruteforce, knn_ivf
 from .textnorm import keyword_mask, remove_special_array, upper_invariant_array
 from .textstats import fingerprint_batch, langid_batch, quality_batch, token_stats_batch
@@ -425,7 +425,7 @@ def q5_nation_revenue(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     joined = li.join(
-        orders, join_type="inner", num_partitions=8,
+        orders, join_type="inner", num_partitions=join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])

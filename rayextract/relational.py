@@ -22,6 +22,17 @@ import ray
 import ray.data
 
 
+def join_partitions(cap: int = 32) -> int:
+    """Hash-join partition count sized to the cluster (one per core, capped);
+    Ray's ``Dataset.join`` requires an explicit ``num_partitions``."""
+    try:
+        import ray
+
+        return max(2, min(cap, int(ray.cluster_resources().get("CPU", 8))))
+    except Exception:  # pragma: no cover - ray not initialised
+        return 8
+
+
 def broadcast_join(
     ds: "ray.data.Dataset",
     small: pd.DataFrame,
