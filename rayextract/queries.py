@@ -462,6 +462,24 @@ def q5_nation_revenue(sf_dir: str):
     return agg.map_batches(fin, batch_format="pandas")
 
 
+def top_suppliers_native_sort(sf_dir: str):
+    """Native ``Dataset.sort(descending).limit(k)`` — the built-in total-order
+    path (q3 shows the partial-top-k alternative that avoids the full sort)."""
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).sort(
+        ["s_acctbal", "s_suppkey"], descending=[True, False]
+    ).limit(5)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_suppkey": df["s_suppkey"].astype("int64"),
+                "acctbal_cents": _cents(df["s_acctbal"]),
+            }
+        )
+
+    return ds.map_batches(fin, batch_format="pandas")
+
+
 def topk_parts_per_brand(sf_dir: str):
     """Top-3 parts by retail price within each brand (windowed top-k)."""
 
@@ -1032,6 +1050,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
+    "top_suppliers_native_sort": top_suppliers_native_sort,
     "topk_parts_per_brand": topk_parts_per_brand,
     "customers_without_orders": customers_without_orders,
     "doc_token_stats": doc_token_stats,
@@ -1185,6 +1204,10 @@ SQL: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "top_suppliers_native_sort": """
+        SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 5
     """,
     "topk_parts_per_brand": """
         SELECT p_brand, rank, p_partkey, price_cents FROM (
