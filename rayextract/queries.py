@@ -534,6 +534,15 @@ def doc_fingerprint(sf_dir: str):
     )
 
 
+def doc_winnow_fp(sf_dir: str):
+    """Winnowing rolling-hash fingerprints (local substring-match sketches)."""
+    from .textstats import winnow_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        winnow_batch, batch_format="pandas"
+    )
+
+
 def doc_gopher_filter(sf_dir: str):
     """Gopher-style quality gate (public heuristic rules): length bounds,
     stopword floor, max-word-length cap, symbol-ratio cap. Returns the
@@ -1057,6 +1066,7 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_langid": doc_langid,
     "doc_fingerprint": doc_fingerprint,
+    "doc_winnow_fp": doc_winnow_fp,
     "doc_gopher_filter": doc_gopher_filter,
     "doc_scrub_digits": doc_scrub_digits,
     "top_tokens_per_source": top_tokens_per_source,

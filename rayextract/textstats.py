@@ -81,3 +81,55 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
             "fp": df["text"].map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing: rolling-hash k-gram fingerprints (Schleimer et al., SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+_B = 257            # rolling base
+_M = (1 << 61) - 1  # modulus
+
+
+def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[int]:
+    """Winnowing fingerprint set: Rabin-Karp rolling hash over character
+    k-grams, then the minimum hash of each length-w window (rightmost min on
+    ties), deduplicated in document order. Guarantees any substring match of
+    length >= w+k-1 shares a fingerprint — the classic local document
+    fingerprint for plagiarism/near-dup detection."""
+    n = len(text)
+    if n < k:
+        return []
+    # rolling k-gram hashes
+    h = 0
+    pw = pow(_B, k - 1, _M)
+    hashes = []
+    for i, ch in enumerate(map(ord, text)):
+        h = (h * _B + ch) % _M
+        if i >= k:
+            h = (h - ord(text[i - k]) * _B * pw) % _M
+        if i >= k - 1:
+            hashes.append(h)
+    # window minima, rightmost on ties, record when the choice changes
+    out: list[int] = []
+    prev_idx = -1
+    for start in range(0, len(hashes) - w + 1):
+        window = hashes[start : start + w]
+        m = min(window)
+        idx = start + len(window) - 1 - window[::-1].index(m)
+        if idx != prev_idx:
+            out.append(m)
+            prev_idx = idx
+    return out
+
+
+def winnow_batch(df: pd.DataFrame, k: int = 5, w: int = 4) -> pd.DataFrame:
+    """doc_id, n_fingerprints, fingerprints (list<int64>, capped at 64)."""
+    fps = df["text"].map(lambda s: winnow_fingerprints(s, k, w))
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_fingerprints": fps.map(len).astype("int64"),
+            "fingerprints": fps.map(lambda f: [int(x) & 0x7FFFFFFFFFFFFFFF for x in f[:64]]),
+        }
+    )

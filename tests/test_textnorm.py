@@ -59,3 +59,25 @@ def test_keyword_mask_matches_contains_any():
     mask = keyword_mask(pa.array(ups), keys).to_pylist()
     assert mask == [contains_any(u, keys) for u in ups]
     assert keyword_mask(pa.array(ups), ()).to_pylist() == [False] * len(ups)
+
+
+def test_winnow_shared_substring_shares_fingerprint():
+    from rayextract.textstats import winnow_fingerprints
+
+    k, w = 5, 4
+    common = "the quick brown fox jumps over the lazy dog"
+    a = winnow_fingerprints("AAA " + common + " BBB", k, w)
+    b = winnow_fingerprints("XXXXX " + common + " YYYYY", k, w)
+    # winnowing guarantee: any match of length >= w+k-1 shares a fingerprint
+    assert set(a) & set(b)
+    # determinism + short-input edge
+    assert a == winnow_fingerprints("AAA " + common + " BBB", k, w)
+    assert winnow_fingerprints("abc", k, w) == []
+
+
+def test_winnow_disjoint_texts_rarely_collide():
+    from rayextract.textstats import winnow_fingerprints
+
+    a = set(winnow_fingerprints("completely unrelated alpha beta gamma delta"))
+    b = set(winnow_fingerprints("zq wv xj kp fh unusual tokens here differ"))
+    assert not (a & b)
