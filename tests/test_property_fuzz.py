@@ -34,7 +34,7 @@ TEXT = st.text(
 )
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=120, deadline=None)
 @given(st.lists(TEXT, max_size=20))
 def test_remove_special_array_matches_scalar(rows):
     arr = pa.array(rows, pa.string())
@@ -43,7 +43,7 @@ def test_remove_special_array_matches_scalar(rows):
     assert got == want
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=120, deadline=None)
 @given(st.lists(TEXT, max_size=20))
 def test_upper_invariant_array_matches_scalar(rows):
     arr = pa.array(rows, pa.string())
@@ -90,7 +90,7 @@ def _blocks(parser_cls, html: str):
     return [(b.text(), b.link_chars, b.order) for b in p.blocks if b.text()]
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=120, deadline=None)
 @given(_SOUP)
 def test_fast_html_parser_matches_stdlib_on_tag_soup(parts):
     html = "".join(parts)
