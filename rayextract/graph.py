@@ -49,7 +49,7 @@ def connected_components(
             labels.map_batches(
                 lambda df: df.rename(columns={"u": "v"}), batch_format="pandas"
             ),
-            join_type="inner", num_partitions=join_partitions(), on=("v",),
+            join_type="inner", num_partitions=join_partitions(cap=8), on=("v",),
         )
 
         def min_per_node(df: pd.DataFrame) -> pd.DataFrame:
@@ -66,7 +66,7 @@ def connected_components(
                 lambda df: df.rename(columns={"label": "nlabel"}),
                 batch_format="pandas",
             ),
-            join_type="left_outer", num_partitions=join_partitions(), on=("u",),
+            join_type="left_outer", num_partitions=join_partitions(cap=8), on=("u",),
         )
 
         def combine(df: pd.DataFrame) -> pd.DataFrame:
