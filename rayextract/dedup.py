@@ -120,8 +120,11 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 128, ngram: int = 3, seed: int = 7):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # a < 2^31 and 32-bit shingle hashes keep a*h + b < 2^63: the modular
+        # arithmetic is then EXACT in uint64 (a full-width a*h would silently
+        # wrap mod 2^64 before the mod-p, voiding min-wise independence)
+        self.a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.ngram = ngram
 
@@ -131,12 +134,12 @@ class MinHasher:
             return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
         hv = np.array(
             [
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "little")
                 for s in shingles
             ],
             dtype=np.uint64,
         )
-        # (a*h + b) mod p, vectorized over perms x shingles
+        # (a*h + b) mod p, vectorized over perms x shingles — exact, no wrap
         prod = (self.a[:, None] * hv[None, :] + self.b[:, None]) % _MERSENNE
         return prod.min(axis=1)
 
@@ -216,10 +219,15 @@ def minhash_lsh_pairs(
     def upper_tri(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["doc_id"] < df["doc_id_r"]]
         # pack the pair into one int64 key: multi-key groupby shuffles were
-        # ~4x slower than single-key at equal row counts
-        pair = (df["doc_id"].to_numpy(np.int64) << np.int64(32)) | df[
-            "doc_id_r"
-        ].to_numpy(np.int64)
+        # ~4x slower than single-key at equal row counts. Packing needs both
+        # ids < 2^31 — fail loudly instead of silently colliding pairs.
+        right = df["doc_id_r"].to_numpy(np.int64)
+        if len(right) and (right.max() >= (1 << 31) or right.min() < 0):
+            raise ValueError(
+                "minhash pair packing requires doc ids in [0, 2^31); "
+                "re-key the corpus or switch to the two-column pair key"
+            )
+        pair = (df["doc_id"].to_numpy(np.int64) << np.int64(32)) | right
         out = pd.DataFrame({"pair": pair})
         return out.drop_duplicates("pair")  # batch-local pre-dedup
 

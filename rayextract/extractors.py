@@ -129,8 +129,16 @@ def vendor_candidate(
     return v, 0, len(clean_upper)
 
 
+_PATIENT_SPECS = None
+_INVOICE_SPECS = None
+
+
 def candidates_for_turn(
-    conv_id: str, clean_upper: str, cfg: ExtractConfig
+    conv_id: str,
+    clean_upper: str,
+    cfg: ExtractConfig,
+    patient_keys: tuple[str, ...] | None = None,
+    invoice_keys: tuple[str, ...] | None = None,
 ) -> list[tuple[str, str, int, int]]:
     """All (field, value, start, end) candidates one turn emits.
 
@@ -139,15 +147,26 @@ def candidates_for_turn(
     the invoice-key gate (Worker.cs:294-296). Emission is unconditional per
     turn — suppression of later matches is the fold's job (E9), which keeps
     this stage embarrassingly parallel.
+
+    ``patient_keys``/``invoice_keys``: pre-uppercased key tuples (callers in
+    hot loops pass their cached copies; cfg.*_keys_upper() rebuilds tuples).
     """
+    global _PATIENT_SPECS, _INVOICE_SPECS
+    if _PATIENT_SPECS is None:
+        _PATIENT_SPECS = patient_specs()
+        _INVOICE_SPECS = invoice_specs()
+    if patient_keys is None:
+        patient_keys = cfg.patient_keys_upper()
+    if invoice_keys is None:
+        invoice_keys = cfg.invoice_keys_upper()
     out = []
-    if cfg.extract_patient and contains_any(clean_upper, cfg.patient_keys_upper()):
-        for spec in patient_specs():
+    if cfg.extract_patient and contains_any(clean_upper, patient_keys):
+        for spec in _PATIENT_SPECS:
             r = spec.fire(clean_upper)
             if r is not None:
                 out.append((spec.field, r[0], r[1], r[2]))
-    if cfg.extract_invoice and contains_any(clean_upper, cfg.invoice_keys_upper()):
-        for spec in invoice_specs():
+    if cfg.extract_invoice and contains_any(clean_upper, invoice_keys):
+        for spec in _INVOICE_SPECS:
             r = spec.fire(clean_upper)
             if r is not None:
                 out.append((spec.field, r[0], r[1], r[2]))

@@ -179,6 +179,7 @@ def fold_conversations(
             salted_partial,
             lambda g: merge_partials_arrow(g.drop_columns(["salt"])),
             n_buckets=n_buckets,
+            num_partitions=num_partitions,
             reduce_format="pyarrow",
             stage1_format="pyarrow",
         )
@@ -187,6 +188,7 @@ def fold_conversations(
             lambda df: df,  # already wide partials
             decode_final_arrow,
             n_buckets=n_buckets,
+            num_partitions=num_partitions,
             reduce_format="pyarrow",
         )
         return final
@@ -195,6 +197,7 @@ def fold_conversations(
         partial_combine_arrow,
         decode_final_arrow,
         n_buckets=n_buckets,
+        num_partitions=num_partitions,
         reduce_format="pyarrow",
         stage1_format="pyarrow",
     )

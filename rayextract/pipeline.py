@@ -34,9 +34,10 @@ PARSE_COLUMNS = ["conv_id", "turn_idx", "text"]  # role/tool/ts not needed to ex
 def read_transcripts(path: str | list[str], columns: list[str] | None = PARSE_COLUMNS):
     """Pruned parquet read of the transcript table (S1 analog)."""
     if isinstance(path, str) and any(c in path for c in "*?["):
-        path = sorted(glob.glob(path))
+        pattern = path
+        path = sorted(glob.glob(pattern))
         if not path:
-            raise FileNotFoundError(f"no input files match the glob")
+            raise FileNotFoundError(f"no input files match {pattern!r}")
     return rd.read_parquet(path, columns=columns)
 
 

@@ -51,8 +51,16 @@ def _read_small(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
     return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns).to_pandas()
 
 
-def _cents(x) -> "pd.Series":
-    return np.rint(np.asarray(x, dtype=np.float64) * 100).astype("int64")
+def _round_half_away(v) -> np.ndarray:
+    """DuckDB round(): half AWAY from zero, elementwise (np.rint is
+    half-to-even and disagrees at exact .5, e.g. 0.125*100)."""
+    v = np.asarray(v, dtype=np.float64)
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype("int64")
+
+
+def _cents(x) -> np.ndarray:
+    """Integer cents with DuckDB round() semantics."""
+    return _round_half_away(np.asarray(x, dtype=np.float64) * 100)
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +202,7 @@ def e9_first_match_fold(sf_dir: str):
             {
                 "user_id": [w["user_id"]],
                 "first_event_id": [w["event_id"]],
-                "first_value_cents": [int(np.rint(w["value"] * 100))],
+                "first_value_cents": [int(_round_half_away(w["value"] * 100))],
             }
         ).astype({"user_id": "int64", "first_event_id": "int64", "first_value_cents": "int64"})
 
@@ -374,10 +382,10 @@ def q1_pricing_summary(sf_dir: str):
                 "l_linestatus": df["l_linestatus"],
                 "qty_cents": _cents(df["l_quantity"]),
                 "price_cents": _cents(df["l_extendedprice"]),
-                "disc_price_e4": np.rint(
+                "disc_price_e4": _round_half_away(
                     df["l_extendedprice"].to_numpy(np.float64)
                     * (1 - df["l_discount"].to_numpy(np.float64)) * 10000
-                ).astype("int64"),
+                ),
             }
         )
 
@@ -439,10 +447,10 @@ def q5_nation_revenue(sf_dir: str):
         return pd.DataFrame(
             {
                 "o_custkey": df["o_custkey"],
-                "revenue_e4": np.rint(
+                "revenue_e4": _round_half_away(
                     df["l_extendedprice"].to_numpy(np.float64)
                     * (1 - df["l_discount"].to_numpy(np.float64)) * 10000
-                ).astype("int64"),
+                ),
             }
         )
 
@@ -1098,7 +1106,7 @@ _DATE_SQL = "(?i)" + DATE_PATTERN
 
 SQL: dict[str, str] = {
     "f1_remove_special": f"""
-        SELECT doc_id, rtrim(regexp_replace(text, '{F1_CLASS}', '', 'g')) AS clean_text
+        SELECT doc_id, rtrim(regexp_replace(text, '{F1_CLASS}', '', 'g'), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS clean_text
         FROM documents
     """,
     "f2_upper_invariant": "SELECT doc_id, upper(text) AS upper_text FROM documents",
@@ -1233,7 +1241,7 @@ SQL: dict[str, str] = {
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
     """,
     "doc_token_stats": r"""
-        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
                    FROM documents)
         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
@@ -1243,7 +1251,7 @@ SQL: dict[str, str] = {
     """,
     "doc_quality": r"""
         WITH t AS (SELECT doc_id, text,
-                          string_split_regex(trim(text), '\s+') AS toks
+                          list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
                    FROM documents)
         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(len(list_filter(toks, w -> w IN
@@ -1259,7 +1267,7 @@ SQL: dict[str, str] = {
         FROM t
     """,
     "doc_langid": r"""
-        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
                    FROM documents),
         r AS (SELECT doc_id,
                      CASE WHEN len(toks) > 0
@@ -1275,7 +1283,7 @@ SQL: dict[str, str] = {
     "doc_gopher_filter": r"""
         WITH t AS (
           SELECT doc_id, text,
-                 string_split_regex(trim(text), '\s+') AS toks,
+                 list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks,
                  length(text) AS chars
           FROM documents
         ), m AS (
@@ -1309,7 +1317,7 @@ SQL: dict[str, str] = {
                                     ORDER BY n DESC, token) AS rank
           FROM (
             SELECT source, token, count(*) AS n FROM (
-              SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+              SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token
               FROM documents WHERE trim(text) <> ''
             ) GROUP BY source, token
           )
@@ -1321,7 +1329,7 @@ SQL: dict[str, str] = {
     """,
     "dedup_ngram_jaccard": r"""
         WITH t AS (SELECT doc_id, source,
-                          list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                          list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
                    FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -1356,7 +1364,7 @@ SQL: dict[str, str] = {
     "wordcount_top20": r"""
         SELECT token, n FROM (
           SELECT token, count(*) AS n FROM (
-            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+            SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token
             FROM documents WHERE trim(text) <> ''
           ) GROUP BY token
         ) ORDER BY n DESC, token LIMIT 20
@@ -1364,7 +1372,7 @@ SQL: dict[str, str] = {
     "dedup_clusters": r"""
         WITH RECURSIVE
         t AS (SELECT doc_id, source,
-                     list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                     list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
               FROM documents),
         p AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -29,6 +29,20 @@ def _stack(col) -> np.ndarray:
     return _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in col]))
 
 
+def _global_topk_fn(k: int):
+    """Per-query final top-k over the partial candidates (shared by the exact
+    and IVF paths so tie-breaking can never diverge between them)."""
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True], kind="stable"
+        ).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["query_id", "rank", "neighbor_id"]]
+
+    return global_topk
+
+
 def knn_bruteforce(
     emb: "ray.data.Dataset", queries: pd.DataFrame, k: int = 5
 ) -> "ray.data.Dataset":
@@ -59,14 +73,9 @@ def knn_bruteforce(
         )
 
     partials = emb.map_batches(partial_topk, batch_format="pandas")
-
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable")
-        g = g.head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g[["query_id", "rank", "neighbor_id"]]
-
-    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _global_topk_fn(k), batch_format="pandas"
+    )
 
 
 class IVFIndexer:
@@ -143,14 +152,9 @@ def knn_ivf(
         )
 
     partials = binned.map_batches(partial, batch_format="pandas")
-
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable")
-        g = g.head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g[["query_id", "rank", "neighbor_id"]]
-
-    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _global_topk_fn(k), batch_format="pandas"
+    )
 
 
 def embedding_neardup_pairs(

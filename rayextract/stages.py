@@ -55,15 +55,17 @@ class ContentParser:
             text = text.combine_chunks()
         n = len(text)
 
-        # ---- kind routing (vectorized) ----------------------------------
-        pdfish = pc.starts_with(pc.utf8_ltrim_whitespace(text), "<<x:")
+        # ---- kind routing (vectorized; null text rows route as plain) ----
+        pdfish = pc.fill_null(
+            pc.starts_with(pc.utf8_ltrim_whitespace(text), "<<x:"), False
+        )
         htmlish = pc.and_(
             pc.starts_with(pc.utf8_ltrim_whitespace(text), "<"),
             pc.match_substring(text, "</"),
         )
-        htmlish = pc.and_(htmlish, pc.invert(pdfish))
-        pdf_np = pdfish.to_numpy(zero_copy_only=False)
-        html_np = htmlish.to_numpy(zero_copy_only=False)
+        htmlish = pc.fill_null(pc.and_(htmlish, pc.invert(pdfish)), False)
+        pdf_np = pdfish.to_numpy(zero_copy_only=False).astype(bool)
+        html_np = htmlish.to_numpy(zero_copy_only=False).astype(bool)
 
         # ---- decode non-plain payloads (Python only on flagged rows; the
         # patched-in result is vectorized — no full-column python round trip).
@@ -111,10 +113,15 @@ class ContentParser:
         # per-turn confidence (A1 input): kept-char ratio of normalization
         ext_len = pc.utf8_length(extracted).cast(pa.float64())
         clean_len = pc.utf8_length(clean).cast(pa.float64())
-        conf = pc.if_else(
-            pc.greater(ext_len, 0.0),
-            pc.multiply(pc.divide(clean_len, pc.max_element_wise(ext_len, 1.0)), 100.0),
-            pa.scalar(0.0),
+        conf = pc.fill_null(
+            pc.if_else(
+                pc.greater(ext_len, 0.0),
+                pc.multiply(
+                    pc.divide(clean_len, pc.max_element_wise(ext_len, 1.0)), 100.0
+                ),
+                pa.scalar(0.0),
+            ),
+            0.0,  # null text rows: confidence 0, never a null that skews A1 counts
         )
 
         # ---- keyword gate (F3, vectorized) ------------------------------
@@ -140,7 +147,10 @@ class ContentParser:
         for i, conv_i, t in zip(gate_idx, conv_gated, upper_gated):
             if not t:
                 continue
-            for field, value, start, end in candidates_for_turn(conv_i, t, self.cfg):
+            for field, value, start, end in candidates_for_turn(
+                conv_i, t, self.cfg,
+                patient_keys=self._patient_keys, invoice_keys=self._invoice_keys,
+            ):
                 cands[i].append(
                     {"field": field, "value": value, "start": start, "end": end}
                 )

@@ -76,3 +76,24 @@ def test_stage_and_oracle_agree_on_poison(poisoned):
     want = oracle_turn(MARKER)
     for col in ("kind", "extracted_text", "clean_text", "clean_upper", "parse_error"):
         assert got.column(col)[0].as_py() == want[col], col
+
+
+def test_null_text_rows_do_not_crash():
+    """TRANSCRIPT_SCHEMA allows null text: a null row must route as plain
+    with empty derived columns and zero confidence, never a TypeError."""
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1"], pa.string()),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "text": pa.array([None, "INVOICE # 7 here"], pa.string()),
+        }
+    )
+    out = ContentParser(ExtractConfig())(batch)
+    assert out.column("kind")[0].as_py() == "plain"
+    assert out.column("extracted_text")[0].as_py() is None
+    assert out.column("confidence")[0].as_py() == 0.0
+    assert out.column("candidates")[0].as_py() == []
+    # the non-null row still extracts
+    assert any(
+        c["field"] == "invoice_number" for c in out.column("candidates")[1].as_py()
+    )
