@@ -113,42 +113,56 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_SENTINEL = np.uint64((1 << 31) - 1)  # real signature values are < P31
 
 
 class MinHasher:
     """Stateful minhash stage: permutation parameters built once per actor."""
 
+    # Carter-Wegman universal hash over GF(2^31-1). The modulus must be close
+    # to the input range: a*h then wraps ~2^31 times, fully scrambling value
+    # ORDER. (With p=2^61-1 and 32-bit inputs, a*h+b < 4p wraps at most 3
+    # times, so hash order nearly equals input order — every permutation's
+    # minimum lands on the same globally-smallest shared shingle and unrelated
+    # docs collide at est_sim~0.9; observed at sf0.1 before this fix.)
+    P31 = (1 << 31) - 1
+
     def __init__(self, num_perm: int = 128, ngram: int = 3, seed: int = 7):
         rng = np.random.RandomState(seed)
-        # a < 2^31 and 32-bit shingle hashes keep a*h + b < 2^63: the modular
-        # arithmetic is then EXACT in uint64 (a full-width a*h would silently
-        # wrap mod 2^64 before the mod-p, voiding min-wise independence)
-        self.a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.uint64)
+        self.a = rng.randint(1, self.P31, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, self.P31, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.ngram = ngram
 
     def signature(self, text: str) -> np.ndarray:
         shingles = _token_set(text, self.ngram)
         if not shingles:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+            return np.full(self.num_perm, _SENTINEL, dtype=np.uint64)
         hv = np.array(
             [
                 int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "little")
+                & 0x7FFFFFFF
                 for s in shingles
             ],
             dtype=np.uint64,
         )
-        # (a*h + b) mod p, vectorized over perms x shingles — exact, no wrap
-        prod = (self.a[:, None] * hv[None, :] + self.b[:, None]) % _MERSENNE
+        # (a*h + b) mod p: a,h < 2^31 so a*h+b < 2^62 — exact in uint64
+        prod = (self.a[:, None] * hv[None, :] + self.b[:, None]) % np.uint64(self.P31)
         return prod.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         # signatures as packed little-endian uint64 bytes: binary columns
-        # survive Arrow hash joins (list columns don't)
+        # survive Arrow hash joins (list columns don't). Docs with NO
+        # shingles (< ngram tokens) are excluded: they would all share the
+        # sentinel signature and pair up pairwise at est_sim=1.0 (observed:
+        # most of the reported pairs at sf0.1 were such phantom matches).
         sigs = [self.signature(s) for s in df["text"]]
+        keep = np.array([s[0] != _SENTINEL for s in sigs], dtype=bool)
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "sig": [s.tobytes() for s in sigs]}
+            {
+                "doc_id": df["doc_id"].to_numpy()[keep],
+                "sig": [s.tobytes() for s, k in zip(sigs, keep) if k],
+            }
         )
 
 

@@ -1,0 +1,58 @@
+"""MinHash estimator calibration regression.
+
+The original (a*h+b) mod 2^61-1 over 32-bit inputs wrapped the modulus at
+most 3 times, so hash ORDER nearly equaled input order: every permutation's
+minimum landed on the same globally-smallest shared shingle and unrelated
+docs collided at est_sim ~0.9 (observed at sf0.1: median TRUE Jaccard of
+reported 'near-dup' pairs was 0.013). The GF(2^31-1) family fixed it; these
+bounds would catch any regression of that class.
+"""
+
+import numpy as np
+
+from rayextract.dedup import MinHasher, _token_set, jaccard
+
+WORDS = [f"w{i}" for i in range(60)]
+
+
+def _doc(seed: int, n: int = 80) -> str:
+    rng = np.random.RandomState(seed)
+    return " ".join(rng.choice(WORDS, size=n))
+
+
+def test_estimator_tracks_true_jaccard():
+    mh = MinHasher(num_perm=256, ngram=3)
+    rng = np.random.RandomState(1)
+    for sa, sb in [(1, 2), (3, 4), (5, 6)]:
+        a, b = _doc(sa), _doc(sb)
+        est = (mh.signature(a) == mh.signature(b)).mean()
+        true = jaccard(_token_set(a, 3), _token_set(b, 3))
+        assert abs(est - true) < 0.12, (est, true)
+
+    # near-dup: b = a with a few tokens changed
+    a_toks = _doc(7).split()
+    b_toks = list(a_toks)
+    for i in (5, 40, 70):
+        b_toks[i] = "CHANGED"
+    a, b = " ".join(a_toks), " ".join(b_toks)
+    est = (mh.signature(a) == mh.signature(b)).mean()
+    true = jaccard(_token_set(a, 3), _token_set(b, 3))
+    assert true > 0.7
+    assert abs(est - true) < 0.12, (est, true)
+
+
+def test_unrelated_docs_never_estimate_high():
+    mh = MinHasher(num_perm=128, ngram=3)
+    ests = []
+    for s in range(10, 30, 2):
+        a, b = _doc(s), _doc(s + 1)
+        ests.append((mh.signature(a) == mh.signature(b)).mean())
+    assert max(ests) < 0.35, ests
+
+
+def test_shingleless_docs_excluded_from_pairing():
+    import pandas as pd
+
+    mh = MinHasher(ngram=3)
+    out = mh(pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b", "x", "one two three four"]}))
+    assert out["doc_id"].tolist() == [3]
