@@ -233,15 +233,11 @@ def minhash_lsh_pairs(
     def upper_tri(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["doc_id"] < df["doc_id_r"]]
         # pack the pair into one int64 key: multi-key groupby shuffles were
-        # ~4x slower than single-key at equal row counts. Packing needs both
-        # ids < 2^31 — fail loudly instead of silently colliding pairs.
-        right = df["doc_id_r"].to_numpy(np.int64)
-        if len(right) and (right.max() >= (1 << 31) or right.min() < 0):
-            raise ValueError(
-                "minhash pair packing requires doc ids in [0, 2^31); "
-                "re-key the corpus or switch to the two-column pair key"
-            )
-        pair = (df["doc_id"].to_numpy(np.int64) << np.int64(32)) | right
+        # ~4x slower than single-key at equal row counts
+        pair = pack_pairs(
+            df["doc_id"].to_numpy(np.int64), df["doc_id_r"].to_numpy(np.int64),
+            "minhash",
+        )
         out = pd.DataFrame({"pair": pair})
         return out.drop_duplicates("pair")  # batch-local pre-dedup
 
@@ -318,11 +314,44 @@ def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy<2 has no bitwise_count)."""
+    return (
+        _POP8[x.view(np.uint8)].reshape(*x.shape, 8).sum(axis=-1).astype("int64")
+    )
+
+
+def pack_pairs(a: np.ndarray, b: np.ndarray, what: str) -> np.ndarray:
+    """(a, b) -> single int64 key (a<<32 | b). Both ids must fit 31 bits —
+    fail loudly instead of silently colliding pairs."""
+    a = a.astype(np.int64)
+    b = b.astype(np.int64)
+    if len(a) and (
+        max(a.max(), b.max()) >= (1 << 31) or min(a.min(), b.min()) < 0
+    ):
+        raise ValueError(
+            f"{what} pair packing requires doc ids in [0, 2^31); "
+            "re-key the corpus or switch to the two-column pair key"
+        )
+    return (a << np.int64(32)) | b
+
+
 def simhash_neardup_pairs(
     docs: "ray.data.Dataset", max_hamming: int = 3
 ) -> "ray.data.Dataset":
     """(doc_a, doc_b, hamming) via 4x16-bit band blocking: any pair with
-    Hamming distance <= 3 shares at least one exact 16-bit band."""
+    Hamming distance <= 3 shares at least one exact 16-bit band.
+
+    Scale shape (no per-group Python UDFs): fingerprints -> band explosion ->
+    hash-BUCKETED reduce over (band_id, band_val) (the ~256k distinct band
+    buckets land in B coarse buckets; per-group cost is a numpy outer-XOR
+    popcount inside a plain loop, not a Ray map_groups dispatch) -> packed
+    (a<<32|b) pair keys -> second bucketed reduce for the cross-band dedup."""
+    from .bucketed import bucketed_group_reduce
+
     sh = docs.map_batches(simhash_batch, batch_format="pandas")
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -340,22 +369,60 @@ def simhash_neardup_pairs(
             }
         )
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        rows = []
-        ids = g["doc_id"].tolist()
-        hs = g["simhash"].tolist()
-        for i, j in combinations(range(len(ids)), 2):
-            d = bin(int(hs[i]) ^ int(hs[j])).count("1")
-            if d <= max_hamming:
-                rows.append((ids[i], ids[j], d))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All <=max_hamming pairs within each (band_id, band_val) group of
+        one coarse bucket. Outer XOR + table popcount per group (groups are
+        band buckets — small by construction; a pathologically hot band value
+        would need salting, same caveat as any blocking key)."""
+        g = g.sort_values(["band_id", "band_val", "doc_id"]).drop_duplicates(
+            ["band_id", "band_val", "doc_id"]
+        )
+        pair_keys: list[np.ndarray] = []
+        hams: list[np.ndarray] = []
+        for _, gg in g.groupby(["band_id", "band_val"], sort=False):
+            m = len(gg)
+            if m < 2:
+                continue
+            ids = gg["doc_id"].to_numpy(np.int64)
+            hs = gg["simhash"].to_numpy(np.uint64)
+            d = _popcount64(hs[:, None] ^ hs[None, :])
+            iu, ju = np.triu_indices(m, 1)
+            keep = d[iu, ju] <= max_hamming
+            if not keep.any():
+                continue
+            ia, jb = iu[keep], ju[keep]
+            pair_keys.append(pack_pairs(ids[ia], ids[jb], "simhash"))
+            hams.append(d[ia, jb])
+        if not pair_keys:
+            return pd.DataFrame(
+                {"pair": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"pair": np.concatenate(pair_keys), "hamming": np.concatenate(hams)}
+        ).drop_duplicates("pair")
+
+    band_rows = sh.map_batches(explode, batch_format="pandas")
+    pairs = bucketed_group_reduce(
+        band_rows, ["band_id", "band_val"],
+        lambda df: df,  # band rows are already minimal (id, hash per band)
+        band_pairs,
+        n_buckets=64,
+    )
+
+    def unpack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("pair")
+        p = g["pair"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_a": (p >> np.int64(32)).astype("int64"),
+                "doc_b": (p & np.int64(0xFFFFFFFF)).astype("int64"),
+                "hamming": g["hamming"].astype("int64"),
+            }
         )
 
-    pairs = sh.map_batches(explode, batch_format="pandas").groupby(
-        ["band_id", "band_val"]
-    ).map_groups(bucket, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return bucketed_group_reduce(
+        pairs, ["pair"],
+        lambda df: df.drop_duplicates("pair"),
+        unpack,
+        n_buckets=32,
     )

@@ -5,20 +5,31 @@ min-label propagation: every node's label converges to the minimum doc_id
 reachable from it — a deterministic canonical cluster id (keep doc ==
 cluster id, drop the rest, the standard dedup policy).
 
-Scale shape per iteration: one hash-partitioned ``Dataset.join`` (labels ⋈
-edges) + one bucketed min-reduce — both O(edges); iterations = graph
-diameter (near-dup clusters are shallow, typically <5). The driver loop only
-carries a scalar changed-count per iteration; labels/edges stay distributed.
+Scale shape per iteration — TWO bucketed hash shuffles, no Dataset.join:
+
+1. **route**: bucket (own-label rows ∪ edge rows) by ``node``; inside each
+   bucket a vectorized pandas merge attaches every node's current label to
+   its outgoing edges -> messages addressed to the peers. Label rows also
+   emit a *shortcut* edge ``label(u) -> u`` (pointer jumping): u receives
+   ``label(label(u))`` next round, so convergence is O(log diameter), not
+   O(diameter) — long near-dup chains can't exhaust the iteration budget.
+2. **combine**: bucket (messages ∪ own-label rows) by ``node``; per bucket a
+   vectorized min-per-node, plus a changed flag vs the own label.
+
+The driver loop only carries a scalar changed-count per iteration;
+labels/edges stay distributed. Everything is O(|E|+|V|) rows per iteration.
 """
 
 from __future__ import annotations
 
+import warnings
+
+import numpy as np
 import pandas as pd
 
 import ray.data
 
 from .bucketed import bucketed_group_reduce
-from .relational import join_partitions
 
 
 def connected_components(
@@ -27,70 +38,107 @@ def connected_components(
     b: str = "doc_b",
     max_iters: int = 50,
 ) -> "ray.data.Dataset":
-    """(node, cluster_id=min reachable node) for every node in ``pairs``."""
+    """(doc_id, cluster_id=min reachable node) for every node in ``pairs``."""
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
-        fwd = pd.DataFrame({"u": df[a], "v": df[b]})
-        rev = pd.DataFrame({"u": df[b], "v": df[a]})
-        return pd.concat([fwd, rev], ignore_index=True).astype("int64")
+        fwd = pd.DataFrame({"node": df[a], "peer": df[b]})
+        rev = pd.DataFrame({"node": df[b], "peer": df[a]})
+        return (
+            pd.concat([fwd, rev], ignore_index=True)
+            .astype("int64")
+            .drop_duplicates()
+        )
 
     edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
 
     labels = bucketed_group_reduce(
-        edges, ["u"],
-        lambda df: df[["u"]].drop_duplicates(),
-        lambda g: g.drop_duplicates().assign(label=lambda d: d["u"]),
+        edges, ["node"],
+        lambda df: df[["node"]].drop_duplicates(),
+        lambda g: g.drop_duplicates().assign(label=lambda d: d["node"]),
         n_buckets=16,
     ).materialize()
 
+    def lab_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # own-label row + the pointer-jumping shortcut request label(u)->u
+        own = pd.DataFrame(
+            {"node": df["node"], "peer": np.int64(-1), "label": df["label"]}
+        )
+        shortcut = pd.DataFrame(
+            {"node": df["label"], "peer": df["node"], "label": np.int64(-1)}
+        )
+        # self-shortcuts (label(u)==u) are no-ops; drop them
+        shortcut = shortcut[shortcut["node"] != shortcut["peer"]]
+        return pd.concat([own, shortcut], ignore_index=True).astype("int64")
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["node"], "peer": df["peer"], "label": np.int64(-1)}
+        ).astype("int64")
+
+    def route(g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket: attach labels to this bucket's outgoing edges.
+        Emits messages (node=peer, label, own=0) + own rows (node, label, own=1)."""
+        lab = g.loc[g["peer"] < 0, ["node", "label"]].drop_duplicates("node")
+        e = g.loc[g["peer"] >= 0, ["node", "peer"]].drop_duplicates()
+        m = e.merge(lab, on="node", how="inner")
+        msgs = pd.DataFrame(
+            {"node": m["peer"], "label": m["label"], "own": np.int64(0)}
+        )
+        own = pd.DataFrame(
+            {"node": lab["node"], "label": lab["label"], "own": np.int64(1)}
+        )
+        return pd.concat([msgs, own], ignore_index=True).astype("int64")
+
+    def combine_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # min per (node, own) — associative, shrinks the second shuffle
+        return (
+            df.groupby(["node", "own"], sort=False)["label"].min().reset_index()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("node", sort=False)["label"].min()
+        old = g.loc[g["own"] == 1].set_index("node")["label"]
+        out = pd.DataFrame(
+            {
+                "node": new.index.to_numpy(),
+                "label": new.to_numpy(),
+                "changed": (new < old.reindex(new.index)).fillna(False).to_numpy()
+                .astype("int64"),
+            }
+        )
+        return out.astype({"node": "int64", "label": "int64"})
+
+    edge_tagged = edges.map_batches(edge_rows, batch_format="pandas").materialize()
+
+    converged = False
     for _ in range(max_iters):
-        # neighbor labels: edges ⋈ labels on v, then min(label, own) per u
-        msgs = edges.join(
-            labels.map_batches(
-                lambda df: df.rename(columns={"u": "v"}), batch_format="pandas"
-            ),
-            join_type="inner", num_partitions=join_partitions(cap=8), on=("v",),
+        routed = bucketed_group_reduce(
+            labels.map_batches(lab_rows, batch_format="pandas").union(edge_tagged),
+            ["node"],
+            lambda df: df.drop_duplicates(),
+            route,
+            n_buckets=16,
         )
-
-        def min_per_node(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("u", sort=False)["label"].min().reset_index()
-
-        neighbor_min = bucketed_group_reduce(
-            msgs.map_batches(
-                lambda df: df[["u", "label"]], batch_format="pandas"
-            ),
-            ["u"], min_per_node, min_per_node, n_buckets=16,
-        )
-        merged = labels.join(
-            neighbor_min.map_batches(
-                lambda df: df.rename(columns={"label": "nlabel"}),
-                batch_format="pandas",
-            ),
-            join_type="left_outer", num_partitions=join_partitions(cap=8), on=("u",),
-        )
-
-        def combine(df: pd.DataFrame) -> pd.DataFrame:
-            nl = df["nlabel"].fillna(df["label"])
-            out = pd.DataFrame(
-                {
-                    "u": df["u"].astype("int64"),
-                    "label": nl.astype("int64").where(
-                        nl < df["label"], df["label"]
-                    ).astype("int64"),
-                    "changed": (nl < df["label"]).astype("int64"),
-                }
-            )
-            return out
-
-        new_labels = merged.map_batches(combine, batch_format="pandas").materialize()
+        new_labels = bucketed_group_reduce(
+            routed, ["node"], combine_partial, combine, n_buckets=16,
+        ).materialize()
         changed = new_labels.sum("changed")
         labels = new_labels.drop_columns(["changed"]).materialize()
         if not changed:
+            converged = True
             break
+
+    if not converged:
+        # silent truncation would hand back split clusters as if final
+        warnings.warn(
+            f"connected_components did not converge in {max_iters} iterations; "
+            "cluster ids may be split — raise max_iters",
+            RuntimeWarning,
+        )
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"doc_id": df["u"].astype("int64"), "cluster_id": df["label"].astype("int64")}
+            {"doc_id": df["node"].astype("int64"), "cluster_id": df["label"].astype("int64")}
         )
 
     return labels.map_batches(fin, batch_format="pandas")

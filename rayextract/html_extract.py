@@ -106,6 +106,9 @@ class _FastBlockParser:
     _TAG = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>")
     _END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
     _NAME_TOLERANT = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)")
+    _CLOSE = {
+        t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in ("script", "style")
+    }
 
     def __init__(self):
         self.blocks: list[_Block] = []
@@ -193,17 +196,19 @@ class _FastBlockParser:
                     if selfclosing:
                         self.handle_endtag(tag)
                     pos = m.end()
-                    # script/style bodies are CDATA: raw until the close tag
+                    # script/style bodies are CDATA: raw until a FULL close
+                    # tag. stdlib's set_cdata_mode pattern is r'</\s*tag\s*>'
+                    # (html/parser.py:122-124) — a prefix like '</scriptx>' or
+                    # '</script foo>' does NOT end CDATA and stays data; with
+                    # no close tag at all, goahead breaks and the remaining
+                    # payload is never emitted (verified against 3.11).
                     if tag in ("script", "style") and not selfclosing:
-                        close = re.compile(rf"</\s*{tag}", re.IGNORECASE)
-                        cm = close.search(html, pos)
+                        cm = self._CLOSE[tag].search(html, pos)
                         if cm:
                             self.handle_data(html[pos : cm.start()])
-                            gt = find(">", cm.start())
                             self.handle_endtag(tag)
-                            pos = n if gt < 0 else gt + 1
+                            pos = cm.end()
                         else:
-                            self.handle_data(html[pos:])
                             pos = n
                 else:
                     self.handle_data("<")

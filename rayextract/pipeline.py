@@ -89,20 +89,33 @@ def run_extraction(input_path: str | list[str], cfg: ExtractConfig | None = None
 # Resumable sharded runner (K1/K3 analog)
 # ---------------------------------------------------------------------------
 
-def _shard_inputs(paths: list[str], n_shards: int) -> list[list[str]]:
-    """Hash-stable file grouping: a file's shard depends only on its name,
-    never on the rest of the listing. New files arriving between runs (the
-    reference's 2-min folder poll, Worker.cs:45-56) therefore change ONLY the
-    shards they land in; every other shard's input set — and manifest row —
-    is unchanged and resume-skips. (Positional round-robin would shift every
-    shard's membership when one file appears.)"""
+def _glob_root(pattern: str) -> str:
+    """Static directory prefix of a glob pattern (stops at the first magic)."""
+    parts = []
+    for seg in pattern.split(os.sep):
+        if any(c in seg for c in "*?["):
+            break
+        parts.append(seg)
+    return os.sep.join(parts) or "."
+
+
+def _shard_inputs(paths: list[str], n_shards: int, root: str | None = None) -> list[list[str]]:
+    """Hash-stable file grouping: a file's shard depends only on its path
+    relative to the dataset root (the glob's static prefix), never on the
+    rest of the listing. New files arriving between runs (the reference's
+    2-min folder poll, Worker.cs:45-56) therefore change ONLY the shards they
+    land in; every other shard's input set — and manifest row — is unchanged
+    and resume-skips. (Positional round-robin would shift every shard's
+    membership when one file appears; basename-only hashing collapsed dated
+    subdirectories with repeated part-00000.parquet names into one shard.)
+    Renaming or moving a file reassigns its shard — its old shard recomputes
+    on the next sweep because the manifest's input set changed."""
     import hashlib
 
     shards: list[list[str]] = [[] for _ in range(n_shards)]
     for p in sorted(paths):
-        h = int.from_bytes(
-            hashlib.md5(os.path.basename(p).encode()).digest()[:8], "little"
-        )
+        key = os.path.relpath(p, root) if root else os.path.normpath(p)
+        h = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "little")
         shards[h % n_shards].append(p)
     return shards
 
@@ -163,14 +176,17 @@ def run_sharded(
     resume is then at job granularity. Turns output is correct either way.
     """
     cfg = cfg or ExtractConfig()
-    paths = (
-        sorted(glob.glob(input_glob)) if isinstance(input_glob, str) else sorted(input_glob)
-    )
+    if isinstance(input_glob, str):
+        paths = sorted(glob.glob(input_glob))
+        shard_root = _glob_root(input_glob)
+    else:
+        paths = sorted(input_glob)
+        shard_root = None  # explicit file lists hash their normalized path
     if not paths:
         raise FileNotFoundError(f"no input files match {input_glob!r}")
     os.makedirs(out_dir, exist_ok=True)
     done = load_manifest(out_dir)
-    shards = _shard_inputs(paths, n_shards)
+    shards = _shard_inputs(paths, n_shards, root=shard_root)
     stats = {"shards_total": len(shards), "shards_skipped": 0, "turns": 0, "convs": 0}
     for sid, shard_paths in enumerate(shards):
         if not shard_paths:
@@ -219,18 +235,29 @@ def run_sharded(
             for f in os.listdir(turns_dir):
                 if not f.endswith(".parquet"):
                     continue
-                md = pq.read_metadata(os.path.join(turns_dir, f))
+                fpath = os.path.join(turns_dir, f)
+                md = pq.read_metadata(fpath)
                 n_turns += md.num_rows
                 # quarantined-row count from parquet column statistics
-                # (parse_error is null for healthy rows) — no data read
+                # (parse_error is null for healthy rows) — no data read for
+                # row groups with usable stats; pyarrow may report statistics
+                # with null_count unset, so fall back to reading JUST the
+                # parse_error column for those groups
+                col_idx = md.schema.names.index("parse_error")
+                missing_stats_rgs = []
                 for rg in range(md.num_row_groups):
-                    col = md.row_group(rg).column(
-                        md.schema.names.index("parse_error")
-                    )
-                    if col.statistics is not None:
+                    col = md.row_group(rg).column(col_idx)
+                    if col.statistics is not None and col.statistics.has_null_count:
                         n_parse_errors += (
                             md.row_group(rg).num_rows - col.statistics.null_count
                         )
+                    else:
+                        missing_stats_rgs.append(rg)
+                if missing_stats_rgs:
+                    pf = pq.ParquetFile(fpath)
+                    for rg in missing_stats_rgs:
+                        c = pf.read_row_group(rg, columns=["parse_error"]).column(0)
+                        n_parse_errors += len(c) - c.null_count
         os.replace(tmp_conv, conv_dir)
         n_convs = sum(
             pq.read_metadata(os.path.join(conv_dir, f)).num_rows

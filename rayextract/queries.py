@@ -184,7 +184,13 @@ def e5_order_ref(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def e9_first_match_fold(sf_dir: str):
-    """First purchase per user by (ts, event_id) — the ordered fold."""
+    """First purchase per user by (ts, event_id) — the ordered fold.
+
+    Same bucketed-combiner shape as the flagship fold (fold.py): per-batch
+    winner per user (head-1 after a stable sort), then ONE hash-bucket
+    shuffle and a vectorized per-bucket merge — no per-user Python groups
+    (the round-1 twin paid ~1 ms/user in ``groupby(user_id).map_groups``)."""
+    from .bucketed import bucketed_group_reduce
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         p = df[df["event_type"] == "purchase"]
@@ -196,20 +202,20 @@ def e9_first_match_fold(sf_dir: str):
             "user_id", sort=False
         ).head(1)[["user_id", "event_id", "ts", "value"]]
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        w = g.sort_values(["ts", "event_id"], kind="stable").iloc[0]
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.sort_values(["ts", "event_id"], kind="stable").groupby(
+            "user_id", sort=False
+        ).head(1)
         return pd.DataFrame(
             {
-                "user_id": [w["user_id"]],
-                "first_event_id": [w["event_id"]],
-                "first_value_cents": [int(_round_half_away(w["value"] * 100))],
+                "user_id": w["user_id"].astype("int64"),
+                "first_event_id": w["event_id"].astype("int64"),
+                "first_value_cents": _cents(w["value"]),
             }
-        ).astype({"user_id": "int64", "first_event_id": "int64", "first_value_cents": "int64"})
+        )
 
     src = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
-    return src.map_batches(partial, batch_format="pandas").groupby("user_id").map_groups(
-        final, batch_format="pandas"
-    )
+    return bucketed_group_reduce(src, ["user_id"], partial, reduce, n_buckets=64)
 
 
 def a1_user_stats(sf_dir: str):
@@ -244,26 +250,48 @@ def a1_user_stats(sf_dir: str):
 
 
 def sessionize_events(sf_dir: str, gap_sec: int = 1800):
-    """Per-user session stats (30-min inactivity gap) — windowed aggregate."""
+    """Per-user session stats (30-min inactivity gap) — windowed aggregate.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gaps = g["ts"].diff().dt.total_seconds()
-        new_sess = (gaps.isna() | (gaps > gap_sec)).astype(int)
-        sess_id = new_sess.cumsum()
-        sizes = sess_id.value_counts()
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(sess_id.max())],
-                "max_session_events": [int(sizes.max())],
-            }
-        ).astype("int64")
+    Scale shape: hash-bucket shuffle on user_id, then ONE vectorized pass per
+    bucket — sort the whole bucket frame by (user_id, ts, event_id), session
+    boundaries via per-user ``diff`` + global cumsum, sizes via a single
+    composite groupby. No per-user Python. (Session boundaries can't be
+    batch-combined without fragment merging, so the partial is a projection;
+    the shuffle carries 3 narrow columns.)"""
+    from .bucketed import bucketed_group_reduce
 
-    return (
-        _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id", "ts", "event_id"]]
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                columns=["user_id", "n_sessions", "max_session_events"]
+            ).astype("int64")
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gaps = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        new_sess = (gaps.isna() | (gaps > gap_sec)).to_numpy()
+        # global cumsum: session ids unique across users within the bucket
+        # (each user's first row always starts a new session)
+        sess = np.cumsum(new_sess)
+        sizes = (
+            pd.DataFrame({"user_id": g["user_id"].to_numpy(), "sess": sess})
+            .groupby(["user_id", "sess"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        out = (
+            sizes.groupby("user_id", sort=False)
+            .agg(n_sessions=("sess", "count"), max_session_events=("cnt", "max"))
+            .reset_index()
+        )
+        return out.astype(
+            {"user_id": "int64", "n_sessions": "int64", "max_session_events": "int64"}
+        )
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]),
+        ["user_id"], partial, reduce, n_buckets=64,
     )
 
 
@@ -716,8 +744,13 @@ def e7_vendor_lookup(sf_dir: str):
     """E7 generalization (Worker.cs:299-364): broadcast small-side
     exact-equality lookup — tiny (text -> vendor) dict shipped once via
     ray.put, matched inside map_batches (no shuffle)."""
-    small = _read_small(sf_dir, "documents", ["doc_id", "text"])
-    small = small[small["doc_id"] < 5]
+    # predicate pushed into the parquet read: only the <5 rows ever leave
+    # storage (round 1 read the FULL documents table to the driver here)
+    small = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 5)],
+    ).to_pandas()
     lut = (
         small.groupby("text", sort=False)["doc_id"].min().reset_index()
     )
@@ -915,8 +948,20 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     from .similarity import _stack
     import ray
 
+    # materialize: the loop re-scans the table each iteration; at cluster
+    # scale this would be a checkpointed parquet intermediate instead.
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    init = emb.filter(lambda r: r["vec_id"] < k).to_pandas().sort_values("vec_id")
+
+    def pick_init(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.less(t["vec_id"], k))  # vectorized mask, not per-row
+
+    init = (
+        emb.map_batches(pick_init, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
     centroids = np.vstack([np.asarray(v, dtype=np.float64) for v in init["embedding"]])
 
     for _ in range(iters):

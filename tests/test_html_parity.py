@@ -57,6 +57,14 @@ EDGE_CASES = [
     "< notatag <p>then real content with enough characters to keep it</p>",
     "<script>never closed script body <p>swallowed</p>",
     "text &amp; more <p>mixed top-level then block with enough characters</p>",
+    # CDATA exit needs the FULL close tag (stdlib r'</\s*tag\s*>'):
+    # '</scriptx>' must NOT end the script — 'still code' stays swallowed
+    "<script>a</scriptx> still code </script><p>real content after script x</p>",
+    "<script>a</script foo>b</script><p>real content after junk endtag</p>",
+    "<style>s</ style >t<p>after a spaced style close with enough text</p>",
+    "<script>a<!--</script>--><p>comment-lookalike inside script body ok</p>",
+    "<p>before</p><script>tail with no close tag is dropped entirely",
+    "<STYLE>S</STYLE><p>uppercase style close with enough padding text here</p>",
 ]
 
 
