@@ -105,7 +105,297 @@ def ngram_jaccard_pairs(
             {"doc_a": "int64", "doc_b": "int64", "sim": "float64"}
         )
 
-    return docs.groupby(block_key).map_groups(pairs_in_block, batch_format="pandas")
+    from .relational import join_partitions as _jp
+
+    return docs.groupby(block_key, num_partitions=_jp()).map_groups(
+        pairs_in_block, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked LSH + exact-Jaccard verification (the scale path for the blocked
+# near-dup operator: same output contract as ngram_jaccard_pairs, but no
+# whole-block-in-one-task quadratic)
+# ---------------------------------------------------------------------------
+
+
+class BlockedSigHasher:
+    """Stateful stage: (doc_id, text, block) -> (doc_id, block, toks, sig).
+
+    ``toks``: sorted unique 64-bit md5 token/shingle hashes (bytes) — the
+    exact-Jaccard verifier input. Jaccard over 64-bit hash sets equals true
+    set Jaccard absent a 2^-64 collision (documented assumption; the corpus
+    vocabulary is orders of magnitude below the birthday bound).
+    ``sig``: MinHash signature over the same shingle set (bytes), GF(2^31-1)
+    Carter-Wegman family (see MinHasher for why the modulus must match the
+    31-bit input range). Token-hash cache + permutation params built once per
+    actor (D4 pattern).
+    """
+
+    P31 = (1 << 31) - 1
+
+    def __init__(self, num_perm: int = 128, ngram: int = 1, seed: int = 7,
+                 block_key: str = "source"):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, self.P31, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, self.P31, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.ngram = ngram
+        self.block_key = block_key
+        self._cache: dict = {}
+
+    def _hash_tokens(self, shingles: frozenset) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(shingles), dtype=np.uint64)
+        for i, s in enumerate(shingles):
+            h = cache.get(s)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                cache[s] = h
+            out[i] = h
+        out.sort()
+        return out
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks_col, sig_col = [], []
+        for text in df["text"]:
+            shingles = _token_set(text if isinstance(text, str) else "", self.ngram)
+            th = self._hash_tokens(shingles)
+            toks_col.append(th.tobytes())
+            if len(th):
+                hv = (th & np.uint64(0x7FFFFFFF)).astype(np.uint64)
+                prod = (self.a[:, None] * hv[None, :] + self.b[:, None]) % np.uint64(
+                    self.P31
+                )
+                sig_col.append(prod.min(axis=1).tobytes())
+            else:
+                sig_col.append(None)  # no shingles: never a candidate
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "block": df[self.block_key],
+                "toks": toks_col,
+                "sig": sig_col,
+            }
+        )
+
+
+def _pick_band_rows(num_perm: int, threshold: float, max_miss: float = 1e-7) -> int:
+    """Largest power-of-2 rows-per-band whose per-pair miss probability at
+    Jaccard == threshold, (1 - t^r)^(num_perm/r), stays under ``max_miss``.
+    Larger rows = fewer/more-selective candidates; recall is the hard
+    constraint because the exact verifier fixes precision but can never
+    recover a missed candidate."""
+    best, r = 1, 1
+    while r <= num_perm:
+        if num_perm % r == 0 and (1.0 - threshold**r) ** (num_perm // r) <= max_miss:
+            best = r
+        r *= 2
+    return best
+
+
+def blocked_lsh_jaccard_pairs(
+    docs: "ray.data.Dataset",
+    threshold: float,
+    block_key: str = "source",
+    ngram: int = 1,
+    num_perm: int = 128,
+    bands: int | None = None,
+    n_buckets: int = 64,
+    band_groups: int = 4,
+    dense_cell_max: int = 2048,
+    concurrency: tuple[int, int] = (1, 8),
+) -> "ray.data.Dataset":
+    """(doc_a, doc_b, sim) for same-``block_key`` pairs with exact Jaccard >=
+    threshold — identical contract to ``ngram_jaccard_pairs``, built as
+    banded LSH candidate generation + per-pair exact verification, so no task
+    ever holds a whole block of raw text (round-1's quadratic-in-one-task
+    bomb).
+
+    Pipeline — ONE medium shuffle plus an output-sized dedup:
+      A. actor stage: tokenize once -> sorted 64-bit token-hash set (the
+         verifier input) + MinHash signature, both packed bytes. Raw text
+         never leaves this stage.
+      B. replicate each doc's (sig, toks) row ``band_groups`` ways, keyed
+         (block, group): bands are striped across groups, so each bucket
+         runs LSH for its 1/band_groups of the bands over its block's docs —
+         candidate generation, local pair dedup, and exact-Jaccard
+         verification all happen inside the bucket (token sets are looked up
+         in-bucket, never shipped per pair).
+      C. verified pairs are tiny (near-dups only); one bucketed pass dedups
+         the pairs that qualified in several band groups.
+
+    Recall: banding is auto-tuned to the threshold (``_pick_band_rows``) so a
+    pair at exactly Jaccard == threshold is missed with p <= 1e-7 (at the
+    default t=0.9: 32 bands x 4 rows, miss ~1.3e-15 per pair); the exact
+    verifier then makes precision 1.0, so the output equals the exhaustive
+    blocked scan (oracle-checked, equality-tested vs ngram_jaccard_pairs).
+
+    PARTITIONING ASSUMPTION: a block's compact rows (~(num_perm+|tokens|)*8
+    bytes per doc — NOT its text) must fit a task ``band_groups`` of which
+    exist per block; for blocks too hot even for that, or for unblocked
+    near-dup, use ``minhash_lsh_pairs``. Candidate count inside a bucket is
+    LSH-bounded, not |block|^2 — but a block whose docs are mutually
+    near-identical is inherently Ω(output) for ANY exact pair operator.
+    """
+    from .bucketed import bucketed_group_reduce
+
+    rows_per_band = (
+        num_perm // bands if bands else _pick_band_rows(num_perm, threshold)
+    )
+    bands = num_perm // rows_per_band
+    band_groups = max(1, min(band_groups, bands))
+
+    sigs = docs.map_batches(
+        BlockedSigHasher,
+        fn_constructor_kwargs={
+            "num_perm": num_perm, "ngram": ngram, "block_key": block_key,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    mult = (
+        np.arange(rows_per_band, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        + np.uint64(1)
+    )
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["sig"].notna()]  # shingle-less docs never pair
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "block": np.tile(df["block"].to_numpy(), band_groups),
+                "grp": np.repeat(np.arange(band_groups, dtype=np.int64), n),
+                "doc_id": np.tile(df["doc_id"].to_numpy(), band_groups).astype(
+                    "int64"
+                ),
+                "toks": np.tile(df["toks"].to_numpy(), band_groups),
+                "sig": np.tile(df["sig"].to_numpy(), band_groups),
+            }
+        )
+
+    def _dense_cell(ids, tok_arrays):
+        """Small-cell fast path: EXACT all-pairs Jaccard via one incidence
+        matmul — A (docs x cell-vocab) 0/1, inter = A@A.T, ~100x cheaper than
+        per-candidate set ops at bench scale AND recall is exactly 1.0 (no
+        LSH miss probability at all for cells below the cutoff)."""
+        sizes = np.array([len(t) for t in tok_arrays], dtype=np.float64)
+        uniq, inv = np.unique(np.concatenate(tok_arrays), return_inverse=True)
+        m = len(ids)
+        A = np.zeros((m, len(uniq)), dtype=np.float32)
+        A[np.repeat(np.arange(m), sizes.astype(np.int64)), inv] = 1.0
+        inter = (A @ A.T).astype(np.float64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sim = np.where(union > 0, inter / union, 0.0)
+        iu, ju = np.triu_indices(m, 1)
+        keep = sim[iu, ju] >= threshold
+        if not keep.any():
+            return None
+        a, b2 = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b2), np.maximum(a, b2)
+        return pd.DataFrame(
+            {"pair": pack_pairs(lo, hi, "blocked-lsh"), "sim": sim[iu, ju][keep]}
+        )
+
+    def _banded_cell(ids, tok_arrays, sig_mat, grp):
+        """Large-cell scale path: this group's band slice -> candidates ->
+        per-candidate exact Jaccard (sorted uint64 intersect)."""
+        cand_a: list[np.ndarray] = []
+        cand_b: list[np.ndarray] = []
+        for b in range(int(grp), bands, band_groups):
+            chunk = sig_mat[:, b * rows_per_band : (b + 1) * rows_per_band]
+            bh = (chunk * mult[None, :]).sum(axis=1)
+            order = np.argsort(bh, kind="stable")
+            sbh = bh[order]
+            starts = np.flatnonzero(np.r_[True, sbh[1:] != sbh[:-1]])
+            ends = np.r_[starts[1:], len(sbh)]
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                idx = order[s:e]
+                ii, jj = np.triu_indices(e - s, 1)
+                a, b2 = ids[idx[ii]], ids[idx[jj]]
+                cand_a.append(np.minimum(a, b2))
+                cand_b.append(np.maximum(a, b2))
+        if not cand_a:
+            return None
+        pairs = np.unique(
+            pack_pairs(np.concatenate(cand_a), np.concatenate(cand_b), "blocked-lsh")
+        )
+        lut = dict(zip(ids, tok_arrays))
+        da = (pairs >> np.int64(32)).astype("int64")
+        db = (pairs & np.int64(0xFFFFFFFF)).astype("int64")
+        sims = np.empty(len(pairs), dtype=np.float64)
+        for i in range(len(pairs)):
+            ta, tb = lut[da[i]], lut[db[i]]
+            inter = np.intersect1d(ta, tb, assume_unique=True).size
+            union = ta.size + tb.size - inter
+            sims[i] = inter / union if union else 0.0
+        keep = sims >= threshold
+        if not keep.any():
+            return None
+        return pd.DataFrame({"pair": pairs[keep], "sim": sims[keep]})
+
+    def lsh_verify(g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket = a few (block, grp) cells. Small cells (<= cutoff):
+        exact dense matmul, computed only in group 0 (identical content per
+        group). Large cells: banded candidates + per-pair exact verify."""
+        outs: list[pd.DataFrame] = []
+        for (_, grp), gg in g.groupby(["block", "grp"], sort=False):
+            gg = gg.drop_duplicates("doc_id")
+            m = len(gg)
+            if m < 2:
+                continue
+            ids = gg["doc_id"].to_numpy(np.int64)
+            tok_arrays = [np.frombuffer(t, dtype=np.uint64) for t in gg["toks"]]
+            total_tokens = sum(len(t) for t in tok_arrays)
+            # dense is O(m^2 * vocab) time and O(m * vocab) memory; both
+            # bounds are deterministic functions of the cell content, so
+            # every band group makes the same choice
+            if m <= dense_cell_max and m * total_tokens <= (1 << 26):
+                out = _dense_cell(ids, tok_arrays) if int(grp) == 0 else None
+            else:
+                sig_mat = np.vstack(
+                    [np.frombuffer(s, dtype=np.uint64) for s in gg["sig"]]
+                )
+                out = _banded_cell(ids, tok_arrays, sig_mat, grp)
+            if out is not None:
+                outs.append(out)
+        if not outs:
+            return pd.DataFrame(
+                {"pair": pd.Series(dtype="int64"), "sim": pd.Series(dtype="float64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    verified = bucketed_group_reduce(
+        sigs.map_batches(replicate, batch_format="pandas"),
+        ["block", "grp"],
+        lambda df: df,
+        lsh_verify,
+        n_buckets=n_buckets,
+    )
+
+    def unpack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("pair")
+        p = g["pair"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_a": (p >> np.int64(32)).astype("int64"),
+                "doc_b": (p & np.int64(0xFFFFFFFF)).astype("int64"),
+                "sim": g["sim"].astype("float64"),
+            }
+        )
+
+    # output-sized dedup: a pair verified in several band groups appears once
+    return bucketed_group_reduce(
+        verified, ["pair"],
+        lambda df: df.drop_duplicates("pair"),
+        unpack,
+        n_buckets=32,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -172,17 +462,26 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 32,
     ngram: int = 3,
-    concurrency: tuple[int, int] = (1, 4),
+    n_buckets: int = 64,
+    concurrency: tuple[int, int] = (1, 8),
 ) -> "ray.data.Dataset":
-    """Near-dup pairs via MinHash LSH, verified with signature-estimated
-    Jaccard >= threshold. Returns (doc_a, doc_b, est_sim).
+    """Unblocked near-dup pairs via MinHash LSH, verified with signature-
+    estimated Jaccard >= threshold. Returns (doc_a, doc_b, est_sim).
 
-    Fully vectorized scale shape (no per-group Python UDFs):
-    signature actor stage -> numpy band explosion (band_id, band_hash, doc_id)
-    -> hash-partitioned SELF-JOIN on the band key -> a<b filter -> distinct
-    pairs via vectorized Count aggregate -> two hash joins back to the
-    signatures -> batch-level est-sim verification.
+    Join-free scale shape — every exchange is a bucketed hash shuffle and no
+    per-group Python UDF touches high-cardinality keys:
+      1. signature actor stage (materialized once; at cluster scale this
+         would be a checkpointed parquet intermediate),
+      2. numpy band explosion -> (band_id, band_hash, doc_id) rows (24 B/row
+         — signatures do NOT ride the band shuffle),
+      3. bucketed reduce per band bucket -> packed candidate pairs,
+      4. bucketed packed-pair dedup across bands,
+      5. two union-bucketed merge passes attach each side's signature (the
+         signature table ships once per pass, never per pair),
+      6. batch-level vectorized est-sim filter.
     """
+    from .bucketed import bucketed_group_reduce
+
     rows_per_band = num_perm // bands
 
     sigs = docs.map_batches(
@@ -191,6 +490,11 @@ def minhash_lsh_pairs(
         batch_format="pandas",
         concurrency=concurrency,
         num_cpus=1,
+    ).materialize()
+
+    mult = (
+        np.arange(rows_per_band, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        + np.uint64(1)
     )
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
@@ -202,10 +506,6 @@ def minhash_lsh_pairs(
             )
         sig_mat = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in df["sig"]])
         n = len(df)
-        # band hash: sum of rows x fixed multipliers, wrapped mod 2^64 (fast,
-        # deterministic, collision-safe enough for bucketing)
-        mult = (np.arange(rows_per_band, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                + np.uint64(1))
         bh = np.empty((n, bands), dtype=np.uint64)
         for b in range(bands):
             chunk = sig_mat[:, b * rows_per_band : (b + 1) * rows_per_band]
@@ -218,52 +518,80 @@ def minhash_lsh_pairs(
             }
         )
 
-    # the signature table is consumed by 4 downstream operators (self-join
-    # sides + two verify joins); materialize it once or the expensive MinHasher
-    # stage re-executes per consumer. Signatures are tiny relative to the
-    # corpus (num_perm*8 bytes/doc) — at cluster scale this would be a
-    # checkpointed parquet intermediate instead.
-    sigs = sigs.materialize()
-    band_rows = sigs.map_batches(explode_bands, batch_format="pandas").materialize()
-    cand = band_rows.join(
-        band_rows, join_type="inner", num_partitions=join_partitions(),
-        on=("band_id", "band_hash"), right_suffix="_r",
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All pairs within each (band_id, band_hash) group of one coarse
+        bucket — numpy pair expansion per group. A pathologically hot band
+        value is quadratic HERE (bounded by band selectivity); salt upstream
+        shingling if the corpus has giant exact-duplicate families."""
+        g = g.sort_values(["band_id", "band_hash", "doc_id"]).drop_duplicates()
+        out: list[np.ndarray] = []
+        for _, gg in g.groupby(["band_id", "band_hash"], sort=False):
+            m = len(gg)
+            if m < 2:
+                continue
+            ids = gg["doc_id"].to_numpy(np.int64)
+            iu, ju = np.triu_indices(m, 1)
+            out.append(pack_pairs(ids[iu], ids[ju], "minhash"))
+        if not out:
+            return pd.DataFrame({"pair": pd.Series(dtype="int64")})
+        return pd.DataFrame({"pair": np.unique(np.concatenate(out))})
+
+    cand = bucketed_group_reduce(
+        sigs.map_batches(explode_bands, batch_format="pandas"),
+        ["band_id", "band_hash"],
+        lambda df: df,
+        band_pairs,
+        n_buckets=n_buckets,
     )
-
-    def upper_tri(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["doc_id"] < df["doc_id_r"]]
-        # pack the pair into one int64 key: multi-key groupby shuffles were
-        # ~4x slower than single-key at equal row counts
-        pair = pack_pairs(
-            df["doc_id"].to_numpy(np.int64), df["doc_id_r"].to_numpy(np.int64),
-            "minhash",
-        )
-        out = pd.DataFrame({"pair": pair})
-        return out.drop_duplicates("pair")  # batch-local pre-dedup
-
-    from .bucketed import bucketed_group_reduce
-
-    def unpack(df: pd.DataFrame) -> pd.DataFrame:
-        p = df["pair"].to_numpy(np.int64)
-        return pd.DataFrame(
-            {"doc_a": (p >> np.int64(32)).astype("int64"),
-             "doc_b": (p & np.int64(0xFFFFFFFF)).astype("int64")}
-        )
 
     distinct = bucketed_group_reduce(
         cand, ["pair"],
-        upper_tri,
-        lambda g: unpack(g.drop_duplicates("pair")),
+        lambda df: df.drop_duplicates("pair"),
+        lambda g: g.drop_duplicates("pair"),
         n_buckets=32,
     )
 
-    # verify: join the signatures back on both sides, then vectorized est-sim
-    pa_join = distinct.join(
-        sigs, join_type="inner", num_partitions=join_partitions(), on=("doc_a",), right_on=("doc_id",)
+    # ---- attach signatures per side via union-bucketed merges ------------
+    def _attach(side: str, out_col: str, carry: list[str]):
+        shift = np.int64(32) if side == "a" else np.int64(0)
+        maskv = np.int64(0xFFFFFFFF)
+
+        def key_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            p = df["pair"].to_numpy(np.int64)
+            out = df[["pair", *carry]].copy()
+            out["key"] = (p >> shift) & maskv if side == "b" else (p >> shift)
+            out["sig"] = None
+            return out
+
+        def key_sigs(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"key": df["doc_id"].astype("int64"), "sig": df["sig"]})
+            out["pair"] = np.int64(-1)
+            for c in carry:
+                out[c] = None
+            return out[["pair", *carry, "key", "sig"]]
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            lut = g.loc[g["pair"] < 0, ["key", "sig"]].drop_duplicates("key")
+            pr = g.loc[g["pair"] >= 0, ["pair", "key", *carry]]
+            m = pr.merge(lut, on="key", how="inner")
+            return m[["pair", *carry, "sig"]].rename(columns={"sig": out_col})
+
+        return key_pairs, key_sigs, merge
+
+    kp_a, ks_a, merge_a = _attach("a", "sig_a", [])
+    with_a = bucketed_group_reduce(
+        distinct.map_batches(kp_a, batch_format="pandas").union(
+            sigs.map_batches(ks_a, batch_format="pandas")
+        ),
+        ["key"], lambda df: df, merge_a, n_buckets=32,
     )
-    pb_join = pa_join.join(
-        sigs, join_type="inner", num_partitions=join_partitions(),
-        on=("doc_b",), right_on=("doc_id",), left_suffix="_a", right_suffix="_b",
+
+    kp_b, ks_b, merge_b = _attach("b", "sig_b", ["sig_a"])
+    with_ab = bucketed_group_reduce(
+        with_a.map_batches(kp_b, batch_format="pandas").union(
+            sigs.map_batches(ks_b, batch_format="pandas")
+        ),
+        ["key"], lambda df: df, merge_b, n_buckets=32,
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -274,13 +602,15 @@ def minhash_lsh_pairs(
         sa = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in df["sig_a"]])
         sb = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in df["sig_b"]])
         est = (sa == sb).mean(axis=1)
+        p = df["pair"].to_numpy(np.int64)
         out = pd.DataFrame(
-            {"doc_a": df["doc_a"].astype("int64"), "doc_b": df["doc_b"].astype("int64"),
+            {"doc_a": (p >> np.int64(32)).astype("int64"),
+             "doc_b": (p & np.int64(0xFFFFFFFF)).astype("int64"),
              "est_sim": est.astype("float64")}
         )
         return out[out["est_sim"] >= threshold]
 
-    return pb_join.map_batches(verify, batch_format="pandas")
+    return with_ab.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

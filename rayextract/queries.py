@@ -29,7 +29,12 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from .dates import DATE_PATTERN, recognize_date
-from .dedup import exact_dedup_groups, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_batch
+from .dedup import (
+    blocked_lsh_jaccard_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    simhash_batch,
+)
 from .extractors import fire_gross_amount, fire_invoice_date, fire_invoice_number, fire_purchase_order
 from .relational import broadcast_join, broadcast_semi_join, pre_aggregate, topk, join_partitions
 from .similarity import embedding_neardup_pairs, knn_bruteforce, knn_ivf
@@ -393,7 +398,9 @@ def percentiles_value_per_type(sf_dir: str):
             {"p50": "int64", "p95": "int64", "p99": "int64"}
         )
 
-    return counts.groupby("event_type").map_groups(quantiles, batch_format="pandas")
+    return counts.groupby("event_type", num_partitions=join_partitions(cap=8)).map_groups(
+        quantiles, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +535,7 @@ def topk_parts_per_brand(sf_dir: str):
 
     return (
         _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
-        .groupby("p_brand")
+        .groupby("p_brand", num_partitions=join_partitions())
         .map_groups(per_brand, batch_format="pandas")
     )
 
@@ -571,11 +578,33 @@ def doc_fingerprint(sf_dir: str):
 
 
 def doc_winnow_fp(sf_dir: str):
-    """Winnowing rolling-hash fingerprints (local substring-match sketches)."""
-    from .textstats import winnow_batch
+    """Winnowing rolling-hash fingerprints (local substring-match sketches),
+    exploded to (doc_id, ord, fp) rows — relational shape the DuckDB window-
+    function oracle reproduces exactly (first 64 fingerprints per doc)."""
+    from .textstats import winnow_fingerprints_np
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, ords, fps = [], [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            f = winnow_fingerprints_np(t)[:64]
+            doc_ids.append(np.full(len(f), d, dtype=np.int64))
+            ords.append(np.arange(1, len(f) + 1, dtype=np.int64))
+            fps.append(f)
+        if not doc_ids:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "ord": pd.Series(dtype="int64"),
+                 "fp": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(doc_ids),
+                "ord": np.concatenate(ords),
+                "fp": np.concatenate(fps).astype("int64"),
+            }
+        )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        winnow_batch, batch_format="pandas"
+        fn, batch_format="pandas"
     )
 
 
@@ -668,7 +697,9 @@ def top_tokens_per_source(sf_dir: str, k: int = 5):
         g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
         return g[["source", "rank", "token", "n"]].astype({"n": "int64"})
 
-    return counts.groupby("source").map_groups(per_source, batch_format="pandas")
+    return counts.groupby("source", num_partitions=join_partitions(cap=8)).map_groups(
+        per_source, batch_format="pandas"
+    )
 
 
 def dedup_exact(sf_dir: str):
@@ -676,7 +707,10 @@ def dedup_exact(sf_dir: str):
 
 
 def dedup_ngram_jaccard(sf_dir: str):
-    return ngram_jaccard_pairs(
+    """Blocked exact-Jaccard pairs via the LSH-within-block scale path (no
+    whole-block-in-one-task quadratic; ngram_jaccard_pairs remains as the
+    small-block reference verifier, equality-tested in tests)."""
+    return blocked_lsh_jaccard_pairs(
         _read(sf_dir, "documents", ["doc_id", "text", "source"]),
         threshold=JACCARD_THRESHOLD, block_key="source", ngram=1,
     )
@@ -692,10 +726,12 @@ def dedup_minhash(sf_dir: str):
 
 
 def dedup_clusters(sf_dir: str):
-    """Near-dup clusters: Jaccard pairs -> connected components (min-label)."""
+    """Near-dup clusters: LSH-sourced exact-Jaccard pairs -> connected
+    components (min-label, pointer-jumping). The pair source is the banded
+    scale path — round 1's per-source quadratic block is gone."""
     from .graph import connected_components
 
-    pairs = ngram_jaccard_pairs(
+    pairs = blocked_lsh_jaccard_pairs(
         _read(sf_dir, "documents", ["doc_id", "text", "source"]),
         threshold=JACCARD_THRESHOLD, block_key="source", ngram=1,
     )
@@ -720,8 +756,13 @@ def knn_cosine_topk(sf_dir: str):
 
 
 def knn_ivf_topk(sf_dir: str):
+    """IVF path at FULL probe (n_probe == n_lists): exact by construction, so
+    the brute-force cosine SQL is its oracle — the driver now hash-checks the
+    whole IVF machinery (binning, probe sets, partial top-k merge). Partial-
+    probe recall behavior is pinned separately in tests/test_ivf_recall.py."""
     return knn_ivf(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), _queries_df(sf_dir), k=5
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), _queries_df(sf_dir),
+        k=5, n_lists=16, n_probe=16,
     )
 
 
@@ -846,7 +887,7 @@ def median_value_per_type(sf_dir: str):
             {"event_type": [g["event_type"].iloc[0]], "median_cents": [med]}
         )
 
-    return counts.groupby("event_type").map_groups(
+    return counts.groupby("event_type", num_partitions=join_partitions(cap=8)).map_groups(
         per_type_median, batch_format="pandas"
     )
 
@@ -1014,6 +1055,36 @@ def f5_person_ner(sf_dir: str):
     )
 
 
+def f6_org_ner(sf_dir: str):
+    """F6 — first organization span (EntityRecognizer.cs:72-91 analog)."""
+    from .ner import get_organization_name
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        up = df["text"].str.upper()
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "org": up.map(get_organization_name)}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def f7_annotations(sf_dir: str):
+    """F7 — inline-tagged debug annotation (EntityRecognizer.cs:67-70)."""
+    from .ner import get_annotations
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        up = df["text"].str.upper()
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "annotated": up.map(get_annotations)}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: opaque binary payload columns (decode stubbed; plumbing real)
 # ---------------------------------------------------------------------------
@@ -1139,6 +1210,8 @@ QUERIES = {
     "distinct_brand_type": distinct_brand_type,
     "union_clicks_purchases": union_clicks_purchases,
     "f5_person_ner": f5_person_ner,
+    "f6_org_ner": f6_org_ner,
+    "f7_annotations": f7_annotations,
     "sample_hash_split": sample_hash_split,
     "kmeans_embeddings": kmeans_embeddings,
     "multimodal_decode": multimodal_decode,
@@ -1149,7 +1222,149 @@ QUERIES = {
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
 
+# ---- NER / simhash / winnow oracle building blocks -----------------------
+# DuckDB md5_number_upper(t) == int.from_bytes(md5(t).digest()[:8], "little")
+# (verified empirically) — exactly the token hash simhash64 uses, so the
+# whole SimHash pipeline is independently recomputable in SQL.
+
+
+def _sql_quote_set(words) -> str:
+    return ",".join(f"'{w}'" for w in sorted(words))
+
+
+def _ner_gaz_sql() -> tuple[str, str]:
+    from .ner import ORG_SUFFIXES, STOP_GAZETTEER
+
+    return _sql_quote_set(STOP_GAZETTEER), _sql_quote_set(ORG_SUFFIXES)
+
+
+_GAZ_SQL, _SUF_SQL = _ner_gaz_sql()
+
+# token features over upper(text); surface reconstruction joins raw tokens
+# with a single space — exact for this corpus (synth docs are single-space
+# joined; the Python tagger slices the original string, which is identical
+# under that layout)
+_NER_FEAT_CTE = rf"""
+t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(upper(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, toks[pos] AS tok, pos FROM t, unnest(range(1, len(toks) + 1)) AS r(pos)
+),
+feat AS (
+  SELECT doc_id, tok, pos, rtrim(tok, ':,.') AS core,
+         (length(rtrim(tok, ':,.')) >= 2 AND rtrim(tok, ':,.') NOT IN ({_GAZ_SQL})
+          AND regexp_matches(rtrim(tok, ':,.'), '^[A-Z][A-Z''.\-]*$')) AS is_name
+  FROM tok
+)"""
+
+_SIMHASH_CTE = r"""
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+bits AS (
+  SELECT doc_id, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(64)) AS bit) b GROUP BY doc_id, b.bit
+),
+sh AS (
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS HUGEINT) << bit) ELSE 0 END) AS UBIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+allsh AS (SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash FROM documents d LEFT JOIN sh USING (doc_id))"""
+
 SQL: dict[str, str] = {
+    "dedup_simhash": f"WITH {_SIMHASH_CTE}\nSELECT doc_id, simhash FROM allsh",
+    "dedup_simhash_pairs": f"""
+        WITH {_SIMHASH_CTE}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          AND ((a.simhash & 65535) = (b.simhash & 65535)
+            OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+            OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+            OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
+    """,
+    "f5_person_ner": f"""
+        WITH {_NER_FEAT_CTE},
+        runs AS (
+          SELECT *, CASE WHEN is_name AND NOT coalesce(lag(is_name) OVER (PARTITION BY doc_id ORDER BY pos), false)
+                         THEN 1 ELSE 0 END AS run_start
+          FROM feat
+        ),
+        rid AS (
+          SELECT *, sum(run_start) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM runs WHERE is_name
+        ),
+        rstat AS (
+          SELECT doc_id, run_id, min(pos) AS p0, count(*) AS n FROM rid GROUP BY doc_id, run_id
+        ),
+        firstrun AS (
+          SELECT doc_id, p0, least(n, 4) AS take
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS rn FROM rstat WHERE n >= 2)
+          WHERE rn = 1
+        ),
+        surface AS (
+          SELECT f.doc_id, string_agg(tok.tok, ' ' ORDER BY tok.pos) AS person
+          FROM firstrun f JOIN tok ON tok.doc_id = f.doc_id AND tok.pos BETWEEN f.p0 AND f.p0 + f.take - 1
+          GROUP BY f.doc_id
+        )
+        SELECT d.doc_id, s.person FROM documents d LEFT JOIN surface s USING (doc_id)
+    """,
+    "f6_org_ner": f"""
+        WITH {_NER_FEAT_CTE},
+        suf AS (SELECT doc_id, min(pos) AS k FROM feat WHERE core IN ({_SUF_SQL}) GROUP BY doc_id),
+        ext AS (
+          SELECT s.doc_id, s.k,
+                 greatest(1, s.k - 4,
+                   coalesce(max(CASE WHEN NOT (f.is_name OR f.core = '&') THEN f.pos END) + 1, 1)) AS i0
+          FROM suf s LEFT JOIN feat f ON f.doc_id = s.doc_id AND f.pos BETWEEN s.k - 4 AND s.k - 1
+          GROUP BY s.doc_id, s.k
+        ),
+        surface AS (
+          SELECT e.doc_id, string_agg(tok.tok, ' ' ORDER BY tok.pos) AS org
+          FROM ext e JOIN tok ON tok.doc_id = e.doc_id AND tok.pos BETWEEN e.i0 AND e.k
+          GROUP BY e.doc_id
+        )
+        SELECT d.doc_id, s.org FROM documents d LEFT JOIN surface s USING (doc_id)
+    """,
+    "doc_winnow_fp": r"""
+        WITH ch AS (
+          SELECT doc_id, pos, ord(substr(text, pos, 1)) AS o
+          FROM documents, unnest(range(1, length(text) + 1)) AS r(pos)
+        ),
+        kh AS (  -- k-gram rolling hash ending at pos (k=5, B=257, M=2^61-1)
+          SELECT doc_id, pos - 4 AS i,
+                 ((o * 1 +
+                   lag(o, 1) OVER w * 257 +
+                   lag(o, 2) OVER w * 66049 +
+                   lag(o, 3) OVER w * 16974593 +
+                   lag(o, 4) OVER w * 4362470401)) % 2305843009213693951 AS h
+          FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY pos >= 5
+        ),
+        wmin AS (  -- length-4 hash window ending at i: min h, RIGHTMOST argmin
+          SELECT doc_id, i - 3 AS s,
+                 min(struct_pack(h := h, ni := -i)) OVER (
+                   PARTITION BY doc_id ORDER BY i ROWS 3 PRECEDING) AS m,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS 3 PRECEDING) AS cnt
+          FROM kh QUALIFY cnt = 4
+        ),
+        sel AS (  -- record a fingerprint when the argmin position changes
+          SELECT doc_id, s, m.h AS fp,
+                 CASE WHEN (-m.ni) IS DISTINCT FROM lag(-m.ni) OVER (PARTITION BY doc_id ORDER BY s)
+                      THEN 1 ELSE 0 END AS keep
+          FROM wmin
+        ),
+        fpr AS (
+          SELECT doc_id, fp, row_number() OVER (PARTITION BY doc_id ORDER BY s) AS "ord"
+          FROM sel WHERE keep = 1
+        )
+        SELECT doc_id, "ord", CAST(fp AS BIGINT) AS fp FROM fpr WHERE "ord" <= 64
+    """,
     "f1_remove_special": f"""
         SELECT doc_id, rtrim(regexp_replace(text, '{F1_CLASS}', '', 'g'), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS clean_text
         FROM documents
@@ -1393,6 +1608,16 @@ SQL: dict[str, str] = {
           FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
         ) WHERE rank <= 5
     """,
+    "knn_ivf_topk": """
+        SELECT query_id, rank, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        ) WHERE rank <= 5
+    """,  # full probe == exact: same oracle as brute force
     "embed_neardup": """
         SELECT a.vec_id AS a, b.vec_id AS b
         FROM embeddings a JOIN embeddings b

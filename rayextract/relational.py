@@ -128,7 +128,9 @@ def asof_join_by_key(
         )
         return merged[[*left_cols, right_out]]
 
-    return lt.union(rt).groupby(key).map_groups(per_key, batch_format="pandas")
+    return lt.union(rt).groupby(key, num_partitions=join_partitions()).map_groups(
+        per_key, batch_format="pandas"
+    )
 
 
 def topk(

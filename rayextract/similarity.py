@@ -73,7 +73,9 @@ def knn_bruteforce(
         )
 
     partials = emb.map_batches(partial_topk, batch_format="pandas")
-    return partials.groupby("query_id").map_groups(
+    from .relational import join_partitions
+
+    return partials.groupby("query_id", num_partitions=join_partitions(cap=16)).map_groups(
         _global_topk_fn(k), batch_format="pandas"
     )
 
@@ -152,7 +154,9 @@ def knn_ivf(
         )
 
     partials = binned.map_batches(partial, batch_format="pandas")
-    return partials.groupby("query_id").map_groups(
+    from .relational import join_partitions
+
+    return partials.groupby("query_id", num_partitions=join_partitions(cap=16)).map_groups(
         _global_topk_fn(k), batch_format="pandas"
     )
 
@@ -162,16 +166,32 @@ def embedding_neardup_pairs(
 ) -> "ray.data.Dataset":
     """(a, b, sim) pairs with cosine >= threshold among vec_id % modulus == 0.
 
-    The subset matrix is broadcast; each batch compares its subset rows
-    against the broadcast matrix (upper triangle via a < b)."""
+    Exact all-pairs over the subset, as block-matrix products: the subset is
+    packed into compact (ids, matrix) chunks that stay IN THE OBJECT STORE —
+    the driver holds only their refs (round 1 pulled the whole subset to the
+    driver with ``to_pandas`` and re-broadcast it). Each subset batch then
+    multiplies against every chunk (upper triangle via a < b), so total work
+    is the O(subset^2/chunk) block product any exact pairwise operator costs;
+    for an approximate linear-time path use the IVF bucketing (``knn_ivf``).
+    On a cluster each node fetches a chunk once (plasma-shared per node),
+    never per batch."""
 
-    def subset(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["vec_id"] % modulus == 0]
+    def pack_subset(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["vec_id"] % modulus == 0]
+        if not len(df):
+            return pd.DataFrame({"ids": pd.Series(dtype=object),
+                                 "mat": pd.Series(dtype=object)})
+        ids = df["vec_id"].to_numpy(np.int64)
+        mat = _stack(df["embedding"])
+        return pd.DataFrame({"ids": [ids.tobytes()], "mat": [mat.tobytes()]})
 
-    small = emb.map_batches(subset, batch_format="pandas").to_pandas()
-    ids = small["vec_id"].to_numpy()
-    mat = _stack(small["embedding"])
-    ref = ray.put((ids, mat))
+    packed = emb.map_batches(pack_subset, batch_format="pandas").materialize()
+    # block refs only — the chunk payloads never leave the object store
+    chunk_refs = [
+        bref
+        for bundle in packed.iter_internal_ref_bundles()
+        for bref in bundle.block_refs
+    ]
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["vec_id"] % modulus == 0]
@@ -179,14 +199,35 @@ def embedding_neardup_pairs(
             return pd.DataFrame(columns=["a", "b", "sim"]).astype(
                 {"a": "int64", "b": "int64", "sim": "float64"}
             )
-        all_ids, all_mat = ray.get(ref)
         m = _stack(df["embedding"])
-        my_ids = df["vec_id"].to_numpy()
-        sims = m @ all_mat.T
-        ai, bi = np.nonzero((sims >= threshold) & (my_ids[:, None] < all_ids[None, :]))
+        my_ids = df["vec_id"].to_numpy(np.int64)
+        dim = m.shape[1]
+        out_a, out_b, out_s = [], [], []
+        for bref in chunk_refs:
+            blk = ray.get(bref)
+            if hasattr(blk, "to_pandas"):  # arrow block
+                blk = blk.to_pandas()
+            for ids_b, mat_b in zip(blk["ids"], blk["mat"]):
+                other_ids = np.frombuffer(ids_b, dtype=np.int64)
+                other = np.frombuffer(mat_b, dtype=np.float64).reshape(-1, dim)
+                sims = m @ other.T
+                ai, bi = np.nonzero(
+                    (sims >= threshold) & (my_ids[:, None] < other_ids[None, :])
+                )
+                if len(ai):
+                    out_a.append(my_ids[ai])
+                    out_b.append(other_ids[bi])
+                    out_s.append(sims[ai, bi])
+        if not out_a:
+            return pd.DataFrame(columns=["a", "b", "sim"]).astype(
+                {"a": "int64", "b": "int64", "sim": "float64"}
+            )
         return pd.DataFrame(
-            {"a": my_ids[ai].astype("int64"), "b": all_ids[bi].astype("int64"),
-             "sim": sims[ai, bi].astype("float64")}
+            {
+                "a": np.concatenate(out_a).astype("int64"),
+                "b": np.concatenate(out_b).astype("int64"),
+                "sim": np.concatenate(out_s).astype("float64"),
+            }
         )
 
     return emb.map_batches(pairs, batch_format="pandas")

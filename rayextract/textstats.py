@@ -123,9 +123,34 @@ def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[int]:
     return out
 
 
+def winnow_fingerprints_np(text: str, k: int = 5, w: int = 4) -> "np.ndarray":
+    """Vectorized winnowing — identical output to ``winnow_fingerprints``
+    (equality-tested) with the per-char Python loop replaced by numpy:
+    each k-gram hash is the direct power sum Σ ord[i+d]·B^(k-1-d) mod M
+    (terms ≤ 5·2^52, exact in int64), window minima via a sliding view with
+    rightmost-tie argmin on the reversed axis."""
+    import numpy as np
+
+    n = len(text)
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    o = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    h = np.zeros(n - k + 1, dtype=np.int64)
+    for d in range(k):
+        h += o[d : d + n - k + 1] * pow(_B, k - 1 - d, _M)
+        h %= _M
+    if len(h) < w:
+        return np.empty(0, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost argmin: first min of the reversed window
+    idx = (w - 1 - np.argmin(win[:, ::-1], axis=1)) + np.arange(len(win))
+    keep = np.r_[True, idx[1:] != idx[:-1]]
+    return h[idx[keep]]
+
+
 def winnow_batch(df: pd.DataFrame, k: int = 5, w: int = 4) -> pd.DataFrame:
     """doc_id, n_fingerprints, fingerprints (list<int64>, capped at 64)."""
-    fps = df["text"].map(lambda s: winnow_fingerprints(s, k, w))
+    fps = df["text"].map(lambda s: winnow_fingerprints_np(s, k, w))
     return pd.DataFrame(
         {
             "doc_id": df["doc_id"],

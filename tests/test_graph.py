@@ -29,3 +29,33 @@ def test_star_converges_in_one_round():
     out = connected_components(pairs).to_pandas()
     assert set(out["cluster_id"]) == {5}
     assert len(out) == 4
+
+
+def test_distributed_path_equals_local():
+    """Force the distributed pointer-jumping loop (local_max_edges=0) and pin
+    its output to the driver union-find path on a long chain + islands."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    # 24-node chain (log-round convergence) + random extra clusters
+    chain_a = np.arange(100, 123)
+    chain_b = chain_a + 1
+    extra_a = rng.randint(0, 50, size=40)
+    extra_b = extra_a + rng.randint(1, 5, size=40)
+    df = pd.DataFrame(
+        {
+            "doc_a": np.r_[chain_a, extra_a],
+            "doc_b": np.r_[chain_b, extra_b],
+        }
+    )
+    local = (
+        connected_components(rd.from_pandas(df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        connected_components(rd.from_pandas(df), local_max_edges=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, dist)
+    # the whole chain must collapse to one min label
+    assert set(local.loc[local["doc_id"] >= 100, "cluster_id"]) == {100}
