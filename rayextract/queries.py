@@ -1126,19 +1126,50 @@ def dedup_simhash_pairs(sf_dir: str):
 # in tests/test_pipeline_golden.py against the pure-Python oracle)
 # ---------------------------------------------------------------------------
 
+_TR_FIRST = ("MARY", "JOHN", "ALICE", "ROBERT", "LINDA")
+_TR_LAST = ("SMITH", "JONES", "TAYLOR", "BROWN", "WILSON")
+
+
 def _docs_to_transcripts(sf_dir: str):
-    """Treat each document as a conversation: 12-token turns (flat-map)."""
+    """Treat each document as a conversation (flat-map):
+
+    - turn 0: deterministic doc_id-derived INVOICE header that exercises the
+      invoice gate + extractors E3-E6 end to end,
+    - turn 1 (every 3rd doc): PATIENT NAME/DOB line exercising the patient
+      gate + E1/E2 (person NER + birthdate),
+    - turns 2..: the document text in 12-token chunks (gate-neutral by
+      corpus construction — the vocabulary contains no SearchKey substring).
+
+    Both the header synthesis and the whole extraction are reproduced by the
+    ``transcript_extract`` DuckDB oracle, so the flagship pipeline's fold is
+    value-hash-checked by the driver, not just row-counted.
+    """
     import pyarrow as pa
 
     def explode(t: pa.Table) -> pa.Table:
         conv_ids, turn_idxs, texts = [], [], []
+
+        def add(conv, idx, txt):
+            conv_ids.append(conv)
+            turn_idxs.append(idx)
+            texts.append(txt)
+
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            conv = f"doc-{doc_id:08d}"
+            mm, dd, yy = doc_id % 12 + 1, doc_id % 28 + 1, 1990 + doc_id % 30
+            amt = f"{doc_id % 900 + 100}.25"
+            add(conv, 0,
+                f"INVOICE 1{doc_id:05d} DATE {mm:02d}/{dd:02d}/{yy} "
+                f"REFERENCE AB{doc_id}X TOTAL ${amt}")
+            if doc_id % 3 == 0:
+                name = f"{_TR_FIRST[(doc_id // 3) % 5]} {_TR_LAST[(doc_id // 7) % 5]}"
+                pm, pd_, py = doc_id % 12 + 1, doc_id % 25 + 1, 1975 + doc_id % 40
+                add(conv, 1,
+                    f"PATIENT NAME {name} DOB {pm:02d}/{pd_:02d}/{py}")
             toks = text.split()
             chunks = [" ".join(toks[i : i + 12]) for i in range(0, len(toks), 12)] or [""]
             for i, c in enumerate(chunks):
-                conv_ids.append(f"doc-{doc_id:08d}")
-                turn_idxs.append(i)
-                texts.append(c)
+                add(conv, i + 2, c)
         return pa.table(
             {
                 "conv_id": pa.array(conv_ids, pa.string()),
@@ -1331,6 +1362,50 @@ SQL: dict[str, str] = {
         )
         SELECT d.doc_id, s.org FROM documents d LEFT JOIN surface s USING (doc_id)
     """,
+    "transcript_extract": r"""WITH d AS (
+          SELECT doc_id,
+                 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                 'INVOICE 1' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || ' DATE ' ||
+                   printf('%02d/%02d/%d', doc_id % 12 + 1, doc_id % 28 + 1, 1990 + doc_id % 30) ||
+                   ' REFERENCE AB' || CAST(doc_id AS VARCHAR) || 'X TOTAL $' ||
+                   CAST(doc_id % 900 + 100 AS VARCHAR) || '.25' AS header,
+                 CASE WHEN doc_id % 3 = 0 THEN
+                   'PATIENT NAME ' ||
+                   (['MARY','JOHN','ALICE','ROBERT','LINDA'])[CAST(doc_id // 3 AS INT) % 5 + 1] || ' ' ||
+                   (['SMITH','JONES','TAYLOR','BROWN','WILSON'])[CAST(doc_id // 7 AS INT) % 5 + 1] ||
+                   ' DOB ' || printf('%02d/%02d/%d', doc_id % 12 + 1, doc_id % 25 + 1, 1975 + doc_id % 40)
+                 END AS pline,
+                 len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS ntok
+          FROM documents
+        )
+        SELECT conv_id,
+               CASE WHEN pline IS NOT NULL THEN
+                 regexp_extract(pline, 'PATIENT NAME ([A-Z]+ [A-Z]+) DOB', 1) END AS patient_name,
+               CASE WHEN pline IS NOT NULL THEN
+                 nullif(regexp_extract(pline, '%%DATE%%'), '') END AS patient_birthdate,
+               CASE WHEN regexp_matches(header, '\b(INVOICE)(\W+|\s+)(\d+)\b')
+                    THEN regexp_extract(header, '[.\d]+') END AS invoice_number,
+               CASE WHEN contains(header, 'DATE') AND NOT regexp_matches(header, 'DUE.*DATE')
+                    THEN nullif(regexp_extract(header, '%%DATE%%'), '') END AS invoice_date,
+               nullif(regexp_extract(header, '\b(LOAD|REFERENCE)\W+(\w+\d+\w+)', 2), '') AS order_number,
+               CASE WHEN regexp_matches(header, '\b(TOTAL|RATE|BALANCE DUE)\W+\$\d+(,\d{3})*(\.\d{2})?')
+                    THEN trim(regexp_replace(
+                           regexp_extract(header, '\b(TOTAL|RATE|BALANCE DUE)\W+\$\d+(,\d{3})*(\.\d{2})?'),
+                           'TOTAL|RATE|BALANCE|DUE', '', 'g')) END AS gross_total,
+               CAST(NULL AS VARCHAR) AS vendor_name,
+               CASE WHEN pline IS NOT NULL THEN 1.0 END AS patient_name_turn,
+               CASE WHEN pline IS NOT NULL THEN 1.0 END AS patient_birthdate_turn,
+               CAST(0 AS BIGINT) AS invoice_number_turn,
+               CAST(0 AS BIGINT) AS invoice_date_turn,
+               CAST(0 AS BIGINT) AS order_number_turn,
+               CAST(NULL AS DOUBLE) AS vendor_name_turn,
+               CAST(0 AS BIGINT) AS gross_total_turn,
+               100.0 AS mean_confidence,
+               '100.00' AS confidence_fmt,
+               CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    + greatest(1, CAST(ceil(ntok / 12.0) AS BIGINT)) AS BIGINT) AS n_turns
+        FROM d
+    """.replace("%%DATE%%", _DATE_SQL),
     "doc_winnow_fp": r"""
         WITH ch AS (
           SELECT doc_id, pos, ord(substr(text, pos, 1)) AS o
