@@ -162,7 +162,9 @@ def main() -> None:
     ctx.enable_progress_bars = False
 
     head = run_headline(NUM_CPUS)
-    queries = run_queries()
+    # scaling subprocesses measure the headline only — the query suite would
+    # add ~60s of unrelated wall per sample without touching the ratio
+    queries = {} if os.environ.get("RAYEXTRACT_SKIP_QUERIES") else run_queries()
     print(
         json.dumps(
             {
@@ -197,6 +199,7 @@ def scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             RAYEXTRACT_BENCH_CONVS=os.environ.get("RAYEXTRACT_SCALING_CONVS", "600000"),
+            RAYEXTRACT_SKIP_QUERIES="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],

@@ -40,7 +40,7 @@ def bucketed_group_reduce(
     bucket_reduce_fn: Callable[[pd.DataFrame], "pd.DataFrame | object"],
     n_buckets: int = 64,
     num_partitions: int | None = None,
-    stage1_batch_size: int | None = 8192,
+    stage1_batch_size: int | None = None,
     reduce_format: str = "pandas",
     stage1_format: str = "pandas",
 ) -> "ray.data.Dataset":
@@ -50,10 +50,11 @@ def bucketed_group_reduce(
     ``bucket_reduce_fn``: all partial rows of one bucket -> final rows
     (must combine per-key partials itself, vectorized).
 
-    The exchange is Ray's HASH shuffle (``groupby(num_partitions=...)``) —
-    measured ~2x faster than the sort-based shuffle on the conv fold at sf0.1
-    (14.5s vs 27s, 32 cpus) and the right shape for multi-node: partial rows
-    stream to ``num_partitions`` aggregator actors, no global sort barrier.
+    The exchange is ``groupby(_bucket, num_partitions=N)`` under the
+    session's shuffle strategy: SORT by default (lowest fixed cost per
+    exchange — see rayextract.__init__), HASH when RAYEXTRACT_HASH_SHUFFLE=1
+    (explicit partition count, no sort barrier; the multi-node setting where
+    per-exchange aggregator actors amortize).
     """
     keys = list(keys)
     if reduce_format not in ("pandas", "pyarrow"):
@@ -77,8 +78,11 @@ def bucketed_group_reduce(
         out[BUCKET_COL] = hash_bucket(out, keys, n_buckets)
         return out
 
-    # big stage1 batches: the per-batch partial combine collapses more
-    # duplicate keys locally, shrinking the shuffle (fold 14.5s -> 11.2s)
+    # whole-block stage1 batches (batch_size=None): the per-batch partial
+    # combine collapses the most duplicate keys locally, shrinking the
+    # shuffle (fold 14.5s -> 11.2s at 8192 vs row-default; -> ~6s whole-block
+    # at the 3.5M-turn corpus). Partial outputs are aggregates, so the only
+    # memory cost is the input block itself, which is already resident.
     partials = ds.map_batches(stage1, batch_format=stage1_format,
                               batch_size=stage1_batch_size)
 
@@ -103,16 +107,41 @@ def grouped_sum_count(
     sums: Sequence[str] = (),
     counts: bool = True,
     n_buckets: int = 64,
+    arrow_partial: bool = False,
 ) -> "ray.data.Dataset":
-    """Scalable sum/count groupby: output = keys + sum_<c> columns + n."""
+    """Scalable sum/count groupby: output = keys + sum_<c> columns + n.
+
+    ``arrow_partial=True``: the per-batch partial combine runs as an Arrow
+    hash-aggregate on the zero-copy pyarrow batch (string-dtype pandas
+    groupbys measured ~50x slower on the fold reduce); only the tiny partial
+    result crosses into pandas for bucket stamping.
+    """
     keys = list(keys)
     sums = list(sums)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        agg: dict = {f"sum_{c}": (c, "sum") for c in sums}
-        if counts:
-            agg["n"] = (keys[0], "count")
-        return df.groupby(keys, sort=False).agg(**agg).reset_index()
+    if arrow_partial:
+
+        def partial(t) -> pd.DataFrame:
+            aggs = [(c, "sum") for c in sums]
+            if counts:
+                aggs.append((keys[0], "count"))
+            g = t.group_by(keys, use_threads=False).aggregate(aggs)
+            df = g.to_pandas()
+            ren = {f"{c}_sum": f"sum_{c}" for c in sums}
+            if counts:
+                ren[f"{keys[0]}_count"] = "n"
+            return df.rename(columns=ren)
+
+        stage1_format = "pyarrow"
+    else:
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            agg: dict = {f"sum_{c}": (c, "sum") for c in sums}
+            if counts:
+                agg["n"] = (keys[0], "count")
+            return df.groupby(keys, sort=False).agg(**agg).reset_index()
+
+        stage1_format = "pandas"
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         agg: dict = {f"sum_{c}": (f"sum_{c}", "sum") for c in sums}
@@ -120,4 +149,6 @@ def grouped_sum_count(
             agg["n"] = ("n", "sum")
         return g.groupby(keys, sort=False).agg(**agg).reset_index()
 
-    return bucketed_group_reduce(ds, keys, partial, reduce, n_buckets)
+    return bucketed_group_reduce(
+        ds, keys, partial, reduce, n_buckets, stage1_format=stage1_format
+    )

@@ -67,7 +67,7 @@ class ExtractConfig:
     salt_buckets: int = 0              # >0 → salted two-stage fold for skewed convs
     # hash buckets for the fold's group-reduce. Sizing rule (SCALE.md): one
     # bucket's partial rows (~n_convs/fold_buckets wide rows) must fit a
-    # task's heap; target ~total_cores*4 buckets on a cluster. None → 64.
+    # task's heap; target ~total_cores*4 buckets on a cluster. None → 128.
     fold_buckets: int | None = None
 
     def patient_keys_upper(self) -> tuple[str, ...]:

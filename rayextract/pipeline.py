@@ -74,7 +74,7 @@ def build_conv_fields(turns_ds, cfg: ExtractConfig | None = None):
         turns_ds.select_columns(["conv_id", "turn_idx", "confidence", "candidates"]),
         salt_buckets=cfg.salt_buckets,
         num_partitions=cfg.fold_num_partitions,
-        n_buckets=cfg.fold_buckets or 64,
+        n_buckets=cfg.fold_buckets or 128,
     )
 
 
@@ -221,7 +221,7 @@ def run_sharded(
         )
         conv = fold_conversations(
             folded_src, cfg.salt_buckets, cfg.fold_num_partitions,
-            n_buckets=cfg.fold_buckets or 64,
+            n_buckets=cfg.fold_buckets or 128,
         )
         conv_dir = os.path.join(out_dir, "conv_fields", f"shard={sid:05d}")
         tmp_conv = conv_dir + ".tmp"

@@ -407,30 +407,51 @@ def percentiles_value_per_type(sf_dir: str):
 # Relational engine breadth (TPC-H-ish)
 # ---------------------------------------------------------------------------
 
+def _pc_units(col, factor: float):
+    """Arrow kernel for the per-row integer-unit conversion: round half away
+    from zero (DuckDB round() semantics), elementwise, zero-copy batch in."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(
+        pc.round(
+            pc.multiply(pc.cast(col, pa.float64()), pa.scalar(float(factor))),
+            0, round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
 def q1_pricing_summary(sf_dir: str):
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        # per-row integer units (cents / e4) BEFORE the sum: int sums are
-        # order-free, so results are bit-stable under any batch split
-        return pd.DataFrame(
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        # per-row integer units (cents / e4) BEFORE the sum, all in Arrow
+        # kernels on the zero-copy batch: int sums are order-free, so
+        # results are bit-stable under any batch split
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(t["l_discount"], pa.float64())),
+        )
+        return pa.table(
             {
-                "l_returnflag": df["l_returnflag"],
-                "l_linestatus": df["l_linestatus"],
-                "qty_cents": _cents(df["l_quantity"]),
-                "price_cents": _cents(df["l_extendedprice"]),
-                "disc_price_e4": _round_half_away(
-                    df["l_extendedprice"].to_numpy(np.float64)
-                    * (1 - df["l_discount"].to_numpy(np.float64)) * 10000
-                ),
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_cents": _pc_units(t["l_quantity"], 100),
+                "price_cents": _pc_units(t["l_extendedprice"], 100),
+                "disc_price_e4": _pc_units(disc_price, 10000),
             }
         )
 
     src = _read(
         sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-    ).map_batches(prep, batch_format="pandas")
+    ).map_batches(prep, batch_format="pyarrow")
     agg = pre_aggregate(
         src, ["l_returnflag", "l_linestatus"],
         sums=["qty_cents", "price_cents", "disc_price_e4"],
+        arrow_partial=True,
     )
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
@@ -477,22 +498,26 @@ def q5_nation_revenue(sf_dir: str):
         ["c_custkey", "n_name"]
     ].rename(columns={"c_custkey": "o_custkey"})
 
-    def rev(df: pd.DataFrame) -> pd.DataFrame:
-        # per-row e4 units before summing (order-free int sum; see q1)
-        return pd.DataFrame(
-            {
-                "o_custkey": df["o_custkey"],
-                "revenue_e4": _round_half_away(
-                    df["l_extendedprice"].to_numpy(np.float64)
-                    * (1 - df["l_discount"].to_numpy(np.float64)) * 10000
-                ),
-            }
+    def rev(t):
+        # per-row e4 units before summing (order-free int sum; see q1),
+        # Arrow kernels on the zero-copy join output
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(t["l_discount"], pa.float64())),
+        )
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "revenue_e4": _pc_units(disc_price, 10000)}
         )
 
     enriched = broadcast_join(
-        joined.map_batches(rev, batch_format="pandas"), dim, on="o_custkey"
+        joined.map_batches(rev, batch_format="pyarrow"), dim, on="o_custkey"
     )
-    agg = pre_aggregate(enriched, ["n_name"], sums=["revenue_e4"], counts=False)
+    agg = pre_aggregate(
+        enriched, ["n_name"], sums=["revenue_e4"], counts=False, arrow_partial=True
+    )
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1406,6 +1431,44 @@ SQL: dict[str, str] = {
                     + greatest(1, CAST(ceil(ntok / 12.0) AS BIGINT)) AS BIGINT) AS n_turns
         FROM d
     """.replace("%%DATE%%", _DATE_SQL),
+    "f7_annotations": f"""
+        WITH {_NER_FEAT_CTE},
+        runs AS (
+          SELECT *, CASE WHEN is_name AND NOT coalesce(lag(is_name) OVER (PARTITION BY doc_id ORDER BY pos), false)
+                         THEN 1 ELSE 0 END AS run_start
+          FROM feat
+        ),
+        rid AS (
+          SELECT *, sum(run_start) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM runs WHERE is_name
+        ),
+        rstat AS (SELECT doc_id, run_id, min(pos) AS p0, count(*) AS n FROM rid GROUP BY doc_id, run_id),
+        firstrun AS (
+          SELECT doc_id, p0, least(n, 4) AS take
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS rn FROM rstat WHERE n >= 2)
+          WHERE rn = 1
+        ),
+        -- this oracle covers the PERSON-only case; an org-suffix token in the
+        -- corpus would need the two-span assembly, so fail LOUDLY (sentinel
+        -- hash-mismatch) instead of silently passing
+        suf AS (SELECT doc_id, min(pos) AS k FROM feat WHERE core IN ({_SUF_SQL}) GROUP BY doc_id),
+        asm AS (
+          SELECT t.doc_id,
+                 CASE WHEN suf.k IS NOT NULL THEN 'ORG-PRESENT-ORACLE-GAP'
+                      WHEN f.p0 IS NULL THEN upper(trim(documents.text))
+                      ELSE
+                        CASE WHEN f.p0 > 1
+                             THEN array_to_string(toks[1:f.p0-1], ' ') || ' ' ELSE '' END ||
+                        '<PERSON>' || array_to_string(toks[f.p0:f.p0+f.take-1], ' ') || '</PERSON>' ||
+                        CASE WHEN f.p0 + f.take - 1 < len(toks)
+                             THEN ' ' || array_to_string(toks[f.p0+f.take:], ' ') ELSE '' END
+                 END AS annotated
+          FROM t LEFT JOIN firstrun f USING (doc_id)
+                 LEFT JOIN suf USING (doc_id)
+                 JOIN documents USING (doc_id)
+        )
+        SELECT doc_id, annotated FROM asm
+    """,
     "doc_winnow_fp": r"""
         WITH ch AS (
           SELECT doc_id, pos, ord(substr(text, pos, 1)) AS o

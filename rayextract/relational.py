@@ -66,14 +66,18 @@ def pre_aggregate(
     keys: Sequence[str],
     sums: Sequence[str] = (),
     counts: bool = True,
+    arrow_partial: bool = False,
 ) -> "ray.data.Dataset":
     """Two-level sum/count groupby via the bucketed combiner (bucketed.py):
-    per-batch pandas partials, hash-bucket shuffle, vectorized per-bucket
-    merge. Output columns: keys + [f"sum_{c}"] + (["n"] if counts).
+    per-batch partials (Arrow hash-aggregate when ``arrow_partial``),
+    hash-bucket shuffle, vectorized per-bucket merge. Output columns:
+    keys + [f"sum_{c}"] + (["n"] if counts).
     """
     from .bucketed import grouped_sum_count
 
-    return grouped_sum_count(ds, list(keys), sums=list(sums), counts=counts)
+    return grouped_sum_count(
+        ds, list(keys), sums=list(sums), counts=counts, arrow_partial=arrow_partial
+    )
 
 
 def asof_join_by_key(

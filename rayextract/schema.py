@@ -38,8 +38,12 @@ TURNS_OUT_SCHEMA = pa.schema(
         ("turn_idx", pa.int32()),
         ("kind", pa.string()),            # plain | html | pdfish
         ("extracted_text", pa.string()),  # main content after boilerplate strip
+        # clean_upper (F2) is NOT persisted: it is byte-derivable as
+        # upper_invariant(clean_text) and carrying a third near-copy of the
+        # text through the object store + sink cost ~20% of headline wall
+        # at 32 cpus (bandwidth-bound); the parse stage still computes it
+        # in-flight for gating/extraction
         ("clean_text", pa.string()),      # F1-normalized extracted_text
-        ("clean_upper", pa.string()),     # F2 on clean_text (gate/extract input)
         ("confidence", pa.float64()),     # per-turn extraction confidence (A1 input)
         ("spans", pa.list_(SPAN_TYPE)),
         ("parse_error", pa.string()),     # poison-row quarantine (Worker.cs:117-125)

@@ -38,8 +38,10 @@ _FIELD_LABEL = {
 
 
 class ContentParser:
-    """text -> kind, extracted_text, clean_text, clean_upper, confidence,
-    spans, candidates. Use with
+    """text -> kind, extracted_text, clean_text, confidence, spans,
+    candidates (clean_upper is computed in-flight for gates/extractors but
+    not emitted — derivable as upper_invariant(clean_text), and the third
+    text copy cost ~20% of headline wall at 32 cpus). Use with
     ``ds.map_batches(ContentParser, fn_constructor_kwargs={"cfg": cfg},
     batch_format="pyarrow", batch_size=B, concurrency=N)``.
     """
@@ -170,7 +172,6 @@ class ContentParser:
                 "kind": pa.array(kind, type=pa.string()),
                 "extracted_text": extracted,
                 "clean_text": clean,
-                "clean_upper": upper,
                 "confidence": conf,
                 "spans": pa.array(spans, type=pa.list_(SPAN_TYPE)),
                 "candidates": pa.array(cands, type=pa.list_(CANDIDATE_TYPE)),

@@ -57,7 +57,7 @@ def test_turns_match_oracle_exactly(corpus):
     ot, _ = oracle.oracle_run(rows, cfg)
     want = pd.DataFrame(ot)
     # byte-exact per-turn text equality (the north-rule invariant)
-    for col in ["kind", "extracted_text", "clean_text", "clean_upper"]:
+    for col in ["kind", "extracted_text", "clean_text"]:
         assert got[col].tolist() == want[col].tolist(), col
     np.testing.assert_allclose(got["confidence"], want["confidence"], atol=1e-9)
 

@@ -74,7 +74,7 @@ def test_stage_and_oracle_agree_on_poison(poisoned):
     )
     got = ContentParser(ExtractConfig())(batch)
     want = oracle_turn(MARKER)
-    for col in ("kind", "extracted_text", "clean_text", "clean_upper", "parse_error"):
+    for col in ("kind", "extracted_text", "clean_text", "parse_error"):
         assert got.column(col)[0].as_py() == want[col], col
 
 
