@@ -1146,6 +1146,80 @@ def dedup_simhash_pairs(sf_dir: str):
     )
 
 
+def _dup_drop_ids(docs) -> "set[int]":
+    """doc_ids to DROP for exact dedup (every member of a duplicate group
+    except the min). Computed distributed (hash partials -> bucketed
+    reduce); only the drop list — O(duplicate docs), not O(corpus) — reaches
+    the driver. PARTITIONING ASSUMPTION: the duplicate fraction is
+    broadcastable (the common case for web corpora); for corpora that are
+    MOSTLY duplicates, apply keepers with a hash join instead."""
+    import hashlib
+
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["text"].map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        return pd.DataFrame({"text_hash": h, "doc_id": df["doc_id"]})
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("text_hash", sort=False)["doc_id"].transform("min")
+        return g.loc[g["doc_id"] != keep, ["doc_id"]]
+
+    drops = bucketed_group_reduce(docs, ["text_hash"], partial, reduce, 64)
+    df = drops.to_pandas()
+    if "doc_id" not in df.columns:  # fully duplicate-free corpus: empty frame
+        return set()
+    return set(df["doc_id"].astype("int64"))
+
+
+def dedup_apply_exact(sf_dir: str):
+    """Materialize the DEDUPLICATED corpus (the operator users actually run):
+    exact-dup drop list broadcast, anti-semi-join inside map_batches — text
+    never enters a shuffle and the corpus streams straight through."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return broadcast_semi_join(docs, _dup_drop_ids(docs), "doc_id", anti=True)
+
+
+def curate_corpus(sf_dir: str):
+    """Composite training-data curation pipeline — the end-to-end shape a
+    100 TB corpus pass runs: Gopher-style quality gate ∧ exact-dedup keeper
+    ∧ deterministic content-hash train split (80%). One streaming filter
+    pass over the corpus (quality + split vectorized per batch, dedup via
+    the broadcast drop list); output = surviving (doc_id, n_tokens)."""
+    import hashlib
+
+    from .textstats import STOPWORDS, _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    import ray
+
+    drop_ref = ray.put(_dup_drop_ids(docs))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        drops = ray.get(drop_ref)
+        toks = df["text"].map(_tokens)
+        n = toks.map(len).astype("int64")
+        stop = set(STOPWORDS)
+        stop_cnt = toks.map(lambda t: sum(1 for w in t if w in stop)).astype("int64")
+        maxw = toks.map(lambda t: max((len(w) for w in t), default=0)).astype("int64")
+        sym = df["text"].str.count(r"[#@$%^*=<>{}\[\]\\]").astype("int64")
+        chars = df["text"].str.len().astype("int64")
+        quality = (
+            (n >= 5) & (n <= 10000) & (stop_cnt >= 1) & (maxw <= 30)
+            & (sym * 10 < chars.clip(lower=1) * 3)
+        )
+        keeper = ~df["doc_id"].isin(drops)
+        split = df["doc_id"].map(
+            lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 80
+        )
+        keep = (quality & keeper & split).to_numpy()
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "n_tokens": n}
+        )[keep]
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Flagship transcript pipeline over documents (rows-only; full oracle lives
 # in tests/test_pipeline_golden.py against the pure-Python oracle)
@@ -1251,6 +1325,8 @@ QUERIES = {
     "doc_scrub_digits": doc_scrub_digits,
     "top_tokens_per_source": top_tokens_per_source,
     "dedup_exact": dedup_exact,
+    "dedup_apply_exact": dedup_apply_exact,
+    "curate_corpus": curate_corpus,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
     "dedup_clusters": dedup_clusters,
@@ -1725,6 +1801,32 @@ SQL: dict[str, str] = {
         SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)
     """,
+    "dedup_apply_exact": """
+        SELECT doc_id, text FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+    "curate_corpus": r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks,
+                 length(text) AS chars
+          FROM documents
+        ), m AS (
+          SELECT doc_id, len(toks) AS n,
+                 len(list_filter(toks, w -> w IN
+                   ('the','a','and','of','to','in','is','for','on','with'))) AS stop_cnt,
+                 COALESCE(list_max(list_transform(toks, w -> len(w))), 0) AS maxw,
+                 length(text) - length(regexp_replace(text, '[#@$%^*=<>{}\[\]\\]', '', 'g')) AS sym,
+                 chars
+          FROM t
+        )
+        SELECT m.doc_id, m.n AS n_tokens
+        FROM m
+        WHERE m.n >= 5 AND m.n <= 10000 AND m.stop_cnt >= 1 AND m.maxw <= 30
+          AND m.sym * 10 < greatest(m.chars, 1) * 3
+          AND m.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+          AND CAST(('0x' || substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+    """,
     "dedup_ngram_jaccard": r"""
         WITH t AS (SELECT doc_id, source,
                           list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
@@ -1858,9 +1960,8 @@ SQL: dict[str, str] = {
                octet_length(encode(text)) AS n_bytes
         FROM documents
     """,
-    # rows-only (non-SQL-expressible): f10_encrypt_pii (AES), dedup_minhash /
-    # dedup_simhash / dedup_simhash_pairs (hash-sketch), knn_ivf_topk
-    # (approximate), f5_person_ner (shape+gazetteer tagger),
-    # multimodal_frame_features (fake-decode features), transcript_extract
-    # (full pipeline; oracled in pytest against the pure-Python oracle)
+    # rows-only (legitimately non-SQL): f10_encrypt_pii (AES-256-CBC),
+    # dedup_minhash (output defined by the signature estimator itself),
+    # kmeans_embeddings (iterative), multimodal_frame_features (fake-decode
+    # feature values). Everything else above is value-hash-checked.
 }
