@@ -1282,6 +1282,20 @@ def _docs_to_transcripts(sf_dir: str):
     )
 
 
+def k2_annotation_quads(sf_dir: str):
+    """K2 — highlight-annotation rendering (Worker.cs:459-528 quad emitter)
+    over the flagship transcript turns: every extracted span becomes one
+    annotation row with the reference's pixel→point math, y-flip, Acrobat
+    quad order, YELLOW MARKUP_HIGHLIGHT. The oracle recomputes the span
+    offsets from the deterministic header synthesis and the same geometry."""
+    from .config import ExtractConfig
+    from .highlights import render_highlights
+    from .pipeline import build_turns
+
+    turns = build_turns(_docs_to_transcripts(sf_dir), ExtractConfig())
+    return render_highlights(turns.select_columns(["conv_id", "turn_idx", "spans"]))
+
+
 def transcript_extract(sf_dir: str):
     from .config import ExtractConfig
     from .pipeline import build_conv_fields, build_turns
@@ -1349,6 +1363,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_features": multimodal_frame_features,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "k2_annotation_quads": k2_annotation_quads,
     "transcript_extract": transcript_extract,
 }
 
@@ -1959,6 +1974,54 @@ SQL: dict[str, str] = {
                     ELSE 'video' END AS kind,
                octet_length(encode(text)) AS n_bytes
         FROM documents
+    """,
+    "k2_annotation_quads": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                 2 + length(CAST(doc_id AS VARCHAR)) + 1 AS ord_len,
+                 length(CAST(doc_id % 900 + 100 AS VARCHAR)) + 3 AS amt_len,
+                 CASE WHEN doc_id % 3 = 0 THEN
+                   length((['MARY','JOHN','ALICE','ROBERT','LINDA'])[CAST(doc_id // 3 AS INT) % 5 + 1]) + 1 +
+                   length((['SMITH','JONES','TAYLOR','BROWN','WILSON'])[CAST(doc_id // 7 AS INT) % 5 + 1])
+                 END AS name_len
+          FROM documents
+        ),
+        spans AS (
+          -- turn 0 invoice header: 'INVOICE ' inv(6) ' DATE ' dt(10) ' REFERENCE ' ord ' TOTAL $' amt
+          SELECT conv_id, 0 AS turn_idx, 'INVOICE_NUM' AS label, 8 AS s, 14 AS e FROM d
+          UNION ALL SELECT conv_id, 0, 'DATE', 20, 30 FROM d
+          UNION ALL SELECT conv_id, 0, 'ORDER_NUM', 41, 41 + ord_len FROM d
+          UNION ALL SELECT conv_id, 0, 'MONEY', 41 + ord_len + 1, 41 + ord_len + 8 + amt_len FROM d
+          -- turn 1 patient line: 'PATIENT NAME ' name ' DOB ' date(10)
+          UNION ALL SELECT conv_id, 1, 'PERSON', 13, 13 + name_len FROM d WHERE name_len IS NOT NULL
+          UNION ALL SELECT conv_id, 1, 'DATE', 13 + name_len + 5, 13 + name_len + 15 FROM d WHERE name_len IS NOT NULL
+        ),
+        pix AS (  -- declared char->pixel layout (highlights.py)
+          SELECT conv_id, turn_idx, label,
+                 CAST(turn_idx // 60 + 1 AS BIGINT) AS page,
+                 100.0 + s * 25.0 AS px1,
+                 100.0 + (turn_idx % 60) * 50.0 AS py1,
+                 100.0 + e * 25.0 AS px2,
+                 100.0 + (turn_idx % 60) * 50.0 + 50.0 AS py2
+          FROM spans
+        )
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, label, page,
+               px1 / 4.166666666666667 AS x1,
+               792.0 - (py1 / 4.166666666666667) AS y1,
+               px2 / 4.166666666666667 AS x2,
+               792.0 - (py2 / 4.166666666666667) AS y2,
+               -- Acrobat quad order [R,B,L,B,R,T,L,T] (Worker.cs:486-488)
+               px2 / 4.166666666666667 AS q1,
+               792.0 - (py2 / 4.166666666666667) AS q2,
+               px1 / 4.166666666666667 AS q3,
+               792.0 - (py2 / 4.166666666666667) AS q4,
+               px2 / 4.166666666666667 AS q5,
+               792.0 - (py1 / 4.166666666666667) AS q6,
+               px1 / 4.166666666666667 AS q7,
+               792.0 - (py1 / 4.166666666666667) AS q8,
+               'YELLOW' AS color, 'MARKUP_HIGHLIGHT' AS subtype
+        FROM pix
     """,
     # rows-only (legitimately non-SQL): f10_encrypt_pii (AES-256-CBC),
     # dedup_minhash (output defined by the signature estimator itself),
