@@ -52,8 +52,14 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
-def _read_small(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
-    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns).to_pandas()
+def _read_small(sf_dir: str, table: str, columns=None, filters=None) -> pd.DataFrame:
+    """Driver-side read of a SMALL side (dimension tables, tiny keyed
+    subsets). Always pass ``filters`` when only a slice is needed — the
+    predicate pushes into the parquet row-group scan, so the full table
+    never reaches the driver."""
+    return pq.read_table(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, filters=filters
+    ).to_pandas()
 
 
 def _round_half_away(v) -> np.ndarray:
@@ -470,10 +476,10 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def q3_top_orders(sf_dir: str):
-    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    seg = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]].rename(
-        columns={"c_custkey": "o_custkey"}
-    )
+    seg = _read_small(
+        sf_dir, "customer", ["c_custkey"],
+        filters=[("c_mktsegment", "==", "BUILDING")],  # pushed into the scan
+    ).rename(columns={"c_custkey": "o_custkey"})
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
     joined = broadcast_join(orders, seg, on="o_custkey")
     top = topk(joined, by="o_totalprice", k=10, descending=True, tiebreak="o_orderkey")
@@ -567,8 +573,11 @@ def topk_parts_per_brand(sf_dir: str):
 
 def customers_without_orders(sf_dir: str):
     """Anti join via broadcast key set: customers with no big (>400k) order."""
-    big = _read_small(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    okeys = set(big.loc[big["o_totalprice"] > 400000, "o_custkey"].tolist())
+    big = _read_small(
+        sf_dir, "orders", ["o_custkey"],
+        filters=[("o_totalprice", ">", 400000)],  # pushed into the scan
+    )
+    okeys = set(big["o_custkey"].tolist())
     return broadcast_semi_join(
         _read(sf_dir, "customer", ["c_custkey"]), okeys, "c_custkey", anti=True
     )
@@ -770,8 +779,10 @@ def dedup_simhash(sf_dir: str):
 
 
 def _queries_df(sf_dir: str, n: int = 10) -> pd.DataFrame:
-    df = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return df[df["vec_id"] < n].reset_index(drop=True)
+    return _read_small(
+        sf_dir, "embeddings", ["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],  # pushed into the scan
+    ).reset_index(drop=True)
 
 
 def knn_cosine_topk(sf_dir: str):
