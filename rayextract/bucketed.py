@@ -40,7 +40,7 @@ def bucketed_group_reduce(
     bucket_reduce_fn: Callable[[pd.DataFrame], "pd.DataFrame | object"],
     n_buckets: int = 64,
     num_partitions: int | None = None,
-    stage1_batch_size: int | None = None,
+    stage1_batch_size: int | None = 8192,
     reduce_format: str = "pandas",
     stage1_format: str = "pandas",
 ) -> "ray.data.Dataset":
@@ -78,11 +78,12 @@ def bucketed_group_reduce(
         out[BUCKET_COL] = hash_bucket(out, keys, n_buckets)
         return out
 
-    # whole-block stage1 batches (batch_size=None): the per-batch partial
-    # combine collapses the most duplicate keys locally, shrinking the
-    # shuffle (fold 14.5s -> 11.2s at 8192 vs row-default; -> ~6s whole-block
-    # at the 3.5M-turn corpus). Partial outputs are aggregates, so the only
-    # memory cost is the input block itself, which is already resident.
+    # big stage1 batches: the per-batch partial combine collapses more
+    # duplicate keys locally, shrinking the shuffle (fold 14.5s -> 11.2s).
+    # 8192 measured best across corpus sizes — whole-block batches
+    # (batch_size=None) won at 3.5M turns but lost ~30% at 1.2M turns
+    # (interleaved A/B both times); pass None explicitly for conv-contiguous
+    # jobs big enough to amortize.
     partials = ds.map_batches(stage1, batch_format=stage1_format,
                               batch_size=stage1_batch_size)
 

@@ -1,21 +1,23 @@
-"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+"""Deduplication operators: exact, blocked exact-Jaccard, MinHash+LSH, SimHash.
 
 Scale shapes (the 100 TB design, exercised at test scale):
 
-- **exact**: content-hash per row inside ``map_batches`` (cheap, vectorized),
-  then ONE ``groupby(hash)`` over (hash, doc_id) pairs only — never ship full
-  text through the shuffle; keeper = min doc_id per group.
-- **n-gram Jaccard**: exact pairwise similarity *within a blocking key*
-  (here ``source``) via ``groupby(key).map_groups`` — quadratic inside a
-  block, linear across blocks. The blocking key is the documented
-  partitioning assumption.
-- **MinHash+LSH**: per-batch shingle->minhash signatures (numpy, vectorized
-  over the permutation axis), explode to (band_id, band_hash, doc_id) rows,
-  ``groupby(band)`` -> candidate pairs, verify exact Jaccard. Signatures are
-  mergeable; the only shuffle carries tiny band rows.
-- **SimHash**: 64-bit fingerprint per doc from token hashes; near-dup =
-  Hamming distance <= k, blocked by 16-bit bands (4 bands -> any pair within
-  distance 3 shares a band).
+- **exact** (`exact_dedup_groups`): content-hash per row inside
+  ``map_batches``, then ONE bucketed reduce over (hash, doc_id) pairs only —
+  full text never enters a shuffle; keeper = min doc_id per group.
+- **blocked exact-Jaccard** (`blocked_lsh_jaccard_pairs`, the production
+  path): banded LSH *within* the blocking key + exact verification inside
+  the co-partitioned bucket — no task ever holds a block's raw text, recall
+  is 1 by construction for small cells and >= 1-1e-7 per pair for banded
+  cells. `ngram_jaccard_pairs` (whole-block quadratic) survives only as the
+  small-block reference verifier the equality tests compare against.
+- **MinHash+LSH** (`minhash_lsh_pairs`, unblocked): signature actor stage ->
+  24-byte band rows -> bucketed candidate reduce -> packed-pair dedup ->
+  union-bucketed signature attach -> vectorized est-sim filter. Join-free;
+  the only medium shuffle carries band rows.
+- **SimHash** (`simhash_neardup_pairs`): 64-bit fingerprint per doc; near-dup
+  = Hamming <= k via 4x16-bit band blocking, bucketed band reduce with
+  outer-XOR table popcount, packed-pair dedup.
 """
 
 from __future__ import annotations
@@ -29,7 +31,6 @@ import pyarrow as pa
 
 import ray.data
 
-from .relational import join_partitions
 from .textstats import _tokens
 
 # ---------------------------------------------------------------------------
@@ -402,7 +403,6 @@ def blocked_lsh_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
 _SENTINEL = np.uint64((1 << 31) - 1)  # real signature values are < P31
 
 

@@ -1022,7 +1022,6 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     """Mini k-means over the embedding column: centroids broadcast per
     iteration, assignment + per-cluster partial sums inside map_batches, tiny
     driver-side centroid update. Deterministic init (first k by vec_id)."""
-    from .similarity import _stack
     import ray
 
     # materialize: the loop re-scans the table each iteration; at cluster
