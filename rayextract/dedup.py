@@ -145,6 +145,9 @@ class BlockedSigHasher:
         self.block_key = block_key
         self._cache: dict = {}
 
+    _CACHE_MAX = 1 << 20  # bound the per-actor memo: long-lived actors on a
+    # high-vocabulary corpus must not grow RSS without limit
+
     def _hash_tokens(self, shingles: frozenset) -> np.ndarray:
         cache = self._cache
         out = np.empty(len(shingles), dtype=np.uint64)
@@ -152,6 +155,8 @@ class BlockedSigHasher:
             h = cache.get(s)
             if h is None:
                 h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                if len(cache) >= self._CACHE_MAX:
+                    cache.clear()  # cheap epoch reset; recompute is ~1us/token
                 cache[s] = h
             out[i] = h
         out.sort()
@@ -560,14 +565,15 @@ def minhash_lsh_pairs(
             p = df["pair"].to_numpy(np.int64)
             out = df[["pair", *carry]].copy()
             out["key"] = (p >> shift) & maskv if side == "b" else (p >> shift)
-            out["sig"] = None
+            out["sig"] = b""  # typed placeholder: all-None object columns
+            # defeat Ray's block size estimation (log spam + blind scheduling)
             return out
 
         def key_sigs(df: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame({"key": df["doc_id"].astype("int64"), "sig": df["sig"]})
             out["pair"] = np.int64(-1)
             for c in carry:
-                out[c] = None
+                out[c] = b""
             return out[["pair", *carry, "key", "sig"]]
 
         def merge(g: pd.DataFrame) -> pd.DataFrame:

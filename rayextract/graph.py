@@ -98,13 +98,19 @@ def connected_components(
     if edges.count() <= 2 * local_max_edges:  # edges are stored both ways
         import ray.data as rd
 
-        local = _unionfind_components(edges.to_pandas())
-        return rd.from_pandas(local) if len(local) else rd.from_pandas(
-            pd.DataFrame(
-                {"doc_id": pd.Series(dtype="int64"),
-                 "cluster_id": pd.Series(dtype="int64")}
+        edge_df = edges.to_pandas()
+        if not len(edge_df) or "node" not in edge_df.columns:
+            # zero near-dup pairs: an empty dataset has no columns at all
+            return rd.from_pandas(
+                pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"),
+                     "cluster_id": pd.Series(dtype="int64")}
+                )
             )
-        )
+        # one direction suffices for connectivity — halves the union loop
+        edge_df = edge_df[edge_df["node"] < edge_df["peer"]]
+        local = _unionfind_components(edge_df)
+        return rd.from_pandas(local)
 
     labels = bucketed_group_reduce(
         edges, ["node"],

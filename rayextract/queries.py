@@ -823,11 +823,9 @@ def e7_vendor_lookup(sf_dir: str):
     ray.put, matched inside map_batches (no shuffle)."""
     # predicate pushed into the parquet read: only the <5 rows ever leave
     # storage (round 1 read the FULL documents table to the driver here)
-    small = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-        filters=[("doc_id", "<", 5)],
-    ).to_pandas()
+    small = _read_small(
+        sf_dir, "documents", ["doc_id", "text"], filters=[("doc_id", "<", 5)]
+    )
     lut = (
         small.groupby("text", sort=False)["doc_id"].min().reset_index()
     )

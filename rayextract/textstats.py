@@ -135,6 +135,12 @@ def winnow_fingerprints_np(text: str, k: int = 5, w: int = 4) -> "np.ndarray":
     if n < k:
         return np.empty(0, dtype=np.int64)
     o = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    # int64 safety: term = ord * (B^d mod M) can reach 2^21 * 2^61 for large
+    # k — silent wraparound would break the scalar-equality contract, so fall
+    # back to the exact scalar path outside the proven envelope
+    max_coeff = max(pow(_B, k - 1 - d, _M) for d in range(k))
+    if int(o.max(initial=0)) * max_coeff * k >= (1 << 62):
+        return np.asarray(winnow_fingerprints(text, k, w), dtype=np.int64)
     h = np.zeros(n - k + 1, dtype=np.int64)
     for d in range(k):
         h += o[d : d + n - k + 1] * pow(_B, k - 1 - d, _M)

@@ -59,3 +59,16 @@ def test_distributed_path_equals_local():
     pd.testing.assert_frame_equal(local, dist)
     # the whole chain must collapse to one min label
     assert set(local.loc[local["doc_id"] >= 100, "cluster_id"]) == {100}
+
+
+def test_empty_pairs_yields_empty_components():
+    """Zero near-dup pairs (the common case for a clean corpus) must produce
+    an empty (doc_id, cluster_id) dataset, not a driver crash."""
+    empty = rd.from_pandas(
+        pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                      "doc_b": pd.Series(dtype="int64")})
+    )
+    out = connected_components(empty).to_pandas()
+    # Ray drops empty blocks, so the schema is not observable — the contract
+    # is: empty result, no driver crash (round-2 regression: KeyError 'node')
+    assert len(out) == 0
