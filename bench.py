@@ -104,14 +104,26 @@ def run_headline(num_cpus: int) -> dict:
     # object store (spillable), and both consumers (turns sink + fold) read
     # them zero-copy — no disk round-trip between the stages
     turns = build_turns(read_transcripts(paths), cfg).materialize()
+    t_parse = time.perf_counter()
     turns.write_parquet(out + "/turns")
+    t_sink = time.perf_counter()
     conv = fold_conversations(
         turns.select_columns(["conv_id", "turn_idx", "confidence", "candidates"]),
         cfg.salt_buckets,
     )
     conv.write_parquet(out + "/conv_fields")
     wall = time.perf_counter() - t0
-    return {"sec": wall, "n_turns": n_turns, "turns_per_sec": n_turns / wall}
+    # stage split: the turns sink is disk-bound on this single node (a
+    # constant that does not scale with cores and drags the measured 8→32
+    # ratio; on a cluster every node brings its own disk/S3 lane)
+    return {
+        "sec": wall, "n_turns": n_turns, "turns_per_sec": n_turns / wall,
+        "stage_sec": {
+            "parse": round(t_parse - t0, 3),
+            "turns_sink": round(t_sink - t_parse, 3),
+            "fold_and_sink": round(wall - (t_sink - t0), 3),
+        },
+    }
 
 
 def run_queries() -> dict[str, float]:
@@ -184,6 +196,7 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "n_turns": head["n_turns"],
                 "turns_per_sec": round(head["turns_per_sec"], 1),
+                "stage_sec": head.get("stage_sec", {}),
             }
         )
     )
@@ -236,6 +249,8 @@ def scaling() -> None:
                 "hw_ceiling_samples": [round(c, 3) for c in (c0, c1, c2)],
                 "hw_ceiling_efficiency": round(ceiling, 3),
                 "normalized_efficiency": round(eff / ceiling, 3),
+                "stage_sec_8": r_lo.get("stage_sec", {}),
+                "stage_sec_32": r_hi.get("stage_sec", {}),
                 "sf": r_hi["sf"],
                 "n_turns": r_hi["n_turns"],
             }
