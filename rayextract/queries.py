@@ -736,6 +736,90 @@ def top_tokens_per_source(sf_dir: str, k: int = 5):
     )
 
 
+def doc_bpe_token_stats(sf_dir: str):
+    """BPE-ish pre-tokenizer counting (the GPT-2-family pre-tokenize split,
+    lookahead-free so the DuckDB oracle shares the exact grammar): runs of
+    letters | runs of digits | runs of other non-space | whitespace is a
+    separator. Complements whitespace token counting (doc_token_stats) with
+    the unit an actual tokenizer would see."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+    def fn(t: pa.Table) -> pa.Table:
+        all_t = pc.count_substring_regex(t["text"], pat)
+        alpha = pc.count_substring_regex(t["text"], r"[a-zA-Z]+")
+        num = pc.count_substring_regex(t["text"], r"[0-9]+")
+        punct = pc.count_substring_regex(t["text"], r"[^a-zA-Z0-9\s]+")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe_tokens": pc.cast(all_t, pa.int64()),
+                "n_alpha": pc.cast(alpha, pa.int64()),
+                "n_num": pc.cast(num, pa.int64()),
+                "n_punct": pc.cast(punct, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def stratified_sample_per_source(sf_dir: str, k: int = 5):
+    """Deterministic stratified sample: the k docs with the smallest
+    md5(doc_id) per source — stable across cluster sizes and re-runs
+    (train/val sampling per domain). Partial top-k per batch per source,
+    bucketed top-k merge: shuffle carries at most k rows per source per
+    batch, never the corpus."""
+    import hashlib
+
+    from .bucketed import bucketed_group_reduce
+
+    def rank_keys(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(
+            lambda i: hashlib.md5(str(i).encode()).hexdigest()
+        )
+        return pd.DataFrame(
+            {"source": df["source"], "doc_id": df["doc_id"], "h": h}
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = rank_keys(df)
+        return (
+            t.sort_values(["h", "doc_id"], kind="stable")
+            .groupby("source", sort=False)
+            .head(k)
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.sort_values(["h", "doc_id"], kind="stable")
+            .groupby("source", sort=False)
+            .head(k)
+        )
+        return out[["source", "doc_id"]].astype({"doc_id": "int64"})
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        ["source"], partial, reduce, n_buckets=32,
+    )
+
+
+def dedup_minhash_clusters(sf_dir: str):
+    """Global (unblocked) near-dup clusters: MinHash-LSH est-sim pairs ->
+    connected components — the corpus-wide dedup grouping the blocked
+    variant can't see (rows-only: pair source is the signature estimator)."""
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.9, bands=16, ngram=3,
+    )
+    return connected_components(pairs)
+
+
 def dedup_exact(sf_dir: str):
     return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1347,6 +1431,9 @@ QUERIES = {
     "doc_scrub_digits": doc_scrub_digits,
     "top_tokens_per_source": top_tokens_per_source,
     "dedup_exact": dedup_exact,
+    "doc_bpe_token_stats": doc_bpe_token_stats,
+    "stratified_sample_per_source": stratified_sample_per_source,
+    "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_apply_exact": dedup_apply_exact,
     "curate_corpus": curate_corpus,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1827,6 +1914,23 @@ SQL: dict[str, str] = {
     "dedup_apply_exact": """
         SELECT doc_id, text FROM documents
         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+    "doc_bpe_token_stats": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS n_bpe_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_alpha,
+               len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+')) AS n_punct
+        FROM documents
+    """,
+    "stratified_sample_per_source": """
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 5
     """,
     "curate_corpus": r"""
         WITH t AS (
