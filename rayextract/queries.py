@@ -820,6 +820,89 @@ def dedup_minhash_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def doc_bigram_logprob(sf_dir: str):
+    """Perplexity-style quality score: mean add-one-smoothed bigram log
+    probability per doc under the corpus's own bigram LM — the classic
+    'LM filter' a training-data pipeline runs before mixing a source in.
+
+    Two passes: (1) corpus unigram+bigram counts via the bucketed combiner
+    (counts are aggregates — tiny relative to the corpus; at web scale cap
+    the vocabulary and bucket the count table instead of broadcasting),
+    (2) the count tables broadcast once via ray.put, per-doc scoring fully
+    inside map_batches. Output (doc_id, n_bigrams, avg_logprob)."""
+    import math
+
+    import ray
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in df["text"]:
+            c.update(_tokens(s))
+        return pd.DataFrame({"w": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype="int64")})
+
+    def uni_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("w", sort=False)["n"].sum().reset_index()
+
+    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in df["text"]:
+            t = _tokens(s)
+            c.update(zip(t, t[1:]))
+        if not c:
+            return pd.DataFrame({"w1": pd.Series(dtype=object),
+                                 "w2": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        ks = list(c.keys())
+        return pd.DataFrame(
+            {"w1": [k[0] for k in ks], "w2": [k[1] for k in ks],
+             "n": np.fromiter(c.values(), dtype="int64")}
+        )
+
+    def bi_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+
+    uni = bucketed_group_reduce(docs, ["w"], uni_partial, uni_reduce, 32).to_pandas()
+    bi = bucketed_group_reduce(
+        docs, ["w1", "w2"], bi_partial, bi_reduce, 32
+    ).to_pandas()
+    vocab_size = len(uni)
+    uni_ref = ray.put(dict(zip(uni["w"], uni["n"].astype(int))))
+    bi_ref = ray.put(dict(zip(zip(bi["w1"], bi["w2"]), bi["n"].astype(int))))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ucnt = ray.get(uni_ref)
+        bcnt = ray.get(bi_ref)
+        n_out = np.zeros(len(df), dtype=np.int64)
+        lp_out = np.zeros(len(df), dtype=np.float64)
+        for i, s in enumerate(df["text"]):
+            t = _tokens(s)
+            if len(t) < 2:
+                continue
+            lp = 0.0
+            for w1, w2 in zip(t, t[1:]):
+                lp += math.log(
+                    (bcnt.get((w1, w2), 0) + 1) / (ucnt.get(w1, 0) + vocab_size)
+                )
+            n_out[i] = len(t) - 1
+            lp_out[i] = lp / (len(t) - 1)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "n_bigrams": n_out,
+             "avg_logprob": lp_out}
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def dedup_exact(sf_dir: str):
     return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1432,6 +1515,7 @@ QUERIES = {
     "top_tokens_per_source": top_tokens_per_source,
     "dedup_exact": dedup_exact,
     "doc_bpe_token_stats": doc_bpe_token_stats,
+    "doc_bigram_logprob": doc_bigram_logprob,
     "stratified_sample_per_source": stratified_sample_per_source,
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_apply_exact": dedup_apply_exact,
@@ -1922,6 +2006,43 @@ SQL: dict[str, str] = {
                len(regexp_extract_all(text, '[0-9]+')) AS n_num,
                len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+')) AS n_punct
         FROM documents
+    """,
+    "doc_bigram_logprob": r"""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        uni AS (
+          SELECT tok AS w, count(*) AS n
+          FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+        ),
+        v AS (SELECT count(*) AS vocab FROM uni),
+        bi AS (
+          SELECT w1, w2, count(*) AS n FROM (
+            SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+            FROM t, unnest(range(1, len(toks))) AS r(i)
+          ) GROUP BY w1, w2
+        ),
+        pairs AS (
+          SELECT t.doc_id, toks[i] AS w1, toks[i+1] AS w2
+          FROM t, unnest(range(1, len(toks))) AS r(i)
+        ),
+        scored AS (
+          SELECT p.doc_id,
+                 ln((coalesce(bi.n, 0) + 1.0) / (coalesce(uni.n, 0) + v.vocab)) AS lp
+          FROM pairs p
+          LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+          LEFT JOIN uni ON uni.w = p.w1
+          CROSS JOIN v
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_bigrams, sum(lp) / count(*) AS avg_logprob
+          FROM scored GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               coalesce(agg.avg_logprob, 0.0) AS avg_logprob
+        FROM t LEFT JOIN agg USING (doc_id)
     """,
     "stratified_sample_per_source": """
         SELECT source, doc_id FROM (
