@@ -883,21 +883,22 @@ def doc_bigram_logprob(sf_dir: str):
         ucnt = ray.get(uni_ref)
         bcnt = ray.get(bi_ref)
         n_out = np.zeros(len(df), dtype=np.int64)
-        lp_out = np.zeros(len(df), dtype=np.float64)
+        lp_out = np.zeros(len(df), dtype=np.int64)
         for i, s in enumerate(df["text"]):
             t = _tokens(s)
             if len(t) < 2:
                 continue
-            lp = 0.0
+            lp = 0
             for w1, w2 in zip(t, t[1:]):
-                lp += math.log(
+                x = math.log(
                     (bcnt.get((w1, w2), 0) + 1) / (ucnt.get(w1, 0) + vocab_size)
-                )
+                ) * 1e6
+                lp += int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
             n_out[i] = len(t) - 1
-            lp_out[i] = lp / (len(t) - 1)
+            lp_out[i] = lp
         return pd.DataFrame(
             {"doc_id": df["doc_id"].astype("int64"), "n_bigrams": n_out,
-             "avg_logprob": lp_out}
+             "sum_logprob_e6": lp_out}
         )
 
     return docs.map_batches(score, batch_format="pandas")
@@ -2028,20 +2029,22 @@ SQL: dict[str, str] = {
           FROM t, unnest(range(1, len(toks))) AS r(i)
         ),
         scored AS (
+          -- integer micro-nats per bigram BEFORE the sum: int sums are
+          -- order-free, so the result is bit-stable across engines
           SELECT p.doc_id,
-                 ln((coalesce(bi.n, 0) + 1.0) / (coalesce(uni.n, 0) + v.vocab)) AS lp
+                 CAST(round(ln((coalesce(bi.n, 0) + 1.0) / (coalesce(uni.n, 0) + v.vocab)) * 1e6) AS BIGINT) AS lp
           FROM pairs p
           LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
           LEFT JOIN uni ON uni.w = p.w1
           CROSS JOIN v
         ),
         agg AS (
-          SELECT doc_id, count(*) AS n_bigrams, sum(lp) / count(*) AS avg_logprob
+          SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS sum_logprob_e6
           FROM scored GROUP BY doc_id
         )
         SELECT t.doc_id,
                CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-               coalesce(agg.avg_logprob, 0.0) AS avg_logprob
+               CAST(coalesce(agg.sum_logprob_e6, 0) AS BIGINT) AS sum_logprob_e6
         FROM t LEFT JOIN agg USING (doc_id)
     """,
     "stratified_sample_per_source": """
