@@ -904,6 +904,48 @@ def doc_bigram_logprob(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+def range_join_value_bands(sf_dir: str):
+    """Range (interval) join: classify every event's value into fixed
+    [lo, hi) bands — the banded-dimension join a pricing/latency pipeline
+    runs (an operator Ray Data lacks; see relational.range_join_broadcast).
+    Returns per-band counts + exact-cents sums (order-free ints)."""
+    from .relational import range_join_broadcast
+
+    bands = pd.DataFrame(
+        {
+            "lo": [0.0, 100.0, 250.0, 500.0, 750.0],
+            "hi": [100.0, 250.0, 500.0, 750.0, 10_000.0],
+            "band": ["xs", "s", "m", "l", "xl"],
+        }
+    )
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["band"].notna()]  # inner-join semantics, like the oracle
+        return pd.DataFrame(
+            {"band": df["band"], "value_cents": _cents(df["value"])}
+        )
+
+    joined = range_join_broadcast(
+        _read(sf_dir, "events", ["event_id", "value"]),
+        bands, "value", "lo", "hi", ["band"],
+    )
+    agg = pre_aggregate(
+        joined.map_batches(to_cents, batch_format="pandas"),
+        ["band"], sums=["value_cents"],
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "band": df["band"],
+                "n": df["n"].astype("int64"),
+                "sum_value_cents": df["sum_value_cents"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
 def dedup_exact(sf_dir: str):
     return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1517,6 +1559,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_bigram_logprob": doc_bigram_logprob,
+    "range_join_value_bands": range_join_value_bands,
     "stratified_sample_per_source": stratified_sample_per_source,
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_apply_exact": dedup_apply_exact,
@@ -2046,6 +2089,15 @@ SQL: dict[str, str] = {
                CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CAST(coalesce(agg.sum_logprob_e6, 0) AS BIGINT) AS sum_logprob_e6
         FROM t LEFT JOIN agg USING (doc_id)
+    """,
+    "range_join_value_bands": """
+        WITH bands(lo, hi, band) AS (VALUES
+          (0.0, 100.0, 'xs'), (100.0, 250.0, 's'), (250.0, 500.0, 'm'),
+          (500.0, 750.0, 'l'), (750.0, 10000.0, 'xl'))
+        SELECT b.band, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band
     """,
     "stratified_sample_per_source": """
         SELECT source, doc_id FROM (

@@ -147,6 +147,51 @@ def asof_join_by_key(
     )
 
 
+def range_join_broadcast(
+    ds: "ray.data.Dataset",
+    ranges: pd.DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    out_cols: Sequence[str],
+) -> "ray.data.Dataset":
+    """Range (interval) join — an operator Ray Data lacks natively: attach
+    the range row whose [lo, hi) interval contains each input row's value.
+
+    Implementation for the overwhelmingly common shape (small, NON-OVERLAPPING
+    interval table — price bands, latency buckets, date epochs): intervals are
+    sorted once, broadcast via ``ray.put``, and each batch resolves membership
+    with one vectorized ``np.searchsorted`` against the interval starts — no
+    shuffle, O(rows log intervals). Rows outside every interval get nulls
+    (left join semantics). For a LARGE interval side, range-partition both
+    sides on the interval key space and apply this per partition (same
+    co-partitioning contract as the as-of join above).
+    """
+    import numpy as np
+
+    r = ranges.sort_values(lo_col, kind="stable").reset_index(drop=True)
+    lo = r[lo_col].to_numpy()
+    hi = r[hi_col].to_numpy()
+    if (lo[1:] < hi[:-1]).any():
+        raise ValueError("range_join_broadcast requires non-overlapping intervals")
+    payload = {c: r[c].to_numpy() for c in out_cols}
+    ref = ray.put((lo, hi, payload))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lo_, hi_, pay = ray.get(ref)
+        v = df[value_col].to_numpy()
+        idx = np.searchsorted(lo_, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi_[np.clip(idx, 0, len(hi_) - 1)])
+        out = df.copy()
+        for c, arr in pay.items():
+            col = pd.Series(arr[np.clip(idx, 0, len(arr) - 1)])
+            col[~ok] = None
+            out[c] = col.to_numpy()
+        return out
+
+    return ds.map_batches(attach, batch_format="pandas")
+
+
 def topk(
     ds: "ray.data.Dataset",
     by: str,
