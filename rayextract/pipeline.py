@@ -187,9 +187,13 @@ def run_sharded(
     os.makedirs(out_dir, exist_ok=True)
     done = load_manifest(out_dir)
     shards = _shard_inputs(paths, n_shards, root=shard_root)
-    stats = {"shards_total": len(shards), "shards_skipped": 0, "turns": 0, "convs": 0}
+    stats = {
+        "shards_total": len(shards), "shards_skipped": 0, "shards_empty": 0,
+        "turns": 0, "convs": 0,
+    }
     for sid, shard_paths in enumerate(shards):
         if not shard_paths:
+            stats["shards_empty"] += 1
             continue
         # skip only if the manifest row covers EXACTLY this input set — a
         # shard whose inputs changed (new files polled in) must recompute

@@ -1524,6 +1524,322 @@ def transcript_extract(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Corpus-prep operators round 2b: chunking, repetition, index, tf-idf
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(sf_dir: str):
+    """Token-window chunking with overlap — the 'split long docs into
+    training sequences' step every LLM-data pipeline runs before
+    tokenization. Windows of CHUNK_TOKENS tokens every CHUNK_STRIDE
+    (overlap 8); the final partial window is kept.
+
+    Scale shape: pure flat-map ``map_batches`` (cardinality-expanding, no
+    shuffle, no state) — streams at any corpus size; chunk rows inherit the
+    input block partitioning."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from .textstats import _tokens
+
+        doc_ids, idxs, texts, ntoks = [], [], [], []
+        for d, s in zip(df["doc_id"], df["text"]):
+            toks = _tokens(s)
+            n = len(toks)
+            for ci, start in enumerate(range(0, max(n, 1), CHUNK_STRIDE)):
+                window = toks[start : start + CHUNK_TOKENS]
+                doc_ids.append(d)
+                idxs.append(ci)
+                texts.append(" ".join(window))
+                ntoks.append(len(window))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype="int64"),
+                "chunk_idx": np.asarray(idxs, dtype="int64"),
+                "chunk_text": pd.Series(texts, dtype=object),
+                "chunk_tokens": np.asarray(ntoks, dtype="int64"),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def doc_repetition_filter(sf_dir: str):
+    """Gopher-style repetition signals (Rae et al. 2021, public heuristic):
+    per doc, the most frequent token bigram (ties -> lexicographically
+    smallest), the fraction of tokens covered by its repeats, and the
+    duplicate-token fraction — all as floor'd integer micro-fractions so the
+    result is bit-stable across engines.
+
+    Scale shape: per-doc map_batches, no shuffle; the per-doc Counter is
+    bounded by doc length."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        from .textstats import _tokens
+
+        n_tokens = np.zeros(len(df), dtype=np.int64)
+        top_g = [""] * len(df)
+        top_n = np.zeros(len(df), dtype=np.int64)
+        rep = np.zeros(len(df), dtype=np.int64)
+        dup = np.zeros(len(df), dtype=np.int64)
+        for i, s in enumerate(df["text"]):
+            toks = _tokens(s)
+            nt = len(toks)
+            n_tokens[i] = nt
+            if nt == 0:
+                continue
+            dup[i] = (1_000_000 * (nt - len(set(toks)))) // nt
+            if nt < 2:
+                continue
+            c = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+            # max count, ties broken by smallest gram string
+            g, n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            top_g[i], top_n[i] = g, n
+            rep[i] = (2_000_000 * n) // nt
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": n_tokens,
+                "top_bigram": pd.Series(top_g, dtype=object),
+                "top_bigram_n": top_n,
+                "rep_micro": rep,
+                "dup_tok_micro": dup,
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def inverted_index(sf_dir: str):
+    """Inverted index build: token -> document frequency, total term count,
+    and the first 8 posting doc_ids (ascending, comma-joined) — the lookup
+    structure a corpus search / contamination check needs.
+
+    Scale shape: per-batch partial (token, doc_id, tf) counts — bounded by
+    vocab x docs-in-batch — then ONE bucketed reduce keyed on token. Postings
+    are capped at 8 ids so a stopword's posting list cannot blow up a
+    reducer; df/tf merge as int sums. Zipf-hot tokens are bounded by the
+    per-batch pre-aggregation (one partial row per batch per token)."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for d, s in zip(df["doc_id"], df["text"]):
+            for w in _tokens(s):
+                c[(w, d)] += 1
+        ks = list(c.keys())
+        return pd.DataFrame(
+            {
+                "token": [k[0] for k in ks],
+                "doc_id": np.asarray([k[1] for k in ks], dtype="int64"),
+                "tf": np.fromiter(c.values(), dtype="int64", count=len(c)),
+            }
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # per-(token, doc) partials from different batches merge first
+        per = (
+            g.groupby(["token", "doc_id"], sort=False)["tf"].sum().reset_index()
+        ).sort_values(["token", "doc_id"], kind="stable")
+        agg = per.groupby("token", sort=False).agg(
+            df=("doc_id", "size"), tf=("tf", "sum")
+        )
+        first8 = per.groupby("token", sort=False).head(8)
+        postings = first8.groupby("token", sort=False)["doc_id"].agg(
+            lambda s: ",".join(str(int(x)) for x in s)
+        )
+        out = agg.join(postings.rename("postings")).reset_index()
+        return out.astype({"df": "int64", "tf": "int64"})
+
+    return bucketed_group_reduce(docs, ["token"], partial, reduce, n_buckets=32)
+
+
+def doc_tfidf_topk(sf_dir: str):
+    """Per-doc top-3 tf-idf terms (rank, token, tf, integer micro-nat
+    score) — the relevance/keyword-extraction primitive. idf is computed
+    once over the corpus, quantized to integer micro-nats, and broadcast;
+    per-doc scores are then pure int multiplies, so ranking and values are
+    bit-stable across engines and batch splits.
+
+    Scale shape: pass 1 = bucketed df counts (output is vocab-sized — tiny);
+    pass 2 = broadcast idf dict via ray.put + per-doc scoring inside
+    map_batches. Ties rank by token asc."""
+    import math
+
+    import ray
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in df["text"]:
+            c.update(set(_tokens(s)))
+        return pd.DataFrame(
+            {"token": list(c.keys()),
+             "df": np.fromiter(c.values(), dtype="int64", count=len(c))}
+        )
+
+    def df_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False)["df"].sum().reset_index()
+
+    dfc = bucketed_group_reduce(docs, ["token"], df_partial, df_reduce, 32).to_pandas()
+    # integer micro-nats per token (round half away, matching DuckDB round();
+    # ln(N/df) >= 0 always, so floor(x+0.5) suffices)
+    idf_micro = {
+        w: int(math.floor(math.log(n_docs / d) * 1e6 + 0.5))
+        for w, d in zip(dfc["token"], dfc["df"])
+    }
+    idf_ref = ray.put(idf_micro)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        idf = ray.get(idf_ref)
+        doc_ids, ranks, toks, tfs, scores = [], [], [], [], []
+        for d, s in zip(df["doc_id"], df["text"]):
+            c = Counter(_tokens(s))
+            scored = sorted(
+                ((tf * idf[w], w, tf) for w, tf in c.items()),
+                key=lambda t: (-t[0], t[1]),
+            )[:3]
+            for r, (sc, w, tf) in enumerate(scored, 1):
+                doc_ids.append(d)
+                ranks.append(r)
+                toks.append(w)
+                tfs.append(tf)
+                scores.append(sc)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype="int64"),
+                "rank": np.asarray(ranks, dtype="int64"),
+                "token": pd.Series(toks, dtype=object),
+                "tf": np.asarray(tfs, dtype="int64"),
+                "score_micro": np.asarray(scores, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def q6_discount_revenue(sf_dir: str):
+    """TPC-H Q6 analog: single filter + global aggregate over lineitem —
+    the simplest 'how much would this rule change revenue' scan. Revenue
+    term = price_cents x discount_pct per ROW (pure int multiply -> e4
+    units), summed order-free.
+
+    Scale shape: predicate filter + projection inside one Arrow map_batches,
+    then a count/sum tree-reduce — no shuffle at all."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def prep(t: "pa.Table") -> "pa.Table":
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+            ),
+            pc.less(t["l_quantity"], pa.scalar(24.0)),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "rev_e4": pc.multiply(
+                    _pc_units(t["l_extendedprice"], 100),
+                    _pc_units(t["l_discount"], 100),
+                ),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(prep, batch_format="pyarrow")
+    n = ds.count()
+    s = ds.sum("rev_e4") if n else 0
+    return pd.DataFrame(
+        {"n_lines": np.asarray([n], dtype="int64"),
+         "revenue_e4": np.asarray([s], dtype="int64")}
+    )
+
+
+def user_event_deltas(sf_dir: str):
+    """Per-user inter-event gap stats (count, mean gap, max gap in exact
+    integer microseconds) — the cadence/engagement windowed aggregate.
+
+    Scale shape: hash-bucket shuffle on user_id (3 narrow columns), then one
+    vectorized sort + per-user diff per bucket — same shape as sessionize;
+    no per-user Python. Mean gap telescopes to (max-min)//(n-1), an exact
+    int division."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "t_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+            }
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "mean_gap_us", "max_gap_us"]
+            ).astype("int64")
+        g = g.sort_values(["user_id", "t_us", "event_id"], kind="stable")
+        gaps = g.groupby("user_id", sort=False)["t_us"].diff()
+        agg = (
+            pd.DataFrame(
+                {"user_id": g["user_id"].to_numpy(),
+                 "t_us": g["t_us"].to_numpy(),
+                 "gap": gaps.to_numpy()}
+            )
+            .groupby("user_id", sort=False)
+            .agg(
+                n_events=("t_us", "size"),
+                t_min=("t_us", "min"),
+                t_max=("t_us", "max"),
+                max_gap_us=("gap", "max"),
+            )
+            .reset_index()
+        )
+        n = agg["n_events"].to_numpy()
+        span = agg["t_max"].to_numpy() - agg["t_min"].to_numpy()
+        mean_gap = np.where(n > 1, span // np.maximum(n - 1, 1), 0)
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].astype("int64"),
+                "n_events": agg["n_events"].astype("int64"),
+                "mean_gap_us": mean_gap.astype("int64"),
+                "max_gap_us": agg["max_gap_us"].fillna(0).astype("int64"),
+            }
+        )
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]),
+        ["user_id"], partial, reduce, n_buckets=64,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -1588,6 +1904,12 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "k2_annotation_quads": k2_annotation_quads,
     "transcript_extract": transcript_extract,
+    "chunk_documents": chunk_documents,
+    "doc_repetition_filter": doc_repetition_filter,
+    "inverted_index": inverted_index,
+    "doc_tfidf_topk": doc_tfidf_topk,
+    "q6_discount_revenue": q6_discount_revenue,
+    "user_event_deltas": user_event_deltas,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -2310,6 +2632,112 @@ SQL: dict[str, str] = {
                792.0 - (py1 / 4.166666666666667) AS q8,
                'YELLOW' AS color, 'MARKUP_HIGHLIGHT' AS subtype
         FROM pix
+    """,
+    "chunk_documents": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, toks, CAST(s AS BIGINT) AS st
+          FROM t, unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS r(s)
+        )
+        SELECT doc_id,
+               CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+               coalesce(array_to_string(toks[st:st+31], ' '), '') AS chunk_text,
+               CAST(least(st + 31, len(toks)) - st + 1 AS BIGINT) AS chunk_tokens
+        FROM w
+    """,
+    "doc_repetition_filter": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        big AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+          FROM t, unnest(range(1, len(toks))) AS r(i)
+        ),
+        cnt AS (SELECT doc_id, g, count(*) AS n FROM big GROUP BY doc_id, g),
+        top AS (
+          SELECT doc_id, g, n,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) AS rn
+          FROM cnt
+        ),
+        st AS (SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS nu FROM t)
+        SELECT st.doc_id,
+               CAST(st.nt AS BIGINT) AS n_tokens,
+               coalesce(top.g, '') AS top_bigram,
+               CAST(coalesce(top.n, 0) AS BIGINT) AS top_bigram_n,
+               CAST(CASE WHEN st.nt > 0 THEN (2000000 * coalesce(top.n, 0)) // st.nt
+                         ELSE 0 END AS BIGINT) AS rep_micro,
+               CAST(CASE WHEN st.nt > 0 THEN (1000000 * (st.nt - st.nu)) // st.nt
+                         ELSE 0 END AS BIGINT) AS dup_tok_micro
+        FROM st LEFT JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)
+    """,
+    "inverted_index": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        per AS (SELECT w, doc_id, count(*) AS n FROM tok GROUP BY w, doc_id)
+        SELECT w AS token,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(n) AS BIGINT) AS tf,
+               array_to_string(list_slice(list(doc_id ORDER BY doc_id ASC), 1, 8), ',') AS postings
+        FROM per GROUP BY w
+    """,
+    "doc_tfidf_topk": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        nd AS (SELECT count(*) AS n FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        per AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        dfc AS (
+          SELECT w, count(DISTINCT doc_id) AS df,
+                 -- integer micro-nat idf BEFORE the multiply: bit-stable
+                 CAST(round(ln(CAST((SELECT n FROM nd) AS DOUBLE) / count(DISTINCT doc_id)) * 1e6) AS BIGINT) AS idf_micro
+          FROM tok GROUP BY w
+        ),
+        sc AS (
+          SELECT per.doc_id, per.w, per.tf, per.tf * dfc.idf_micro AS score,
+                 row_number() OVER (
+                   PARTITION BY per.doc_id
+                   ORDER BY per.tf * dfc.idf_micro DESC, per.w ASC
+                 ) AS rn
+          FROM per JOIN dfc USING (w)
+        )
+        SELECT doc_id, CAST(rn AS BIGINT) AS rank, w AS token,
+               CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score_micro
+        FROM sc WHERE rn <= 3
+    """,
+    "q6_discount_revenue": """
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+    "user_event_deltas": """
+        WITH e2 AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+        d AS (
+          SELECT user_id, t,
+                 t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+          FROM e2
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(CASE WHEN count(*) > 1
+                         THEN (max(t) - min(t)) // (count(*) - 1)
+                         ELSE 0 END AS BIGINT) AS mean_gap_us,
+               CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
+        FROM d GROUP BY user_id
     """,
     # rows-only (legitimately non-SQL): f10_encrypt_pii (AES-256-CBC),
     # dedup_minhash (output defined by the signature estimator itself),

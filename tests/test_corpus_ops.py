@@ -1,0 +1,134 @@
+"""Edge-case parity for the corpus-prep operators (chunking, repetition,
+inverted index, tf-idf, event deltas) on a tiny synthetic corpus that
+exercises cases the driver testdata doesn't: empty text, whitespace-only,
+single-token docs, bigram ties, exact window boundaries, tied timestamps.
+
+Each Ray query is compared against its own DuckDB oracle SQL over the same
+parquet — the same contract the driver enforces.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from rayextract.queries import QUERIES, SQL
+
+EDGE_DOCS = pd.DataFrame(
+    {
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [
+            "",  # empty
+            "   ",  # whitespace-only
+            "solo",  # single token -> no bigram
+            "a b a b a b",  # clear top bigram 'a b'
+            "x y y x",  # tie: 'x y', 'y y', 'y x' all count 1 -> lexic. smallest
+            " ".join(f"w{i%7}" for i in range(32)),  # exactly one full window
+            " ".join(f"w{i%7}" for i in range(33)),  # one full + 9-token tail
+            " ".join(f"t{i%5}" for i in range(24)),  # exactly stride tokens
+        ],
+        "lang": ["en"] * 8,
+        "source": ["s0", "s0", "s1", "s1", "s2", "s2", "s3", "s3"],
+        "n_chars": np.zeros(8, dtype=np.int64),
+    }
+)
+EDGE_DOCS["n_chars"] = EDGE_DOCS["text"].str.len().astype("int64")
+
+EDGE_EVENTS = pd.DataFrame(
+    {
+        "event_id": np.arange(6, dtype=np.int64),
+        "ts": pd.to_datetime(
+            [
+                "2026-01-01 00:00:00",
+                "2026-01-01 00:00:00",  # tied ts, same user
+                "2026-01-01 00:10:00",
+                "2026-01-01 01:00:00",
+                "2026-02-01 00:00:00",  # singleton user
+                "2026-01-01 00:05:00",
+            ]
+        ).astype("datetime64[us]"),
+        "user_id": np.asarray([1, 1, 1, 1, 2, 3], dtype=np.int64),
+        "event_type": ["click"] * 6,
+        "value": np.ones(6),
+        "props": ["{}"] * 6,
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_sf")
+    EDGE_DOCS.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    EDGE_EVENTS.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return str(d)
+
+
+def _oracle(edge_dir: str, name: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{edge_dir}/{t}.parquet'")
+    return con.execute(SQL[name]).df()
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].where(pd.notna(df[c]), None)
+    rows = [
+        tuple(int(v) if isinstance(v, np.integer) else v for v in r)
+        for r in df.itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=repr)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["chunk_documents", "doc_repetition_filter", "inverted_index",
+     "doc_tfidf_topk", "user_event_deltas"],
+)
+def test_edge_parity(name, edge_dir, ray_session):
+    got = QUERIES[name](edge_dir).to_pandas()
+    want = _oracle(edge_dir, name)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _canon(got) == _canon(want), name
+
+
+def test_chunk_shapes(edge_dir, ray_session):
+    out = QUERIES["chunk_documents"](edge_dir).to_pandas()
+    by = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.chunk_tokens)
+        for r in out.itertuples()
+    }
+    # empty / whitespace docs emit exactly one empty chunk
+    assert by[(0, 0)] == ("", 0) and by[(1, 0)] == ("", 0)
+    # 32 tokens = one full window (stride 24 -> next start 24 < 32 keeps a tail)
+    assert by[(5, 0)][1] == 32 and by[(5, 1)][1] == 8
+    # 33 tokens: full window + 9-token tail
+    assert by[(6, 0)][1] == 32 and by[(6, 1)][1] == 9
+    # exactly 24 tokens: single chunk, no empty tail at start==n
+    assert by[(7, 0)][1] == 24 and (7, 1) not in by
+
+
+def test_repetition_tiebreak(edge_dir, ray_session):
+    out = QUERIES["doc_repetition_filter"](edge_dir).to_pandas().set_index("doc_id")
+    assert out.loc[3, "top_bigram"] == "a b" and out.loc[3, "top_bigram_n"] == 3
+    # all bigrams count 1 -> lexicographically smallest wins
+    assert out.loc[4, "top_bigram"] == "x y"
+    assert out.loc[2, "top_bigram"] == "" and out.loc[2, "top_bigram_n"] == 0
+    # 'a b a b a b': 6 tokens, top bigram covers 2*3/6 -> 1.0
+    assert out.loc[3, "rep_micro"] == 1_000_000
+    assert out.loc[0, "n_tokens"] == 0 and out.loc[0, "rep_micro"] == 0
+
+
+def test_event_deltas_values(edge_dir, ray_session):
+    out = QUERIES["user_event_deltas"](edge_dir).to_pandas().set_index("user_id")
+    # user 1: ts 0,0,600s,3600s -> gaps 0,600s,3000s
+    assert out.loc[1, "n_events"] == 4
+    assert out.loc[1, "max_gap_us"] == 3000 * 1_000_000
+    assert out.loc[1, "mean_gap_us"] == 3600 * 1_000_000 // 3
+    # singleton users: zero gaps
+    assert out.loc[2, "n_events"] == 1 and out.loc[2, "max_gap_us"] == 0
+    assert out.loc[2, "mean_gap_us"] == 0
