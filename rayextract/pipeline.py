@@ -41,6 +41,21 @@ def read_transcripts(path: str | list[str], columns: list[str] | None = PARSE_CO
     return rd.read_parquet(path, columns=columns)
 
 
+def read_transcripts_jsonl(path: str | list[str],
+                           columns: list[str] | None = PARSE_COLUMNS):
+    """JSONL transcript source — the same pipeline over newline-delimited
+    JSON exports (one turn object per line). JSON can't prune columns at the
+    scan like parquet, so the projection runs as the first (zero-copy Arrow)
+    stage after the read; everything downstream is format-agnostic."""
+    if isinstance(path, str) and any(c in path for c in "*?["):
+        pattern = path
+        path = sorted(glob.glob(pattern))
+        if not path:
+            raise FileNotFoundError(f"no input files match {pattern!r}")
+    ds = rd.read_json(path)
+    return ds.select_columns(columns) if columns else ds
+
+
 def build_turns(ds, cfg: ExtractConfig | None = None):
     """turns_out dataset: decode + normalize + span/candidate emission."""
     cfg = cfg or ExtractConfig()
@@ -214,12 +229,27 @@ def run_sharded(
 
         for stale in (tmp_turns, turns_dir):
             shutil.rmtree(stale, ignore_errors=True)
+        sink_thread = None
         if write_turns:
             # materialize-once: the parse stage runs a single time; the sink
             # and the fold both consume the object-store blocks zero-copy
-            # (spillable), no disk round-trip between the stages
+            # (spillable), no disk round-trip between the stages. The sink is
+            # disk-bound and core-count-independent, so it runs CONCURRENTLY
+            # with the fold (wall = parse + max(sink, fold), not the sum);
+            # both must finish before the atomic finalize below.
+            import threading
+
             turns = turns.materialize()
-            turns.write_parquet(tmp_turns)
+            sink_err: list[BaseException] = []
+
+            def _sink(t=turns, dest=tmp_turns):
+                try:
+                    t.write_parquet(dest)
+                except BaseException as e:  # propagate to the shard loop
+                    sink_err.append(e)
+
+            sink_thread = threading.Thread(target=_sink)
+            sink_thread.start()
         folded_src = turns.select_columns(
             ["conv_id", "turn_idx", "confidence", "candidates"]
         )
@@ -232,6 +262,10 @@ def run_sharded(
         for stale in (tmp_conv, conv_dir):
             shutil.rmtree(stale, ignore_errors=True)
         conv.write_parquet(tmp_conv)
+        if sink_thread is not None:
+            sink_thread.join()
+            if sink_err:
+                raise sink_err[0]
         # atomic-ish finalize: rename then manifest
         n_parse_errors = 0
         if write_turns:

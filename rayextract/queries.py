@@ -1839,6 +1839,58 @@ def user_event_deltas(sf_dir: str):
     )
 
 
+DECON_NGRAM_TOKENS = 8
+DECON_BENCH_DOCS = 3
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: flag every document whose text contains
+    any held-out benchmark n-gram — the pre-training hygiene pass that keeps
+    eval data out of the training mix. The 'benchmark set' is derived
+    deterministically from the corpus (first 8 tokens of the 3 lowest
+    doc_ids) so the check is self-contained.
+
+    Scale shape: the needle set is tiny and broadcast once via ray.put
+    (never re-shipped per batch); matching is vectorized ``str.contains``
+    per needle over each batch — no shuffle, no driver-side corpus read. At
+    a real 10^5-needle benchmark suite the same stage swaps the per-needle
+    scan for one Aho-Corasick automaton built in the actor's ``__init__``."""
+    import ray
+
+    bench = _read_small(
+        sf_dir, "documents", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", DECON_BENCH_DOCS)],
+    ).sort_values("doc_id")
+    needles = []
+    for d, t in zip(bench["doc_id"], bench["text"]):
+        toks = t.split()[:DECON_NGRAM_TOKENS]
+        if toks:
+            needles.append((int(d), " ".join(toks)))
+    needles_ref = ray.put(needles)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        nd = ray.get(needles_ref)
+        ids, bench_ids = [], []
+        text = df["text"]
+        for bid, needle in nd:
+            hit = text.str.contains(needle, regex=False)
+            matched = df.loc[hit, "doc_id"]
+            ids.append(matched.to_numpy(dtype="int64"))
+            bench_ids.append(np.full(len(matched), bid, dtype=np.int64))
+        if not ids:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "bench_doc_id": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(ids), "bench_doc_id": np.concatenate(bench_ids)}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1910,6 +1962,7 @@ QUERIES = {
     "doc_tfidf_topk": doc_tfidf_topk,
     "q6_discount_revenue": q6_discount_revenue,
     "user_event_deltas": user_event_deltas,
+    "decontaminate_docs": decontaminate_docs,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -2738,6 +2791,17 @@ SQL: dict[str, str] = {
                          ELSE 0 END AS BIGINT) AS mean_gap_us,
                CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
         FROM d GROUP BY user_id
+    """,
+    "decontaminate_docs": """
+        WITH bench AS (
+          SELECT doc_id AS bench_doc_id,
+                 array_to_string(list_slice(
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                   1, 8), ' ') AS needle
+          FROM documents WHERE doc_id < 3 AND trim(text) <> ''
+        )
+        SELECT d.doc_id, b.bench_doc_id
+        FROM documents d JOIN bench b ON position(b.needle IN d.text) > 0
     """,
     # rows-only (legitimately non-SQL): f10_encrypt_pii (AES-256-CBC),
     # dedup_minhash (output defined by the signature estimator itself),
