@@ -1891,6 +1891,60 @@ def decontaminate_docs(sf_dir: str):
     )
 
 
+def doc_quality_gate(sf_dir: str):
+    """Global-quantile quality gate: keep documents whose stopword-density
+    score is at or above the corpus P75 — the 'top-quartile by quality'
+    curation cut. The score is an integer micro-ratio, so the quantile and
+    the gate are bit-exact.
+
+    Scale shape: pass 1 streams a per-batch score VALUE-COUNT into a bucketed
+    reduce — the histogram is at most one row per distinct micro-score
+    (≤1e6), tiny vs the corpus — and the driver folds it into one cutoff;
+    pass 2 re-scores and filters with the cutoff inline (scores are cheaper
+    to recompute than to shuffle/persist at 10^12 rows). No full-table
+    materialization anywhere."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import STOPWORDS, _tokens
+
+    stop = set(STOPWORDS)
+
+    def _scores(df: pd.DataFrame) -> np.ndarray:
+        out = np.zeros(len(df), dtype=np.int64)
+        for i, s in enumerate(df["text"]):
+            toks = _tokens(s)
+            if toks:
+                out[i] = (1_000_000 * sum(1 for w in toks if w in stop)) // len(toks)
+        return out
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v, c = np.unique(_scores(df), return_counts=True)
+        return pd.DataFrame({"stop_micro": v, "n": c.astype("int64")})
+
+    hist = bucketed_group_reduce(
+        docs, ["stop_micro"], hist_partial,
+        lambda g: g.groupby("stop_micro", sort=False)["n"].sum().reset_index(),
+        n_buckets=16,
+    ).to_pandas().sort_values("stop_micro")
+    total = int(hist["n"].sum())
+    k = max(int(np.ceil(0.75 * total)), 1)
+    cutoff = int(hist.loc[hist["n"].cumsum() >= k, "stop_micro"].iloc[0])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        sc = _scores(df)
+        keep = sc >= cutoff
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype="int64")[keep],
+                "stop_micro": sc[keep],
+                "cutoff": np.full(int(keep.sum()), cutoff, dtype=np.int64),
+            }
+        )
+
+    return docs.map_batches(gate, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1963,6 +2017,7 @@ QUERIES = {
     "q6_discount_revenue": q6_discount_revenue,
     "user_event_deltas": user_event_deltas,
     "decontaminate_docs": decontaminate_docs,
+    "doc_quality_gate": doc_quality_gate,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -2802,6 +2857,26 @@ SQL: dict[str, str] = {
         )
         SELECT d.doc_id, b.bench_doc_id
         FROM documents d JOIN bench b ON position(b.needle IN d.text) > 0
+    """,
+    "doc_quality_gate": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) > 0
+                      THEN (1000000 * len(list_filter(toks, w -> w IN
+                        ('the','a','and','of','to','in','is','for','on','with'))))
+                        // len(toks)
+                      ELSE 0 END AS stop_micro
+          FROM t
+        ),
+        thr AS (SELECT quantile_disc(stop_micro, 0.75) AS cutoff FROM s)
+        SELECT s.doc_id, CAST(s.stop_micro AS BIGINT) AS stop_micro,
+               CAST(thr.cutoff AS BIGINT) AS cutoff
+        FROM s, thr WHERE s.stop_micro >= thr.cutoff
     """,
     # rows-only (legitimately non-SQL): f10_encrypt_pii (AES-256-CBC),
     # dedup_minhash (output defined by the signature estimator itself),
