@@ -164,6 +164,10 @@ def run_queries() -> dict[str, float]:
         "median_value_per_type",
         "kmeans_embeddings",
         "multimodal_decode",
+        "chunk_documents",
+        "doc_tfidf_topk",
+        "decontaminate_docs",
+        "doc_quality_gate",
     ]
     out = {}
     for name in picks:

@@ -56,6 +56,26 @@ def read_transcripts_jsonl(path: str | list[str],
     return ds.select_columns(columns) if columns else ds
 
 
+def read_transcripts_csv(path: str | list[str],
+                         columns: list[str] | None = PARSE_COLUMNS):
+    """CSV transcript source. Transcript text routinely embeds newlines
+    (tool dumps, HTML), so quoted-newline parsing is ON — without
+    ``newlines_in_values`` pyarrow splits records mid-text and the pipeline
+    sees corrupt rows. Column pruning happens post-read (CSV has no
+    projection pushdown); the scan itself is still block-parallel."""
+    from pyarrow import csv as pacsv
+
+    if isinstance(path, str) and any(c in path for c in "*?["):
+        pattern = path
+        path = sorted(glob.glob(pattern))
+        if not path:
+            raise FileNotFoundError(f"no input files match {pattern!r}")
+    ds = rd.read_csv(
+        path, parse_options=pacsv.ParseOptions(newlines_in_values=True)
+    )
+    return ds.select_columns(columns) if columns else ds
+
+
 def build_turns(ds, cfg: ExtractConfig | None = None):
     """turns_out dataset: decode + normalize + span/candidate emission."""
     cfg = cfg or ExtractConfig()
