@@ -100,48 +100,20 @@ def run_headline(num_cpus: int) -> dict:
 
     paths = sorted(_glob.glob(os.path.join(d, "*.parquet")))
     t0 = time.perf_counter()
-    # materialize-once: parse runs a single time, the blocks stay in the
-    # object store (spillable), and both consumers (turns sink + fold) read
-    # them zero-copy — no disk round-trip between the stages
-    turns = build_turns(read_transcripts(paths), cfg).materialize()
-    t_parse = time.perf_counter()
-    # the turns sink is disk-bound on this single node — a constant that
-    # does not shrink with cores and so drags the measured 8→32 ratio (on a
-    # cluster every node brings its own disk/S3 lane). Overlap it with the
-    # fold: both consume the SAME materialized blocks zero-copy, so wall =
-    # parse + max(sink, fold) instead of parse + sink + fold.
-    import threading
+    # fused pipeline: the parse actors write the full turn rows to parquet
+    # themselves and emit only the 4 narrow fold columns — read ->
+    # parse+sink -> fold streams end-to-end (no materialize barrier), and
+    # the wide text/spans bytes never enter the object store. Driving the
+    # conv sink drives everything.
+    from rayextract.pipeline import build_turns_fused
 
-    sink_sec = [0.0]
-    sink_err: list[BaseException] = []
-
-    def _sink():
-        s0 = time.perf_counter()
-        try:
-            turns.write_parquet(out + "/turns")
-        except BaseException as e:
-            sink_err.append(e)
-        sink_sec[0] = time.perf_counter() - s0
-
-    th = threading.Thread(target=_sink)
-    th.start()
-    conv = fold_conversations(
-        turns.select_columns(["conv_id", "turn_idx", "confidence", "candidates"]),
-        cfg.salt_buckets,
-    )
+    folded_src = build_turns_fused(read_transcripts(paths), cfg, out + "/turns")
+    conv = fold_conversations(folded_src, cfg.salt_buckets)
     conv.write_parquet(out + "/conv_fields")
-    t_fold = time.perf_counter()
-    th.join()
-    if sink_err:
-        raise sink_err[0]
     wall = time.perf_counter() - t0
     return {
         "sec": wall, "n_turns": n_turns, "turns_per_sec": n_turns / wall,
-        "stage_sec": {
-            "parse": round(t_parse - t0, 3),
-            "turns_sink": round(sink_sec[0], 3),
-            "fold_and_sink": round(t_fold - t_parse, 3),
-        },
+        "stage_sec": {"fused_parse_sink_fold": round(wall, 3)},
     }
 
 

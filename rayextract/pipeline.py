@@ -102,6 +102,31 @@ def build_turns(ds, cfg: ExtractConfig | None = None):
     )
 
 
+def build_turns_fused(ds, cfg: ExtractConfig, turns_dir: str):
+    """Parse stage with the turns sink fused into the actors: full turn rows
+    are written to ``turns_dir`` as a side effect and only the narrow fold
+    columns flow downstream. No materialize barrier, wide bytes never enter
+    the object store — see stages.ContentParserSink."""
+    from .stages import ContentParserSink
+
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # pragma: no cover - ray not initialised yet
+        cpus = 4
+    max_c = cfg.tagger_concurrency
+    min_c = max(1, min(max_c, cpus - 2) * 2 // 3)
+    return ds.map_batches(
+        ContentParserSink,
+        fn_constructor_kwargs={"cfg": cfg, "sink_dir": turns_dir},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(min_c, max_c),
+        num_cpus=1,
+    )
+
+
 def build_conv_fields(turns_ds, cfg: ExtractConfig | None = None):
     """conv_fields dataset from a turns_out dataset (E9/A1 fold)."""
     cfg = cfg or ExtractConfig()
@@ -238,41 +263,30 @@ def run_sharded(
             stats["convs"] += done[sid]["n_convs"]
             continue
         t0 = time.perf_counter()
-        turns = build_turns(read_transcripts(shard_paths), cfg)
         turns_dir = os.path.join(out_dir, "turns", f"shard={sid:05d}")
         tmp_turns = turns_dir + ".tmp"
         n_turns = 0
         # a crash mid-shard leaves stale .tmp dirs (and possibly a stale
-        # final dir with no manifest row); write_parquet APPENDS to an
-        # existing dir, so clear all of them or re-runs double the rows
+        # final dir with no manifest row); the sinks APPEND to an existing
+        # dir, so clear all of them or re-runs double the rows
         import shutil
 
         for stale in (tmp_turns, turns_dir):
             shutil.rmtree(stale, ignore_errors=True)
-        sink_thread = None
         if write_turns:
-            # materialize-once: the parse stage runs a single time; the sink
-            # and the fold both consume the object-store blocks zero-copy
-            # (spillable), no disk round-trip between the stages. The sink is
-            # disk-bound and core-count-independent, so it runs CONCURRENTLY
-            # with the fold (wall = parse + max(sink, fold), not the sum);
-            # both must finish before the atomic finalize below.
-            import threading
-
-            turns = turns.materialize()
-            sink_err: list[BaseException] = []
-
-            def _sink(t=turns, dest=tmp_turns):
-                try:
-                    t.write_parquet(dest)
-                except BaseException as e:  # propagate to the shard loop
-                    sink_err.append(e)
-
-            sink_thread = threading.Thread(target=_sink)
-            sink_thread.start()
-        folded_src = turns.select_columns(
-            ["conv_id", "turn_idx", "confidence", "candidates"]
-        )
+            # fused sink: the parse actors write the full turn rows to
+            # tmp_turns themselves and emit only the narrow fold columns —
+            # read -> parse+sink -> fold streams end-to-end with no
+            # materialize barrier, and the wide text/spans bytes never
+            # enter the object store (see stages.ContentParserSink)
+            folded_src = build_turns_fused(
+                read_transcripts(shard_paths), cfg, tmp_turns
+            )
+        else:
+            folded_src = build_turns(read_transcripts(shard_paths), cfg
+                                     ).select_columns(
+                ["conv_id", "turn_idx", "confidence", "candidates"]
+            )
         conv = fold_conversations(
             folded_src, cfg.salt_buckets, cfg.fold_num_partitions,
             n_buckets=cfg.fold_buckets or 128,
@@ -281,11 +295,9 @@ def run_sharded(
         tmp_conv = conv_dir + ".tmp"
         for stale in (tmp_conv, conv_dir):
             shutil.rmtree(stale, ignore_errors=True)
+        # driving the conv sink drives the whole fused pipeline (turns files
+        # appear in tmp_turns as the parse stage streams)
         conv.write_parquet(tmp_conv)
-        if sink_thread is not None:
-            sink_thread.join()
-            if sink_err:
-                raise sink_err[0]
         # atomic-ish finalize: rename then manifest
         n_parse_errors = 0
         if write_turns:

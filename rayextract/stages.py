@@ -178,3 +178,52 @@ class ContentParser:
                 "parse_error": parse_error,
             }
         )
+
+
+class ContentParserSink(ContentParser):
+    """ContentParser with the turns sink FUSED into the actor: each full
+    output batch is written to parquet as a side effect and only the four
+    narrow fold columns are returned downstream.
+
+    Why: the wide columns (extracted_text, clean_text, spans) are ~90% of
+    the parse output's bytes and are needed only by the turns sink, never by
+    the fold. Writing them at the source means they never enter the object
+    store, the pipeline needs no materialize() barrier (read -> parse+write
+    -> fold streams end-to-end with backpressure), and the shuffle carries
+    only the narrow columns. On a cluster each actor writes to its own
+    node-local disk/S3 lane — the sink scales with the parse pool instead of
+    being a serial stage.
+
+    At-least-once safety: the file name is a content digest of the batch's
+    (conv_id, turn_idx) columns, so a retried task rewrites the same files
+    byte-for-byte instead of duplicating rows (same idempotency contract as
+    ray.data's write_parquet task-indexed file names).
+    """
+
+    FOLD_COLUMNS = ["conv_id", "turn_idx", "confidence", "candidates"]
+
+    def __init__(self, cfg: ExtractConfig | None = None, sink_dir: str | None = None):
+        super().__init__(cfg)
+        if not sink_dir:
+            raise ValueError("ContentParserSink requires sink_dir")
+        import os
+
+        self.sink_dir = sink_dir
+        os.makedirs(sink_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        full = super().__call__(batch)
+        if len(full):
+            import hashlib
+            import os
+
+            import pyarrow.parquet as pq
+
+            h = hashlib.sha1()
+            h.update("\x1f".join(full.column("conv_id").to_pylist()).encode())
+            h.update(full.column("turn_idx").to_numpy(zero_copy_only=False).tobytes())
+            pq.write_table(
+                full,
+                os.path.join(self.sink_dir, f"turns-{h.hexdigest()[:20]}.parquet"),
+            )
+        return full.select(self.FOLD_COLUMNS)
