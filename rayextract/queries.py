@@ -1546,7 +1546,7 @@ def chunk_documents(sf_dir: str):
 
         doc_ids, idxs, texts, ntoks = [], [], [], []
         for d, s in zip(df["doc_id"], df["text"]):
-            toks = _tokens(s)
+            toks = _tokens(s) if isinstance(s, str) else []
             n = len(toks)
             for ci, start in enumerate(range(0, max(n, 1), CHUNK_STRIDE)):
                 window = toks[start : start + CHUNK_TOKENS]
@@ -1589,7 +1589,7 @@ def doc_repetition_filter(sf_dir: str):
         rep = np.zeros(len(df), dtype=np.int64)
         dup = np.zeros(len(df), dtype=np.int64)
         for i, s in enumerate(df["text"]):
-            toks = _tokens(s)
+            toks = _tokens(s) if isinstance(s, str) else []
             nt = len(toks)
             n_tokens[i] = nt
             if nt == 0:
@@ -1638,8 +1638,15 @@ def inverted_index(sf_dir: str):
 
         c: Counter = Counter()
         for d, s in zip(df["doc_id"], df["text"]):
-            for w in _tokens(s):
-                c[(w, d)] += 1
+            if isinstance(s, str):
+                for w in _tokens(s):
+                    c[(w, d)] += 1
+        if not c:
+            return pd.DataFrame(
+                {"token": pd.Series(dtype=object),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "tf": pd.Series(dtype="int64")}
+            )
         ks = list(c.keys())
         return pd.DataFrame(
             {
@@ -1692,7 +1699,12 @@ def doc_tfidf_topk(sf_dir: str):
 
         c: Counter = Counter()
         for s in df["text"]:
-            c.update(set(_tokens(s)))
+            if isinstance(s, str):
+                c.update(set(_tokens(s)))
+        if not c:
+            return pd.DataFrame(
+                {"token": pd.Series(dtype=object), "df": pd.Series(dtype="int64")}
+            )
         return pd.DataFrame(
             {"token": list(c.keys()),
              "df": np.fromiter(c.values(), dtype="int64", count=len(c))}
@@ -1716,7 +1728,7 @@ def doc_tfidf_topk(sf_dir: str):
         idf = ray.get(idf_ref)
         doc_ids, ranks, toks, tfs, scores = [], [], [], [], []
         for d, s in zip(df["doc_id"], df["text"]):
-            c = Counter(_tokens(s))
+            c = Counter(_tokens(s) if isinstance(s, str) else [])
             scored = sorted(
                 ((tf * idf[w], w, tf) for w, tf in c.items()),
                 key=lambda t: (-t[0], t[1]),
@@ -1873,7 +1885,7 @@ def decontaminate_docs(sf_dir: str):
         ids, bench_ids = [], []
         text = df["text"]
         for bid, needle in nd:
-            hit = text.str.contains(needle, regex=False)
+            hit = text.str.contains(needle, regex=False).fillna(False)
             matched = df.loc[hit, "doc_id"]
             ids.append(matched.to_numpy(dtype="int64"))
             bench_ids.append(np.full(len(matched), bid, dtype=np.int64))
@@ -1911,7 +1923,7 @@ def doc_quality_gate(sf_dir: str):
     def _scores(df: pd.DataFrame) -> np.ndarray:
         out = np.zeros(len(df), dtype=np.int64)
         for i, s in enumerate(df["text"]):
-            toks = _tokens(s)
+            toks = _tokens(s) if isinstance(s, str) else []
             if toks:
                 out[i] = (1_000_000 * sum(1 for w in toks if w in stop)) // len(toks)
         return out
