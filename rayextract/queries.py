@@ -1855,6 +1855,61 @@ DECON_NGRAM_TOKENS = 8
 DECON_BENCH_DOCS = 3
 
 
+def customers_with_big_orders(sf_dir: str):
+    """Semi join via broadcast key set: customers holding at least one
+    large (>400k) order — the companion of the anti-join query; same
+    predicate-pushed small-side read, same broadcast filter shape."""
+    big = _read_small(
+        sf_dir, "orders", ["o_custkey"],
+        filters=[("o_totalprice", ">", 400000)],
+    )
+    okeys = set(big["o_custkey"].tolist())
+    return broadcast_semi_join(
+        _read(sf_dir, "customer", ["c_custkey"]), okeys, "c_custkey", anti=False
+    )
+
+
+def pivot_events_by_type(sf_dir: str):
+    """Pivot (long -> wide conditional aggregation): per user, one count and
+    one exact-cents sum column per event type. The classic reporting
+    reshape Ray Data has no operator for.
+
+    Scale shape: the per-batch partial is already the WIDE shape (pandas
+    crosstab-style groupby inside the batch), so the bucketed shuffle
+    carries one row per (user x batch) of small ints — the reduce just sums
+    wide columns per user. Event-type domain is fixed and small (the
+    precondition any pivot needs at scale)."""
+    from .bucketed import bucketed_group_reduce
+
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "cents": _cents(df["value"]),
+            }
+        )
+        g = t.groupby(["user_id", "event_type"], sort=False)["cents"].agg(
+            ["size", "sum"]
+        ).reset_index()
+        out = pd.DataFrame({"user_id": g["user_id"].unique()}).set_index("user_id")
+        for ty in types:
+            sub = g[g["event_type"] == ty].set_index("user_id")
+            out[f"n_{ty}"] = sub["size"]
+            out[f"cents_{ty}"] = sub["sum"]
+        return out.fillna(0).astype("int64").reset_index()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", sort=False).sum().reset_index()
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"]),
+        ["user_id"], partial, reduce, n_buckets=32,
+    )
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: flag every document whose text contains
     any held-out benchmark n-gram — the pre-training hygiene pass that keeps
@@ -2030,6 +2085,8 @@ QUERIES = {
     "user_event_deltas": user_event_deltas,
     "decontaminate_docs": decontaminate_docs,
     "doc_quality_gate": doc_quality_gate,
+    "customers_with_big_orders": customers_with_big_orders,
+    "pivot_events_by_type": pivot_events_by_type,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -2869,6 +2926,30 @@ SQL: dict[str, str] = {
         )
         SELECT d.doc_id, b.bench_doc_id
         FROM documents d JOIN bench b ON position(b.needle IN d.text) > 0
+    """,
+    "customers_with_big_orders": """
+        SELECT c_custkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    "pivot_events_by_type": """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                    FILTER (event_type = 'click'), 0) AS BIGINT) AS cents_click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+               CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                    FILTER (event_type = 'error'), 0) AS BIGINT) AS cents_error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                    FILTER (event_type = 'purchase'), 0) AS BIGINT) AS cents_purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                    FILTER (event_type = 'signup'), 0) AS BIGINT) AS cents_signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+               CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                    FILTER (event_type = 'view'), 0) AS BIGINT) AS cents_view
+        FROM events GROUP BY user_id
     """,
     "doc_quality_gate": r"""
         WITH t AS (
