@@ -2972,7 +2972,8 @@ SQL: dict[str, str] = {
         FROM s, thr WHERE s.stop_micro >= thr.cutoff
     """,
     # rows-only (legitimately non-SQL): f10_encrypt_pii (AES-256-CBC),
-    # dedup_minhash (output defined by the signature estimator itself),
-    # kmeans_embeddings (iterative), multimodal_frame_features (fake-decode
-    # feature values). Everything else above is value-hash-checked.
+    # dedup_minhash + dedup_minhash_clusters (output defined by the
+    # signature estimator itself), kmeans_embeddings (iterative),
+    # multimodal_frame_features (fake-decode feature values). Everything
+    # else above is value-hash-checked.
 }
