@@ -1910,6 +1910,109 @@ def pivot_events_by_type(sf_dir: str):
     )
 
 
+def rollup_orders_status_year(sf_dir: str):
+    """GROUPING-SETS rollup: order count + exact-cents revenue at three
+    levels — (status, year), (status), grand total — with sentinel keys
+    ('ALL', -1) instead of NULLs so the cross-engine hash is unambiguous.
+
+    Scale shape: ONE streaming pass computes the finest-level aggregate via
+    the bucketed combiner; the coarser rollup levels derive from that tiny
+    (statuses x years) result on the driver — never a second corpus scan
+    per level."""
+    from .relational import pre_aggregate
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "status": df["o_orderstatus"],
+                "year": df["o_orderdate"].dt.year.astype("int64"),
+                "cents": _cents(df["o_totalprice"]),
+            }
+        )
+
+    base = pre_aggregate(
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderdate", "o_totalprice"])
+        .map_batches(prep, batch_format="pandas"),
+        ["status", "year"], sums=["cents"],
+    ).to_pandas()
+    lvl0 = pd.DataFrame(
+        {
+            "status": base["status"],
+            "year": base["year"].astype("int64"),
+            "n_orders": base["n"].astype("int64"),
+            "sum_cents": base["sum_cents"].astype("int64"),
+        }
+    )
+    lvl1 = (
+        lvl0.groupby("status", as_index=False)[["n_orders", "sum_cents"]].sum()
+        .assign(year=np.int64(-1))
+    )[["status", "year", "n_orders", "sum_cents"]]
+    lvl2 = pd.DataFrame(
+        {
+            "status": ["ALL"],
+            "year": np.asarray([-1], dtype="int64"),
+            "n_orders": np.asarray([lvl0["n_orders"].sum()], dtype="int64"),
+            "sum_cents": np.asarray([lvl0["sum_cents"].sum()], dtype="int64"),
+        }
+    )
+    return pd.concat([lvl0, lvl1, lvl2], ignore_index=True).astype(
+        {"year": "int64", "n_orders": "int64", "sum_cents": "int64"}
+    )
+
+
+def event_transitions(sf_dir: str):
+    """Markov transition counts: how often event type A is immediately
+    followed by type B within a user's stream (ordered by ts, event_id) —
+    the sequence-mining aggregate behind funnel analysis.
+
+    Scale shape: same bucketed sort+shift as sessionize — hash-bucket
+    shuffle on user_id (3 narrow columns), one vectorized sort + per-user
+    shift per bucket, then a tiny (types x types) count merge."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "t_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+            }
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"from_type": pd.Series(dtype=object),
+                 "to_type": pd.Series(dtype=object),
+                 "n": pd.Series(dtype="int64")}
+            )
+        g = g.sort_values(["user_id", "t_us", "event_id"], kind="stable")
+        same_user = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        frm = g["event_type"].to_numpy()[:-1][same_user]
+        to = g["event_type"].to_numpy()[1:][same_user]
+        out = (
+            pd.DataFrame({"from_type": frm, "to_type": to})
+            .groupby(["from_type", "to_type"], sort=False)
+            .size().rename("n").reset_index()
+        )
+        return out.astype({"n": "int64"})
+
+    pairs = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        ["user_id"], partial, reduce, n_buckets=64,
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+            .astype({"n": "int64"})
+        )
+
+    # per-bucket counts are (types x types)-bounded — final merge is tiny
+    return merge(pairs.to_pandas())
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: flag every document whose text contains
     any held-out benchmark n-gram — the pre-training hygiene pass that keeps
@@ -2087,6 +2190,8 @@ QUERIES = {
     "doc_quality_gate": doc_quality_gate,
     "customers_with_big_orders": customers_with_big_orders,
     "pivot_events_by_type": pivot_events_by_type,
+    "rollup_orders_status_year": rollup_orders_status_year,
+    "event_transitions": event_transitions,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -2926,6 +3031,40 @@ SQL: dict[str, str] = {
         )
         SELECT d.doc_id, b.bench_doc_id
         FROM documents d JOIN bench b ON position(b.needle IN d.text) > 0
+    """,
+    "rollup_orders_status_year": """
+        WITH b AS (
+          SELECT o_orderstatus AS status,
+                 CAST(year(o_orderdate) AS BIGINT) AS y,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders
+        )
+        SELECT status, y AS year, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(c) AS BIGINT) AS sum_cents
+        FROM b GROUP BY status, y
+        UNION ALL
+        SELECT status, CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT)
+        FROM b GROUP BY status
+        UNION ALL
+        SELECT 'ALL', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT)
+        FROM b
+    """,
+    "event_transitions": """
+        WITH e2 AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+        ),
+        d AS (
+          SELECT user_id, event_type AS to_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                 ) AS from_type
+          FROM e2
+        )
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM d WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
     """,
     "customers_with_big_orders": """
         SELECT c_custkey FROM customer c
