@@ -2013,6 +2013,50 @@ def event_transitions(sf_dir: str):
     return merge(pairs.to_pandas())
 
 
+def corr_value_hour_per_type(sf_dir: str):
+    """Pearson correlation of event value vs hour-of-day, per event type —
+    the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
+    Σxy) accumulate as exact int64 (value in cents, hour 0-23), so the
+    final correlation is ONE identical float expression over identical ints
+    in both engines — bit-stable without float-sum-order concerns.
+
+    Scale shape: per-batch moment partials (5 ints per type per batch) into
+    a bucketed reduce over the tiny type domain; no row shuffle."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = _cents(df["value"]).astype("int64")
+        y = df["ts"].dt.hour.to_numpy(dtype="int64")
+        t = pd.DataFrame(
+            {"event_type": df["event_type"], "n": 1, "sx": x, "sy": y,
+             "sxx": x * x, "syy": y * y, "sxy": x * y}
+        )
+        return t.groupby("event_type", sort=False, as_index=False).sum()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("event_type", sort=False, as_index=False)[
+            ["n", "sx", "sy", "sxx", "syy", "sxy"]
+        ].sum()
+
+    m = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_type", "value", "ts"]),
+        ["event_type"], partial, reduce, n_buckets=8,
+    ).to_pandas()
+    n = m["n"].to_numpy(dtype="float64")
+    sx = m["sx"].to_numpy(dtype="float64")
+    sy = m["sy"].to_numpy(dtype="float64")
+    cov = n * m["sxy"].to_numpy(dtype="float64") - sx * sy
+    vx = n * m["sxx"].to_numpy(dtype="float64") - sx * sx
+    vy = n * m["syy"].to_numpy(dtype="float64") - sy * sy
+    return pd.DataFrame(
+        {
+            "event_type": m["event_type"],
+            "n": m["n"].astype("int64"),
+            "corr_value_hour": cov / np.sqrt(vx * vy),
+        }
+    )
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: flag every document whose text contains
     any held-out benchmark n-gram — the pre-training hygiene pass that keeps
@@ -2192,6 +2236,7 @@ QUERIES = {
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
     "event_transitions": event_transitions,
+    "corr_value_hour_per_type": corr_value_hour_per_type,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -3109,6 +3154,33 @@ SQL: dict[str, str] = {
         SELECT s.doc_id, CAST(s.stop_micro AS BIGINT) AS stop_micro,
                CAST(thr.cutoff AS BIGINT) AS cutoff
         FROM s, thr WHERE s.stop_micro >= thr.cutoff
+    """,
+    "corr_value_hour_per_type": """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS x,
+                 CAST(hour(ts) AS BIGINT) AS y
+          FROM events
+        ),
+        m AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM b GROUP BY event_type
+        )
+        SELECT event_type, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS corr_value_hour
+        FROM m
     """,
     # rows-only (legitimately non-SQL): f10_encrypt_pii (AES-256-CBC),
     # dedup_minhash + dedup_minhash_clusters (output defined by the
