@@ -2057,6 +2057,205 @@ def corr_value_hour_per_type(sf_dir: str):
     )
 
 
+def attribution_click_purchase(sf_dir: str):
+    """Windowed self-join: for every purchase, the number of clicks by the
+    same user in the preceding hour (inclusive on both ends) — the
+    stream-join / attribution primitive.
+
+    Scale shape: project to 4 narrow columns at the scan, filter to the two
+    event types per batch, ONE hash-bucket shuffle on user_id, then inside
+    each bucket a globally-sorted vectorized ``merge_asof`` pair (upper
+    bound at t, lower bound just before t-1h against the per-user running
+    click count) — no per-user Python, no row-pair blowup: output is one
+    row per purchase regardless of click density."""
+    from .bucketed import bucketed_group_reduce
+
+    out_cols = {"event_id": "int64", "user_id": "int64", "n_clicks_1h": "int64"}
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_cols.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].isin(("click", "purchase"))
+        return df.loc[m, ["event_id", "ts", "user_id", "event_type"]]
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        purch = g[g["event_type"] == "purchase"]
+        if purch.empty:
+            return empty()
+        purch = purch.sort_values("ts", kind="mergesort")
+        clicks = g[g["event_type"] == "click"].sort_values("ts", kind="mergesort")
+        if clicks.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": purch["event_id"].to_numpy(),
+                    "user_id": purch["user_id"].to_numpy(),
+                    "n_clicks_1h": np.zeros(len(purch), dtype="int64"),
+                }
+            )
+        # per-user running click count; asof-backward at ts t then picks the
+        # LAST duplicate-ts row, i.e. #clicks with ts <= t. Merge on int64
+        # epoch-us (Timedelta arithmetic silently promotes us -> ns).
+        clicks = pd.DataFrame(
+            {
+                "t_us": clicks["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "user_id": clicks["user_id"].to_numpy(),
+                "cum": clicks.groupby("user_id", sort=False).cumcount().to_numpy() + 1,
+            }
+        )
+        p_us = purch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        p_keys = pd.DataFrame({"t_us": p_us, "user_id": purch["user_id"].to_numpy()})
+        hi = pd.merge_asof(
+            p_keys, clicks, on="t_us", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )["cum"].fillna(0).to_numpy(dtype="int64")
+        lo_keys = p_keys.assign(t_us=p_us - 3_600_000_000)
+        # strictly-before t-1h => excluded prefix (window is [t-1h, t])
+        lo = pd.merge_asof(
+            lo_keys, clicks, on="t_us", by="user_id",
+            direction="backward", allow_exact_matches=False,
+        )["cum"].fillna(0).to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "event_id": purch["event_id"].to_numpy(),
+                "user_id": purch["user_id"].to_numpy(),
+                "n_clicks_1h": hi - lo,
+            }
+        )
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        ["user_id"], partial, reduce, n_buckets=64,
+    )
+
+
+def running_revenue_per_customer(sf_dir: str):
+    """Running cumulative order revenue per customer (window-function
+    SUM OVER PARTITION BY ... ORDER BY). Cents are int64 so the cumsum is
+    exact and order-stable; o_orderkey breaks date ties totally.
+
+    Scale shape: narrow projection + per-row cents at the scan batches, one
+    hash-bucket shuffle on o_custkey, vectorized sort + pandas groupby
+    cumsum (C kernel, no per-customer Python) inside each bucket."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "o_custkey": df["o_custkey"],
+                "o_orderdate": df["o_orderdate"],
+                "cents": _cents(df["o_totalprice"]).astype("int64"),
+            }
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        run = g.groupby("o_custkey", sort=False)["cents"].cumsum()
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "run_cents": run.to_numpy(dtype="int64"),
+            }
+        )
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        ["o_custkey"], partial, reduce, n_buckets=64,
+    )
+
+
+# HyperLogLog: p=10 -> m=1024 registers; alpha_m = 0.7213/(1+1.079/m) pinned
+# as an integer micro literal so the uncorrected estimate is exact integer
+# arithmetic (identical in Ray and SQL).
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA_MICRO = 720541
+
+
+def _hll_rho(rest: np.ndarray) -> np.ndarray:
+    """rho = leading-zero count of the (64-p)-bit remainder + 1, vectorized
+    bit-length by binary reduction (exact — no float log2)."""
+    r = rest.astype(np.uint64, copy=True)
+    bl = np.zeros(len(r), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = r >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        r[m] >>= np.uint64(s)
+    bl += (r == 1).astype(np.int64)
+    return (64 - _HLL_P + 1) - bl  # rest==0 -> bl=0 -> rho = w+1
+
+
+def hll_users_per_type(sf_dir: str):
+    """Deterministic HyperLogLog distinct-user sketch per event type: the
+    mergeable cardinality artifact for the 100 TB distinct path (registers
+    shuffle as <= m tiny int rows per type per batch — the raw user ids
+    never leave the scan tasks). Output = the register table
+    (event_type, bucket, rho) plus the raw HLL estimate ``est`` derived
+    from it with exact integer arithmetic (no small-range correction — at
+    production scale the linear-counting branch applies below 2.5m distinct,
+    where you'd use the exact distinct op instead; uncorrected keeps the
+    value bit-identical to the SQL oracle).
+
+    Hash contract (shared with the simhash oracle): 64-bit token hash ==
+    DuckDB ``md5_number_upper(CAST(user_id AS VARCHAR))`` ==
+    ``int.from_bytes(md5(str(uid)).digest()[:8], 'little')``."""
+    import hashlib
+
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # hash distinct users once per (batch, type); repeats collapse here
+        t = df[["event_type", "user_id"]].drop_duplicates()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(int(u)).encode()).digest()[:8], "little"
+                )
+                for u in t["user_id"].to_numpy()
+            ),
+            dtype=np.uint64,
+            count=len(t),
+        )
+        out = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(),
+                "bucket": (h & np.uint64(_HLL_M - 1)).astype("int64"),
+                "rho": _hll_rho(h >> np.uint64(_HLL_P)),
+            }
+        )
+        return out.groupby(["event_type", "bucket"], sort=False, as_index=False)[
+            "rho"
+        ].max()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "bucket"], sort=False, as_index=False)[
+            "rho"
+        ].max()
+
+    regs = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        ["event_type"], partial, reduce, n_buckets=8,
+    ).to_pandas()
+
+    # tiny driver-side estimate over <= m rows per type, exact Python ints.
+    # Z = sum_j 2^-M_j over all m buckets, scaled by 2^(w+1) so the largest
+    # rho (w+1) still lands on a non-negative shift:
+    # est = floor(floor(alpha_micro * m^2 * 2^(w+1) / num) / 1e6)
+    s = 64 - _HLL_P + 1
+    ests = {}
+    for etype, g in regs.groupby("event_type", sort=False):
+        num = sum(1 << (s - int(r)) for r in g["rho"]) + (
+            _HLL_M - len(g)
+        ) * (1 << s)
+        ests[etype] = (_HLL_ALPHA_MICRO * _HLL_M * _HLL_M * (1 << s) // num) // 10**6
+    regs["est"] = regs["event_type"].map(ests).astype("int64")
+    return regs
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: flag every document whose text contains
     any held-out benchmark n-gram — the pre-training hygiene pass that keeps
@@ -2237,6 +2436,9 @@ QUERIES = {
     "rollup_orders_status_year": rollup_orders_status_year,
     "event_transitions": event_transitions,
     "corr_value_hour_per_type": corr_value_hour_per_type,
+    "attribution_click_purchase": attribution_click_purchase,
+    "running_revenue_per_customer": running_revenue_per_customer,
+    "hll_users_per_type": hll_users_per_type,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -3181,6 +3383,52 @@ SQL: dict[str, str] = {
                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                AS corr_value_hour
         FROM m
+    """,
+    "attribution_click_purchase": """
+        SELECT p.event_id, p.user_id,
+               CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+        FROM events p LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
+    """,
+    "running_revenue_per_customer": """
+        SELECT o_orderkey, o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS BIGINT) AS run_cents
+        FROM orders
+    """,
+    "hll_users_per_type": """
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 md5_number_upper(CAST(user_id AS VARCHAR)) AS h
+          FROM events
+        ),
+        r AS (
+          SELECT event_type,
+                 CAST(h % 1024 AS BIGINT) AS bucket,
+                 CASE WHEN h // 1024 = 0 THEN CAST(55 AS BIGINT)
+                      ELSE CAST(55 - length(bin(h // 1024)) AS BIGINT)
+                 END AS rho
+          FROM h
+        ),
+        regs AS (
+          SELECT event_type, bucket, max(rho) AS rho
+          FROM r GROUP BY event_type, bucket
+        ),
+        est AS (
+          SELECT event_type,
+                 CAST(((CAST(720541 AS HUGEINT) * 1048576
+                         * (CAST(1 AS HUGEINT) << 55))
+                       // (sum(CAST(1 AS HUGEINT) << CAST(55 - rho AS INTEGER))
+                           + (1024 - count(*)) * (CAST(1 AS HUGEINT) << 55)))
+                      // 1000000 AS BIGINT) AS est
+          FROM regs GROUP BY event_type
+        )
+        SELECT regs.event_type, regs.bucket, regs.rho, est.est
+        FROM regs JOIN est USING (event_type)
     """,
     # rows-only (legitimately non-SQL): f10_encrypt_pii (AES-256-CBC),
     # dedup_minhash + dedup_minhash_clusters (output defined by the
