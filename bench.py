@@ -140,6 +140,8 @@ def run_queries() -> dict[str, float]:
         "doc_tfidf_topk",
         "decontaminate_docs",
         "doc_quality_gate",
+        "attribution_click_purchase",
+        "hll_users_per_type",
     ]
     out = {}
     for name in picks:
