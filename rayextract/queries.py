@@ -2256,6 +2256,120 @@ def hll_users_per_type(sf_dir: str):
     return regs
 
 
+def doc_length_quartile(sf_dir: str):
+    """NTILE(4) over all documents ordered by (n_chars, doc_id) — global
+    ranking WITHOUT a global sort. Pass 1 builds the exact n_chars histogram
+    (tiny: one row per distinct length) whose cumulative counts give every
+    row's base rank; pass 2 co-locates equal lengths with one hash-bucket
+    shuffle and adds the within-length rank vectorized. The only
+    driver-side state is the histogram — the scalable shape for global
+    rank/percentile assignment at 100 TB (a hot single length value is the
+    documented skew caveat, same as any key-partitioned op)."""
+    from .bucketed import bucketed_group_reduce, grouped_sum_count
+
+    hist = grouped_sum_count(
+        _read(sf_dir, "documents", ["n_chars"]), ["n_chars"], n_buckets=32
+    ).to_pandas().sort_values("n_chars")
+    n_total = int(hist["n"].sum())
+    base = dict(
+        zip(hist["n_chars"], hist["n"].cumsum().shift(fill_value=0).astype("int64"))
+    )
+    nq, rem = divmod(n_total, 4)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "n_chars"]]
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        rank = (
+            g["n_chars"].map(base).to_numpy(dtype="int64")
+            + g.groupby("n_chars", sort=False).cumcount().to_numpy()
+        )
+        # SQL NTILE: first `rem` tiles get nq+1 rows (1-based)
+        head = rem * (nq + 1)
+        tile = np.where(
+            rank < head,
+            rank // max(nq + 1, 1) + 1,
+            rem + (rank - head) // max(nq, 1) + 1,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_chars": g["n_chars"].to_numpy(),
+                "tile": tile.astype("int64"),
+            }
+        )
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        ["n_chars"], partial, reduce, n_buckets=64,
+    )
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape on the available columns: orders placed in 1996 Q1
+    counted per priority when at least one of their lineitems was returned
+    — a fact-fact EXISTS where BOTH sides are big (no broadcastable key
+    set, unlike customers_with_big_orders).
+
+    Scale shape: each side projects to (okey, pri, side) at the scan (the
+    lineitem side pre-dedups its keys per batch), the union co-partitions
+    on hash(okey) in ONE shuffle, each bucket does a vectorized isin semi
+    filter + priority count, and only the tiny per-bucket counts reach the
+    driver for the final 5-row sum."""
+    from .bucketed import bucketed_group_reduce
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= pd.Timestamp("1996-01-01")) & (
+            df["o_orderdate"] < pd.Timestamp("1996-04-01")
+        )
+        return pd.DataFrame(
+            {
+                "okey": df.loc[m, "o_orderkey"].to_numpy(),
+                "pri": df.loc[m, "o_orderpriority"].to_numpy(),
+                "side": np.ones(int(m.sum()), dtype="int8"),
+            }
+        )
+
+    def l_proj(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["l_returnflag"] == "R", "l_orderkey"].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "okey": k.to_numpy(),
+                "pri": np.full(len(k), "", dtype=object),
+                "side": np.zeros(len(k), dtype="int8"),
+            }
+        )
+
+    both = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(o_proj, batch_format="pandas")
+        .union(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+                l_proj, batch_format="pandas"
+            )
+        )
+    )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        ords = g[g["side"] == 1]
+        qual = ords[ords["okey"].isin(g.loc[g["side"] == 0, "okey"])]
+        return qual.groupby("pri", sort=False, as_index=False).agg(
+            n=("okey", "count")
+        )
+
+    parts = bucketed_group_reduce(
+        both, ["okey"], lambda df: df, reduce, n_buckets=64
+    ).to_pandas()
+    out = parts.groupby("pri", sort=False, as_index=False)["n"].sum()
+    return pd.DataFrame(
+        {
+            "o_orderpriority": out["pri"],
+            "n_orders": out["n"].astype("int64"),
+        }
+    )
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: flag every document whose text contains
     any held-out benchmark n-gram — the pre-training hygiene pass that keeps
@@ -2439,6 +2553,8 @@ QUERIES = {
     "attribution_click_purchase": attribution_click_purchase,
     "running_revenue_per_customer": running_revenue_per_customer,
     "hll_users_per_type": hll_users_per_type,
+    "doc_length_quartile": doc_length_quartile,
+    "q4_order_priority": q4_order_priority,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -3429,6 +3545,21 @@ SQL: dict[str, str] = {
         )
         SELECT regs.event_type, regs.bucket, regs.rho, est.est
         FROM regs JOIN est USING (event_type)
+    """,
+    "doc_length_quartile": """
+        SELECT doc_id, n_chars,
+               CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+        FROM documents
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
     """,
     # rows-only (legitimately non-SQL): f10_encrypt_pii (AES-256-CBC),
     # dedup_minhash + dedup_minhash_clusters (output defined by the

@@ -59,18 +59,74 @@ EDGE_ORDERS = pd.DataFrame(
 )
 
 
+# ntile edges: tied n_chars values straddling a tile boundary, N=6 (not
+# divisible by 4 -> first two tiles get 2 rows)
+EDGE_DOCS = pd.DataFrame(
+    {
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["x"] * 6,
+        "lang": ["en"] * 6,
+        "source": ["s"] * 6,
+        "n_chars": np.asarray([5, 5, 5, 1, 9, 1], dtype=np.int64),
+    }
+)
+
+# q4 edges: order 100 has two 'R' lineitems (must count once), order 101 has
+# none, order 102 is outside the date window despite an 'R' lineitem, and
+# lineitem 999 has no order in the window
+EDGE_LINEITEM = pd.DataFrame(
+    {
+        "l_orderkey": np.asarray([100, 100, 101, 102, 999], dtype=np.int64),
+        "l_partkey": np.ones(5, dtype=np.int64),
+        "l_suppkey": np.ones(5, dtype=np.int64),
+        "l_linenumber": np.arange(5, dtype=np.int32),
+        "l_quantity": np.ones(5),
+        "l_extendedprice": np.ones(5),
+        "l_discount": np.zeros(5),
+        "l_tax": np.zeros(5),
+        "l_returnflag": ["R", "R", "N", "R", "R"],
+        "l_linestatus": ["O"] * 5,
+        "l_shipdate": pd.to_datetime(["2026-01-10"] * 5).astype("datetime64[us]"),
+    }
+)
+
+Q4_ORDERS = pd.DataFrame(
+    {
+        "o_orderkey": np.asarray([100, 101, 102], dtype=np.int64),
+        "o_custkey": np.asarray([1, 1, 1], dtype=np.int64),
+        "o_orderstatus": ["O"] * 3,
+        "o_totalprice": [10.0, 10.0, 10.0],
+        "o_orderdate": pd.to_datetime(
+            ["1996-02-01", "1996-02-02", "1995-06-01"]
+        ).astype("datetime64[us]"),
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH"],
+    }
+)
+
+
 @pytest.fixture(scope="module")
 def edge_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("edge_win")
     EDGE_EVENTS.to_parquet(os.path.join(d, "events.parquet"), index=False)
     EDGE_ORDERS.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    EDGE_DOCS.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def q4_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_q4")
+    Q4_ORDERS.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    EDGE_LINEITEM.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
     return str(d)
 
 
 def _oracle(edge_dir: str, name: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("events", "orders"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{edge_dir}/{t}.parquet'")
+    for t in ("events", "orders", "documents", "lineitem"):
+        p = os.path.join(edge_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con.execute(SQL[name]).df()
 
 
@@ -86,7 +142,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 @pytest.mark.parametrize(
     "name",
     ["attribution_click_purchase", "running_revenue_per_customer",
-     "hll_users_per_type"],
+     "hll_users_per_type", "doc_length_quartile"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = QUERIES[name](edge_dir)
@@ -95,6 +151,25 @@ def test_edge_parity(name, edge_dir, ray_session):
     want = _oracle(edge_dir, name)
     assert sorted(got.columns) == sorted(want.columns)
     assert _canon(got) == _canon(want), name
+
+
+def test_q4_edge_parity(q4_dir, ray_session):
+    got = QUERIES["q4_order_priority"](q4_dir)
+    want = _oracle(q4_dir, "q4_order_priority")
+    assert _canon(got) == _canon(want)
+    # order 100 counted once despite two R lineitems; 101 (no R) and 102
+    # (outside window) excluded; orphan lineitem 999 ignored
+    assert dict(zip(got["o_orderpriority"], got["n_orders"])) == {"1-URGENT": 1}
+
+
+def test_ntile_small_n(tmp_path, ray_session):
+    """N < tiles: each row gets its own tile, like SQL NTILE."""
+    d = str(tmp_path)
+    EDGE_DOCS.iloc[:3].to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    got = QUERIES["doc_length_quartile"](d).to_pandas()
+    want = _oracle(d, "doc_length_quartile")
+    assert _canon(got) == _canon(want)
+    assert sorted(got["tile"]) == [1, 2, 3]
 
 
 def test_attribution_boundaries(edge_dir, ray_session):
