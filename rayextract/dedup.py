@@ -548,13 +548,9 @@ def minhash_lsh_pairs(
         band_pairs,
         n_buckets=n_buckets,
     )
-
-    distinct = bucketed_group_reduce(
-        cand, ["pair"],
-        lambda df: df.drop_duplicates("pair"),
-        lambda g: g.drop_duplicates("pair"),
-        n_buckets=32,
-    )
+    # no standalone global pair-dedup exchange: a pair found in k bands
+    # emerges once per band bucket, but every copy shares doc_a = pair>>32,
+    # so the attach-a bucket reduce sees them together and dedups for free
 
     # ---- attach signatures per side via union-bucketed merges ------------
     def _attach(side: str, out_col: str, carry: list[str]):
@@ -578,7 +574,9 @@ def minhash_lsh_pairs(
 
         def merge(g: pd.DataFrame) -> pd.DataFrame:
             lut = g.loc[g["pair"] < 0, ["key", "sig"]].drop_duplicates("key")
-            pr = g.loc[g["pair"] >= 0, ["pair", "key", *carry]]
+            # drop_duplicates("pair") absorbs the cross-band pair dedup that
+            # used to be its own exchange (no-op on the already-unique pass b)
+            pr = g.loc[g["pair"] >= 0, ["pair", "key", *carry]].drop_duplicates("pair")
             m = pr.merge(lut, on="key", how="inner")
             return m[["pair", *carry, "sig"]].rename(columns={"sig": out_col})
 
@@ -586,7 +584,7 @@ def minhash_lsh_pairs(
 
     kp_a, ks_a, merge_a = _attach("a", "sig_a", [])
     with_a = bucketed_group_reduce(
-        distinct.map_batches(kp_a, batch_format="pandas").union(
+        cand.map_batches(kp_a, batch_format="pandas").union(
             sigs.map_batches(ks_a, batch_format="pandas")
         ),
         ["key"], lambda df: df, merge_a, n_buckets=32,
