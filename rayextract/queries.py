@@ -2370,6 +2370,88 @@ def q4_order_priority(sf_dir: str):
     )
 
 
+def props_json_histogram(sf_dir: str):
+    """Semi-structured column processing: extract the integer ``k`` field
+    from the ``props`` JSON string and histogram it per event type.
+
+    The corpus's props are flat ``{"k": <int>}`` objects, so a vectorized
+    regex extraction is exact JSON semantics here (the general nested-JSON
+    path would be a parser actor stage); counting is the standard partial ->
+    bucketed-sum shape, so only (type, k, n) rows ever shuffle."""
+    from .bucketed import grouped_sum_count
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        out = pd.DataFrame({"event_type": df["event_type"], "k": k})
+        out = out.dropna(subset=["k"])
+        out["k"] = out["k"].astype("int64")
+        return out
+
+    return grouped_sum_count(
+        _read(sf_dir, "events", ["event_type", "props"]).map_batches(
+            extract, batch_format="pandas"
+        ),
+        ["event_type", "k"], n_buckets=32,
+    )
+
+
+def latest_event_per_user(sf_dir: str):
+    """Argmax-per-group: each user's most recent event (ties broken by
+    event_id). Argmax is combiner-friendly — every batch keeps at most one
+    row per user, so the shuffle carries per-user partials, not the event
+    stream; the reduce re-applies the same vectorized sort+tail."""
+    from .bucketed import bucketed_group_reduce
+
+    def keep_last(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        return df.groupby("user_id", sort=False).tail(1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "event_id": df["event_id"],
+                "event_type": df["event_type"],
+                "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+            }
+        )
+        return keep_last(t)
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"]),
+        ["user_id"], partial, keep_last, n_buckets=64,
+    )
+
+
+def users_click_and_purchase(sf_dir: str):
+    """Key-set INTERSECT: users who both clicked and purchased. Per-batch
+    boolean indicators collapse to one row per (batch, user); the bucketed
+    max-reduce then ANDs them — set membership never materializes, ids
+    shuffle once as (user_id, 2 flags)."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"]
+        t = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "is_c": (et == "click").astype("int8"),
+                "is_p": (et == "purchase").astype("int8"),
+            }
+        )
+        t = t[(t["is_c"] | t["is_p"]).astype(bool)]
+        return t.groupby("user_id", sort=False, as_index=False).max()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", sort=False, as_index=False).max()
+        return m.loc[(m["is_c"] & m["is_p"]).astype(bool), ["user_id"]]
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id"], partial, reduce, n_buckets=64,
+    )
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: flag every document whose text contains
     any held-out benchmark n-gram — the pre-training hygiene pass that keeps
@@ -2555,6 +2637,9 @@ QUERIES = {
     "hll_users_per_type": hll_users_per_type,
     "doc_length_quartile": doc_length_quartile,
     "q4_order_priority": q4_order_priority,
+    "props_json_histogram": props_json_histogram,
+    "latest_event_per_user": latest_event_per_user,
+    "users_click_and_purchase": users_click_and_purchase,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -3560,6 +3645,28 @@ SQL: dict[str, str] = {
                       WHERE l.l_orderkey = o.o_orderkey
                         AND l.l_returnflag = 'R')
         GROUP BY o_orderpriority
+    """,
+    "props_json_histogram": """
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL
+        GROUP BY event_type, k
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+          ) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+    "users_click_and_purchase": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
     """,
     # rows-only (legitimately non-SQL): f10_encrypt_pii (AES-256-CBC),
     # dedup_minhash + dedup_minhash_clusters (output defined by the

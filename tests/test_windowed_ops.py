@@ -43,7 +43,11 @@ EDGE_EVENTS = pd.DataFrame(
             "purchase", "purchase", "click", "purchase", "click",
         ],
         "value": np.linspace(1.0, 10.0, 10),
-        "props": ["{}"] * 10,
+        # json edges: empty object, negative k, other key, spacing variants
+        "props": [
+            "{}", '{"k": 87}', '{"k": -3}', '{"x": 1}', '{"k": 0}',
+            '{ "k" : 42 }', '{"k": 87}', "{}", '{"k": 7}', '{"k": 7}',
+        ],
     }
 )
 
@@ -142,7 +146,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 @pytest.mark.parametrize(
     "name",
     ["attribution_click_purchase", "running_revenue_per_customer",
-     "hll_users_per_type", "doc_length_quartile"],
+     "hll_users_per_type", "doc_length_quartile", "props_json_histogram",
+     "latest_event_per_user", "users_click_and_purchase"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = QUERIES[name](edge_dir)
@@ -160,6 +165,20 @@ def test_q4_edge_parity(q4_dir, ray_session):
     # order 100 counted once despite two R lineitems; 101 (no R) and 102
     # (outside window) excluded; orphan lineitem 999 ignored
     assert dict(zip(got["o_orderpriority"], got["n_orders"])) == {"1-URGENT": 1}
+
+
+def test_latest_event_tiebreak(edge_dir, ray_session):
+    out = QUERIES["latest_event_per_user"](edge_dir).to_pandas()
+    by = out.set_index("user_id")["event_id"]
+    # user 1's max ts is 01:00:00 shared by events 2 and 4 -> higher id wins
+    assert by[1] == 4
+    assert by[2] == 6 and by[3] == 9 and by[4] == 8
+
+
+def test_intersect_membership(edge_dir, ray_session):
+    got = set(QUERIES["users_click_and_purchase"](edge_dir).to_pandas()["user_id"])
+    # 1 has both; 2 purchase-only, 3 click-only, 4 purchase-only
+    assert got == {1}
 
 
 def test_ntile_small_n(tmp_path, ray_session):
