@@ -2452,6 +2452,62 @@ def users_click_and_purchase(sf_dir: str):
     )
 
 
+# Count-min sketch: d=4 hash rows x w=4096 columns; the heavy-hitter
+# counterpart to the HLL sketch (same md5 hash contract, cells merge by sum)
+_CMS_D = 4
+_CMS_W = 4096
+
+
+def cms_token_counts(sf_dir: str):
+    """Deterministic count-min sketch of corpus token frequencies — the
+    mergeable heavy-hitter artifact: each batch contributes at most
+    d × (distinct tokens in batch) cell partials that combine by plain sum,
+    so raw tokens never shuffle and the sketch answers any point query with
+    min over d cells (always >= the true count). Cell hash row r of token t
+    is md5_number_upper('r:t') % w — the same DuckDB-recomputable hash
+    contract the simhash and HLL oracles use."""
+    import hashlib
+    from collections import Counter
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for s in df["text"]:
+            c.update(_tokens(s))
+        toks = list(c.keys())
+        n = np.fromiter(c.values(), dtype="int64", count=len(toks))
+        frames = []
+        for r in range(_CMS_D):
+            cols = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(f"{r}:{t}".encode()).digest()[:8], "little"
+                    )
+                    % _CMS_W
+                    for t in toks
+                ),
+                dtype="int64",
+                count=len(toks),
+            )
+            frames.append(
+                pd.DataFrame(
+                    {"row": np.full(len(toks), r, dtype="int64"), "col": cols, "n": n}
+                )
+            )
+        t = pd.concat(frames, ignore_index=True)
+        return t.groupby(["row", "col"], sort=False, as_index=False)["n"].sum()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["row", "col"], sort=False, as_index=False)["n"].sum()
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "documents", ["text"]),
+        ["row", "col"], partial, reduce, n_buckets=16,
+    )
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: flag every document whose text contains
     any held-out benchmark n-gram — the pre-training hygiene pass that keeps
@@ -2640,6 +2696,7 @@ QUERIES = {
     "props_json_histogram": props_json_histogram,
     "latest_event_per_user": latest_event_per_user,
     "users_click_and_purchase": users_click_and_purchase,
+    "cms_token_counts": cms_token_counts,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -3667,6 +3724,21 @@ SQL: dict[str, str] = {
         SELECT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "cms_token_counts": r"""
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents WHERE trim(text) <> ''
+        ),
+        cells AS (
+          SELECT r.range AS row,
+                 CAST(md5_number_upper(CAST(r.range AS VARCHAR) || ':' || tok)
+                      % 4096 AS BIGINT) AS col
+          FROM toks, range(4) r
+        )
+        SELECT CAST(row AS BIGINT) AS row, col, CAST(count(*) AS BIGINT) AS n
+        FROM cells GROUP BY row, col
     """,
     # rows-only (legitimately non-SQL): f10_encrypt_pii (AES-256-CBC),
     # dedup_minhash + dedup_minhash_clusters (output defined by the

@@ -147,7 +147,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "name",
     ["attribution_click_purchase", "running_revenue_per_customer",
      "hll_users_per_type", "doc_length_quartile", "props_json_histogram",
-     "latest_event_per_user", "users_click_and_purchase"],
+     "latest_event_per_user", "users_click_and_purchase", "cms_token_counts"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = QUERIES[name](edge_dir)
@@ -179,6 +179,52 @@ def test_intersect_membership(edge_dir, ray_session):
     got = set(QUERIES["users_click_and_purchase"](edge_dir).to_pandas()["user_id"])
     # 1 has both; 2 purchase-only, 3 click-only, 4 purchase-only
     assert got == {1}
+
+
+def test_cms_overestimate_and_merge(edge_dir, ray_session):
+    """CMS point query (min over d rows at the token's cells) must be >= the
+    true count for every token, and cells must merge by plain sum."""
+    import hashlib
+
+    from rayextract.queries import _CMS_D, _CMS_W
+    from rayextract.textstats import _tokens
+
+    cells = QUERIES["cms_token_counts"](edge_dir).to_pandas()
+    lut = {(r.row, r.col): r.n for r in cells.itertuples()}
+
+    from collections import Counter
+
+    truth: Counter = Counter()
+    for s in EDGE_DOCS["text"]:
+        truth.update(_tokens(s))
+    for tok, n_true in truth.items():
+        est = min(
+            lut.get(
+                (r, int.from_bytes(
+                    hashlib.md5(f"{r}:{tok}".encode()).digest()[:8], "little"
+                ) % _CMS_W),
+                0,
+            )
+            for r in range(_CMS_D)
+        )
+        assert est >= n_true, tok
+    # each row's cells sum to the total token count (mass conservation)
+    assert (cells.groupby("row")["n"].sum() == sum(truth.values())).all()
+
+    # mergeability: sketch(full) == cellwise-sum of sketches(halves)
+    import tempfile
+
+    halves = []
+    for part in (EDGE_DOCS.iloc[:4], EDGE_DOCS.iloc[4:]):
+        with tempfile.TemporaryDirectory() as d:
+            part.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+            halves.append(QUERIES["cms_token_counts"](d).to_pandas())
+    merged = (
+        pd.concat(halves).groupby(["row", "col"], as_index=False)["n"].sum()
+        .sort_values(["row", "col"]).reset_index(drop=True)
+    )
+    full = cells.sort_values(["row", "col"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, merged)
 
 
 def test_ntile_small_n(tmp_path, ray_session):
