@@ -130,6 +130,7 @@ def run_queries() -> dict[str, float]:
         "dedup_ngram_jaccard",
         "dedup_minhash",
         "dedup_clusters",
+        "pagerank_neardup",
         "knn_cosine_topk",
         "doc_quality",
         "asof_purchase_view",

@@ -203,3 +203,157 @@ def connected_components(
         )
 
     return labels.map_batches(fin, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000_000_000  # total rank mass in pico-units
+
+
+def _pagerank_local(edge_df: pd.DataFrame, iters: int) -> pd.DataFrame:
+    """Vectorized in-memory PageRank in exact integer pico-units: every
+    operation is int64 floor arithmetic, so the distributed path and any
+    SQL re-implementation reproduce it bit-for-bit."""
+    nodes, inv = np.unique(
+        np.concatenate([edge_df["src"].to_numpy(), edge_df["dst"].to_numpy()]),
+        return_inverse=True,
+    )
+    n = len(nodes)
+    src = inv[: len(edge_df)]
+    dst = inv[len(edge_df):]
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    base = (15 * PR_SCALE) // (100 * n)
+    rank = np.full(n, PR_SCALE // n, dtype=np.int64)
+    for _ in range(iters):
+        contrib = (85 * rank[src]) // (100 * deg[src])
+        new = np.full(n, base, dtype=np.int64)
+        np.add.at(new, dst, contrib)
+        rank = new
+    return pd.DataFrame({"doc_id": nodes.astype("int64"), "rank": rank})
+
+
+def pagerank(
+    pairs: "ray.data.Dataset",
+    a: str = "doc_a",
+    b: str = "doc_b",
+    iters: int = 5,
+    local_max_edges: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """(doc_id, rank) PageRank (damping 0.85, ``iters`` fixed rounds) over
+    the undirected pair graph, in exact integer pico-units (rank sums to
+    <= 10^12; floors shed sub-unit mass deterministically).
+
+    Same hybrid as connected_components: the deduplicated edge list is an
+    aggregate of the near-dup operator, so at <= ``local_max_edges`` the
+    iteration runs vectorized on the driver; above it, each round is two
+    bucketed exchanges — (ranks ∪ edges) co-partitioned on src emit
+    per-edge contributions, then (contributions ∪ static degree rows)
+    co-partitioned on dst sum into the next rank vector. Nothing per-round
+    ever exceeds O(|E|+|V|) rows and no Dataset.join is used.
+    """
+    import ray.data as rd
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"src": df[a], "dst": df[b]})
+        rev = pd.DataFrame({"src": df[b], "dst": df[a]})
+        return (
+            pd.concat([fwd, rev], ignore_index=True).astype("int64").drop_duplicates()
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "rank": pd.Series(dtype="int64")}
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_pandas(empty)
+
+    if n_edges <= 2 * local_max_edges:  # stored both directions
+        edge_df = edges.to_pandas().drop_duplicates()
+        return rd.from_pandas(_pagerank_local(edge_df, iters))
+
+    # ---- distributed loop -------------------------------------------------
+    degs = bucketed_group_reduce(
+        edges, ["src"],
+        lambda df: df.groupby("src", sort=False, as_index=False).agg(
+            deg=("dst", "count")),
+        lambda g: g.groupby("src", sort=False, as_index=False)["deg"].sum(),
+        n_buckets=16,
+    ).materialize()
+    n_nodes = degs.count()
+    base = (15 * PR_SCALE) // (100 * n_nodes)
+    r0 = PR_SCALE // n_nodes
+
+    # rank state carries deg so exchange A is self-contained
+    ranks = degs.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["src"], "rank": np.int64(r0), "deg": df["deg"]}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def rank_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["node"], "dst": np.int64(-1),
+             "rank": df["rank"], "deg": df["deg"]}
+        ).astype("int64")
+
+    edge_tagged = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["src"], "dst": df["dst"],
+             "rank": np.int64(-1), "deg": np.int64(-1)}
+        ).astype("int64"),
+        batch_format="pandas",
+    ).materialize()
+
+    def route(g: pd.DataFrame) -> pd.DataFrame:
+        lut = g.loc[g["dst"] < 0, ["node", "rank", "deg"]].drop_duplicates("node")
+        ed = g.loc[g["dst"] >= 0, ["node", "dst"]]
+        m = ed.merge(lut, on="node", how="inner")
+        return pd.DataFrame(
+            {"node": m["dst"],
+             "contrib": (85 * m["rank"]) // (100 * m["deg"])}
+        ).astype("int64")
+
+    deg_tagged = degs.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["src"], "contrib": -df["deg"] - 1}
+        ).astype("int64"),
+        batch_format="pandas",
+    ).materialize()  # deg rides as contrib = -(deg+1) < 0
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        degv = g.loc[g["contrib"] < 0].copy()
+        degv["deg"] = -degv["contrib"] - 1
+        s = (
+            g.loc[g["contrib"] >= 0]
+            .groupby("node", sort=False, as_index=False)["contrib"].sum()
+        )
+        m = degv[["node", "deg"]].drop_duplicates("node").merge(
+            s, on="node", how="left")
+        return pd.DataFrame(
+            {"node": m["node"],
+             "rank": base + m["contrib"].fillna(0).astype("int64"),
+             "deg": m["deg"]}
+        ).astype("int64")
+
+    for _ in range(iters):
+        contribs = bucketed_group_reduce(
+            ranks.map_batches(rank_rows, batch_format="pandas").union(edge_tagged),
+            ["node"], lambda df: df, route, n_buckets=16,
+        )
+        ranks = bucketed_group_reduce(
+            contribs.union(deg_tagged),
+            ["node"], lambda df: df, combine, n_buckets=16,
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["node"].astype("int64"),
+             "rank": df["rank"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )

@@ -982,6 +982,22 @@ def dedup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def pagerank_neardup(sf_dir: str):
+    """Integer-exact PageRank (damping 0.85, 5 rounds, pico-unit mass) over
+    the same LSH-sourced exact-Jaccard near-dup graph dedup_clusters uses —
+    centrality within duplicate clusters picks the canonical doc to keep
+    (highest-rank representative instead of min-id). Every arithmetic step
+    is int64 floor math, so the DuckDB recursive-CTE oracle reproduces the
+    ranks bit-for-bit."""
+    from .graph import pagerank
+
+    pairs = blocked_lsh_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        threshold=JACCARD_THRESHOLD, block_key="source", ngram=1,
+    )
+    return pagerank(pairs, iters=5)
+
+
 def dedup_simhash(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         simhash_batch, batch_format="pandas"
@@ -2654,6 +2670,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
     "dedup_clusters": dedup_clusters,
+    "pagerank_neardup": pagerank_neardup,
     "dedup_simhash": dedup_simhash,
     "knn_cosine_topk": knn_cosine_topk,
     "knn_ivf_topk": knn_ivf_topk,
@@ -3311,6 +3328,33 @@ SQL: dict[str, str] = {
         )
         SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
+    """,
+    "pagerank_neardup": r"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, source,
+                     list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
+              FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(a.toks || b.toks)) >= 0.9
+        ),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY u),
+        n AS (SELECT count(*) AS n FROM deg),
+        pr(it, node, rank) AS (
+          SELECT 0, node, CAST(1000000000000 // n.n AS BIGINT) FROM deg, n
+          UNION ALL
+          SELECT pr.it + 1, e.v,
+                 CAST((15 * 1000000000000 // (100 * n.n))
+                      + sum((85 * pr.rank) // (100 * deg.deg)) AS BIGINT)
+          FROM pr JOIN e ON e.u = pr.node JOIN deg ON deg.node = pr.node, n
+          WHERE pr.it < 5
+          GROUP BY pr.it, e.v, n.n
+        )
+        SELECT node AS doc_id, rank FROM pr WHERE it = 5
     """,
     "sliding_window_events": """
         WITH e AS (

@@ -61,6 +61,57 @@ def test_distributed_path_equals_local():
     assert set(local.loc[local["doc_id"] >= 100, "cluster_id"]) == {100}
 
 
+def test_pagerank_local_equals_distributed_and_exact():
+    """PageRank in exact integer pico-units: driver path, distributed
+    bucketed-loop path, and a hand-computed numpy reference must agree
+    bit-for-bit; total mass never exceeds PR_SCALE (floors only shed)."""
+    import numpy as np
+
+    from rayextract.graph import PR_SCALE, pagerank
+
+    pairs = pd.DataFrame(
+        {"doc_a": [1, 2, 10, 11, 10], "doc_b": [2, 3, 11, 12, 12]}
+    )
+    ds = rd.from_pandas(pairs)
+    loc = (
+        pagerank(ds, iters=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        pagerank(ds, iters=5, local_max_edges=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(loc, dist)
+    assert loc["rank"].sum() <= PR_SCALE
+    # the triangle {10,11,12} is symmetric: equal ranks
+    tri = loc.loc[loc["doc_id"] >= 10, "rank"]
+    assert tri.nunique() == 1
+    # chain centre 2 outranks the leaves by symmetry
+    r = dict(zip(loc["doc_id"], loc["rank"]))
+    assert r[2] > r[1] == r[3]
+    # one hand-rolled iteration check at iters=1
+    one = (
+        pagerank(ds, iters=1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    n = 6
+    base = (15 * PR_SCALE) // (100 * n)
+    r0 = PR_SCALE // n
+    # node 1 (deg 1) receives only from node 2 (deg 2)
+    assert one.loc[one["doc_id"] == 1, "rank"].iloc[0] == base + (85 * r0) // 200
+    assert np.issubdtype(one["rank"].dtype, np.int64)
+
+
+def test_pagerank_empty_pairs():
+    from rayextract.graph import pagerank
+
+    empty = rd.from_pandas(
+        pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                      "doc_b": pd.Series(dtype="int64")})
+    )
+    assert len(pagerank(empty).to_pandas()) == 0
+
+
 def test_empty_pairs_yields_empty_components():
     """Zero near-dup pairs (the common case for a clean corpus) must produce
     an empty (doc_id, cluster_id) dataset, not a driver crash."""
