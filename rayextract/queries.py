@@ -982,6 +982,31 @@ def dedup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def dedup_substring(sf_dir: str):
+    """Span-level exact dedup: per document, how many of its distinct
+    8-token shingles also occur in another document (see
+    dedup.substring_dup_stats for the two-exchange scale shape)."""
+    from .dedup import substring_dup_stats
+
+    return substring_dup_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def dedup_edit_verified(sf_dir: str):
+    """Character-level verification of the LSH near-dup candidates: exact
+    Levenshtein distance per pair (dedup.edit_distance_pairs — candidate
+    texts co-partition with pair rows in two bucketed exchanges; only the
+    8-byte id set is broadcast)."""
+    from .dedup import edit_distance_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    pairs = blocked_lsh_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, block_key="source", ngram=1,
+    )
+    return edit_distance_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), pairs
+    )
+
+
 def pagerank_neardup(sf_dir: str):
     """Integer-exact PageRank (damping 0.85, 5 rounds, pico-unit mass) over
     the same LSH-sourced exact-Jaccard near-dup graph dedup_clusters uses —
@@ -1099,6 +1124,47 @@ def wordcount_top20(sf_dir: str):
     return top[["token", "n"]].astype({"n": "int64"})
 
 
+def cooccur_top20(sf_dir: str):
+    """Top-20 co-occurring token pairs within a ±2-token window (the PMI /
+    phrase-mining precursor). Unordered pairs are canonicalized
+    lexicographically and serialized as one 'w1 w2' key so the combiner and
+    the deterministic top-k reuse the wordcount shape: per-batch numpy pair
+    extraction + Counter partials, bucketed sum, k rows per batch leave the
+    merge. No shuffle ever carries raw token streams."""
+    from collections import Counter
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for s in df["text"]:
+            toks = _tokens(s) if isinstance(s, str) else []
+            n = len(toks)
+            for d in (1, 2):
+                if n <= d:
+                    continue
+                a = toks[:-d]
+                b = toks[d:]
+                c.update(
+                    (x + " " + y) if x <= y else (y + " " + x)
+                    for x, y in zip(a, b)
+                )
+        return pd.DataFrame(
+            {"pair": list(c.keys()), "n": np.fromiter(c.values(), dtype="int64")}
+        )
+
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["text"]),
+        ["pair"],
+        partial,
+        lambda g: g.groupby("pair", sort=False)["n"].sum().reset_index(),
+        n_buckets=64,
+    )
+    top = topk(counts, by="n", k=20, descending=True, tiebreak="pair")
+    return top[["pair", "n"]].astype({"n": "int64"})
+
+
 def distinct_brand_type(sf_dir: str):
     """DISTINCT via the bucketed combiner (batch-local dedup -> per-bucket dedup)."""
     from .bucketed import bucketed_group_reduce
@@ -1150,6 +1216,56 @@ def median_value_per_type(sf_dir: str):
     return counts.groupby("event_type", num_partitions=join_partitions(cap=8)).map_groups(
         per_type_median, batch_format="pandas"
     )
+
+
+def mad_value_per_type(sf_dir: str):
+    """Robust dispersion per event type: exact median absolute deviation in
+    two histogram passes. Pass 1 is the existing exact-median sketch (its
+    result is an aggregate — one row per event type — so collecting it to
+    the driver and broadcasting the tiny dict is the right scale shape, like
+    every small-side lookup here). Pass 2 re-streams the events with the
+    per-type median subtracted, building the |deviation| histogram with the
+    same bucketed count-merge; the shuffle again carries distinct-value
+    counts, never rows."""
+    from .bucketed import bucketed_group_reduce
+
+    med_df = median_value_per_type(sf_dir).to_pandas()
+    med = dict(zip(med_df["event_type"], med_df["median_cents"].astype("int64")))
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df["value"])
+        m = df["event_type"].map(med).astype("int64")
+        t = pd.DataFrame(
+            {"event_type": df["event_type"], "dev": (c - m).abs().astype("int64")}
+        )
+        return (
+            t.groupby(["event_type", "dev"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        ["event_type", "dev"],
+        hist,
+        lambda g: g.groupby(["event_type", "dev"], sort=False)["n"].sum().reset_index(),
+        n_buckets=32,
+    )
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("dev", kind="stable")
+        total = int(g["n"].sum())
+        k = (total + 1) // 2  # quantile_disc(0.5) lower-median element
+        cum = g["n"].cumsum()
+        madv = int(g.loc[cum >= k, "dev"].iloc[0])
+        et = g["event_type"].iloc[0]
+        return pd.DataFrame(
+            {"event_type": [et], "median_cents": [int(med[et])],
+             "mad_cents": [madv]}
+        )
+
+    return counts.groupby(
+        "event_type", num_partitions=join_partitions(cap=8)
+    ).map_groups(per_type, batch_format="pandas")
 
 
 def distinct_users_per_type(sf_dir: str):
@@ -2671,6 +2787,8 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_clusters": dedup_clusters,
     "pagerank_neardup": pagerank_neardup,
+    "dedup_substring": dedup_substring,
+    "dedup_edit_verified": dedup_edit_verified,
     "dedup_simhash": dedup_simhash,
     "knn_cosine_topk": knn_cosine_topk,
     "knn_ivf_topk": knn_ivf_topk,
@@ -2678,8 +2796,10 @@ QUERIES = {
     "e7_vendor_lookup": e7_vendor_lookup,
     "asof_purchase_view": asof_purchase_view,
     "median_value_per_type": median_value_per_type,
+    "mad_value_per_type": mad_value_per_type,
     "distinct_users_per_type": distinct_users_per_type,
     "wordcount_top20": wordcount_top20,
+    "cooccur_top20": cooccur_top20,
     "distinct_brand_type": distinct_brand_type,
     "union_clicks_purchases": union_clicks_purchases,
     "f5_person_ner": f5_person_ner,
@@ -3308,6 +3428,23 @@ SQL: dict[str, str] = {
           ) GROUP BY token
         ) ORDER BY n DESC, token LIMIT 20
     """,
+    "cooccur_top20": r"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+                FROM t),
+        tok AS (SELECT doc_id, i, toks[i] AS w FROM pos),
+        pr AS (
+          SELECT CASE WHEN a.w <= b.w THEN a.w || ' ' || b.w
+                      ELSE b.w || ' ' || a.w END AS pair
+          FROM tok a JOIN tok b
+            ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+        )
+        SELECT pair, count(*) AS n FROM pr
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
     "dedup_clusters": r"""
         WITH RECURSIVE
         t AS (SELECT doc_id, source,
@@ -3356,6 +3493,40 @@ SQL: dict[str, str] = {
         )
         SELECT node AS doc_id, rank FROM pr WHERE it = 5
     """,
+    "dedup_edit_verified": r"""
+        WITH t AS (SELECT doc_id, source,
+                     list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
+              FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(a.toks || b.toks)) >= 0.9
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        FROM p JOIN documents da ON da.doc_id = p.doc_a
+               JOIN documents db ON db.doc_id = p.doc_b
+    """,
+    "dedup_substring": r"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+        pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+                FROM s),
+        sh AS (SELECT DISTINCT doc_id,
+                      md5_number_upper(array_to_string(toks[i:i+7], ' ')) AS h
+               FROM pos),
+        ns AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        d AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+        nd AS (SELECT doc_id, count(*) AS n_dup FROM sh
+               WHERE h IN (SELECT h FROM d) GROUP BY doc_id)
+        SELECT ns.doc_id, CAST(ns.n_shingles AS BIGINT) AS n_shingles,
+               CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup_shingles
+        FROM ns LEFT JOIN nd USING (doc_id)
+    """,
     "sliding_window_events": """
         WITH e AS (
           SELECT date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 30) MINUTE
@@ -3383,6 +3554,17 @@ SQL: dict[str, str] = {
         SELECT event_type,
                quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS median_cents
         FROM events GROUP BY event_type
+    """,
+    "mad_value_per_type": """
+        WITH v AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med
+              FROM v GROUP BY event_type)
+        SELECT v.event_type,
+               CAST(m.med AS BIGINT) AS median_cents,
+               CAST(quantile_disc(abs(v.cents - m.med), 0.5) AS BIGINT) AS mad_cents
+        FROM v JOIN m USING (event_type) GROUP BY v.event_type, m.med
     """,
     "distinct_users_per_type": """
         SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -72,6 +72,10 @@ def _oracle(edge_dir: str, name: str) -> pd.DataFrame:
     return con.execute(SQL[name]).df()
 
 
+def _df(res) -> pd.DataFrame:
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
 def _canon(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -87,13 +91,51 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 @pytest.mark.parametrize(
     "name",
     ["chunk_documents", "doc_repetition_filter", "inverted_index",
-     "doc_tfidf_topk", "user_event_deltas"],
+     "doc_tfidf_topk", "user_event_deltas", "mad_value_per_type",
+     "cooccur_top20", "dedup_substring"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
-    got = QUERIES[name](edge_dir).to_pandas()
+    got = _df(QUERIES[name](edge_dir))
     want = _oracle(edge_dir, name)
     assert sorted(got.columns) == sorted(want.columns)
     assert _canon(got) == _canon(want), name
+
+
+@pytest.mark.parametrize("name", ["dedup_edit_verified", "pagerank_neardup"])
+def test_edge_parity_empty_graph(name, edge_dir, ray_session):
+    """The edge corpus has no same-source near-dup pair: both graph ops must
+    return an empty result (matching the oracle), not crash on the empty
+    candidate set."""
+    got = _df(QUERIES[name](edge_dir))
+    want = _oracle(edge_dir, name)
+    assert len(got) == 0 and len(want) == 0
+
+
+def test_substring_dup_known_overlap(edge_dir, ray_session):
+    """Docs 5 and 6 share their 32-token prefix (w0..w6 cycle): every one of
+    doc 5's 7 distinct shingles occurs in doc 6 too. Short docs (<8 tokens)
+    are omitted entirely."""
+    out = QUERIES["dedup_substring"](edge_dir).to_pandas().set_index("doc_id")
+    assert set(out.index) == {5, 6, 7}
+    # the 7-token cycle yields exactly 7 distinct 8-token shingles
+    assert out.loc[5, "n_shingles"] == 7 and out.loc[5, "n_dup_shingles"] == 7
+    assert out.loc[6, "n_shingles"] == 7 and out.loc[6, "n_dup_shingles"] == 7
+    # doc 7 cycles t0..t4 (5-cycle): 5 distinct shingles, none shared
+    assert out.loc[7, "n_shingles"] == 5 and out.loc[7, "n_dup_shingles"] == 0
+
+
+def test_levenshtein_matches_duckdb_fuzz():
+    import random
+
+    from rayextract.dedup import _levenshtein
+
+    con = duckdb.connect()
+    random.seed(7)
+    for _ in range(150):
+        a = "".join(random.choices("abcd ", k=random.randint(0, 30)))
+        b = "".join(random.choices("abcd ", k=random.randint(0, 30)))
+        want = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert _levenshtein(a, b) == want, (a, b)
 
 
 def test_chunk_shapes(edge_dir, ray_session):
