@@ -902,6 +902,9 @@ def edit_distance_pairs(
 
     from .bucketed import bucketed_group_reduce
 
+    # the pair list is consumed twice (id collection + exchange 1) and is
+    # aggregate-sized — pin it so the LSH source doesn't recompute per consumer
+    pairs = pairs.materialize()
     ids = pairs.map_batches(
         lambda df: pd.DataFrame(
             {"i": pd.unique(pd.concat([df["doc_a"], df["doc_b"]]).astype("int64"))}
@@ -925,7 +928,8 @@ def edit_distance_pairs(
             {"doc_id": sub["doc_id"].astype("int64"), "text": sub["text"]}
         )
 
-    cand_docs = docs.map_batches(prune, batch_format="pandas")
+    # consumed by both exchanges and output-sized: pin to skip a second scan
+    cand_docs = docs.map_batches(prune, batch_format="pandas").materialize()
 
     def attach(side: str):
         other = "doc_b" if side == "doc_a" else "doc_a"
