@@ -127,6 +127,7 @@ def run_queries() -> dict[str, float]:
         "e9_first_match_fold",
         "hourly_event_windows",
         "dedup_exact",
+        "dedup_paragraphs",
         "dedup_ngram_jaccard",
         "dedup_minhash",
         "dedup_clusters",

@@ -1016,3 +1016,164 @@ def edit_distance_pairs(
         )
 
     return both.map_batches(score, batch_format="pandas")
+
+
+def paragraph_dedup(
+    docs: "ray.data.Dataset", block_tokens: int = 8, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(doc_id, clean_text, n_blocks, n_kept) — C4-style repeated-span
+    removal: split every document into consecutive non-overlapping
+    ``block_tokens``-token blocks (final partial block kept); any block whose
+    exact text occurs at >=2 positions corpus-wide is removed from every
+    position EXCEPT the first (lexicographic min (doc_id, blk)), and each
+    document's surviving blocks are re-joined in order. This is the
+    "discard duplicated spans, keep one copy" cleanup the C4/Gopher
+    pipelines run before training (reference has no analog; this is a
+    corpus-prep extension).
+
+    Scale shape — two doc scans, three exchanges, all linear:
+      A. scan 1 (narrow): per batch, hash each block position to 64 bits
+         (md5 contract) and pre-aggregate per batch to
+         (h, cnt, min_doc, min_blk) — the bucketed reduce then yields the
+         global per-hash count + first position, and only DUPLICATED hashes
+         (cnt >= 2) survive, so the metadata table is dup-sized.
+      B. scan 2 (full blocks) UNION dup metadata, ONE exchange bucketed by
+         h: each bucket left-merges blocks with their dup row and keeps
+         non-dups plus first occurrences. Block text crosses this exchange
+         once — linear in corpus size, same order as any dedup shuffle.
+      C. kept blocks bucketed by doc_id: sort by blk, vectorized per-bucket
+         groupby re-joins the text. Docs whose every block was removed
+         still emit a row (clean_text = '').
+    64-bit hash grouping is the same exactness contract as exact_dedup /
+    substring_dup_stats (collisions ~2^-64 per pair; the SQL oracle groups
+    by the block text itself, so a collision would surface as a driver
+    hash mismatch rather than hide).
+    """
+    import hashlib
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    P = block_tokens
+
+    def explode(df: pd.DataFrame, with_text: bool) -> pd.DataFrame:
+        ids: list[int] = []
+        blks: list[int] = []
+        hs: list[int] = []
+        txts: list[str] = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = _tokens(text) if isinstance(text, str) else []
+            for b in range(0, (len(toks) + P - 1) // P):
+                bt = " ".join(toks[b * P : b * P + P])
+                ids.append(int(doc_id))
+                blks.append(b)
+                hs.append(
+                    int.from_bytes(hashlib.md5(bt.encode()).digest()[:8], "little")
+                )
+                if with_text:
+                    txts.append(bt)
+        out = {
+            "h": np.array(hs, dtype="uint64"),
+            "doc_id": np.array(ids, dtype="int64"),
+            "blk": np.array(blks, dtype="int64"),
+        }
+        if with_text:
+            out["btext"] = txts
+        return pd.DataFrame(out)
+
+    # A: per-hash (count, first position) — pre-aggregated per batch so the
+    # exchange carries one narrow row per distinct block per batch.
+    def meta_partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = explode(df, with_text=False)
+        if not len(e):
+            return pd.DataFrame(
+                {"h": np.array([], dtype="uint64"),
+                 "cnt": np.array([], dtype="int64"),
+                 "min_doc": np.array([], dtype="int64"),
+                 "min_blk": np.array([], dtype="int64")}
+            )
+        e = e.sort_values(["doc_id", "blk"], kind="stable")
+        g = e.groupby("h", sort=False)
+        out = g.agg(cnt=("doc_id", "size"), min_doc=("doc_id", "first"),
+                    min_blk=("blk", "first")).reset_index()
+        return out
+
+    def meta_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["min_doc", "min_blk"], kind="stable")
+        m = g.groupby("h", sort=False).agg(
+            cnt=("cnt", "sum"), min_doc=("min_doc", "first"),
+            min_blk=("min_blk", "first")
+        ).reset_index()
+        return m.loc[m["cnt"] >= 2, ["h", "min_doc", "min_blk"]]
+
+    dup = bucketed_group_reduce(
+        docs, ["h"], meta_partial, meta_reduce, n_buckets=n_buckets
+    )
+
+    # B: blocks <- dup metadata, co-partitioned by h (kind 0 = block rows,
+    # kind 1 = dup rows); keep unduplicated blocks + first occurrences.
+    def block_tag(df: pd.DataFrame) -> pd.DataFrame:
+        e = explode(df, with_text=True)
+        e["min_doc"] = np.int64(-1)
+        e["min_blk"] = np.int64(-1)
+        e["_kind"] = np.int64(0)
+        return e
+
+    def dup_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"h": df["h"].to_numpy(dtype="uint64"),
+             "doc_id": np.int64(-1), "blk": np.int64(-1), "btext": "",
+             "min_doc": df["min_doc"].astype("int64"),
+             "min_blk": df["min_blk"].astype("int64"),
+             "_kind": np.int64(1)}
+        )
+
+    tagged = docs.map_batches(block_tag, batch_format="pandas").union(
+        dup.map_batches(dup_tag, batch_format="pandas")
+    )
+
+    def keep_firsts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.loc[g["_kind"] == 1, ["h", "min_doc", "min_blk"]].drop_duplicates("h")
+        b = g.loc[g["_kind"] == 0, ["h", "doc_id", "blk", "btext"]]
+        if not len(b):
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype="int64"),
+                 "blk": np.array([], dtype="int64"),
+                 "btext": pd.Series([], dtype="object"),
+                 "kept": np.array([], dtype="int8")}
+            )
+        m = b.merge(d, on="h", how="left")
+        kept = (
+            m["min_doc"].isna()
+            | ((m["doc_id"] == m["min_doc"]) & (m["blk"] == m["min_blk"]))
+        )
+        return pd.DataFrame(
+            {"doc_id": m["doc_id"].astype("int64"),
+             "blk": m["blk"].astype("int64"),
+             "btext": m["btext"],
+             "kept": kept.to_numpy(dtype="int8")}
+        )
+
+    flagged = bucketed_group_reduce(
+        tagged, ["h"], lambda df: df, keep_firsts, n_buckets=n_buckets
+    )
+
+    # C: re-join per document (kept blocks in blk order); every doc with >=1
+    # token emits a row even when all its blocks were removed.
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "blk"], kind="stable")
+        nb = g.groupby("doc_id", sort=False).size().rename("n_blocks")
+        k = g.loc[g["kept"].astype(bool)]
+        nk = k.groupby("doc_id", sort=False).size().rename("n_kept")
+        txt = k.groupby("doc_id", sort=False)["btext"].agg(" ".join).rename(
+            "clean_text"
+        )
+        out = pd.concat([nb, nk, txt], axis=1).reset_index()
+        out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+        out["clean_text"] = out["clean_text"].fillna("")
+        out["n_blocks"] = out["n_blocks"].astype("int64")
+        return out[["doc_id", "clean_text", "n_blocks", "n_kept"]]
+
+    return bucketed_group_reduce(
+        flagged, ["doc_id"], lambda df: df, rebuild, n_buckets=n_buckets
+    )

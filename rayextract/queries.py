@@ -991,6 +991,16 @@ def dedup_substring(sf_dir: str):
     return substring_dup_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def dedup_paragraphs(sf_dir: str):
+    """C4-style repeated-span removal: delete every 8-token block whose
+    exact text occurs at >=2 positions corpus-wide, keeping only the first
+    occurrence, then re-join each document (see dedup.paragraph_dedup for
+    the two-scan / three-exchange scale shape)."""
+    from .dedup import paragraph_dedup
+
+    return paragraph_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def dedup_edit_verified(sf_dir: str):
     """Character-level verification of the LSH near-dup candidates: exact
     Levenshtein distance per pair (dedup.edit_distance_pairs — candidate
@@ -2788,6 +2798,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "pagerank_neardup": pagerank_neardup,
     "dedup_substring": dedup_substring,
+    "dedup_paragraphs": dedup_paragraphs,
     "dedup_edit_verified": dedup_edit_verified,
     "dedup_simhash": dedup_simhash,
     "knn_cosine_topk": knn_cosine_topk,
@@ -3526,6 +3537,32 @@ SQL: dict[str, str] = {
         SELECT ns.doc_id, CAST(ns.n_shingles AS BIGINT) AS n_shingles,
                CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup_shingles
         FROM ns LEFT JOIN nd USING (doc_id)
+    """,
+    "dedup_paragraphs": r"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+        b AS (SELECT doc_id, toks,
+                     unnest(range(0, CAST((len(toks) + 7) // 8 AS BIGINT))) AS blk
+              FROM s),
+        bt AS (SELECT doc_id, blk,
+                      array_to_string(toks[blk * 8 + 1 : blk * 8 + 8], ' ') AS btext
+               FROM b),
+        w AS (SELECT doc_id, blk, btext,
+                     row_number() OVER (PARTITION BY btext ORDER BY doc_id, blk) AS rn,
+                     count(*) OVER (PARTITION BY btext) AS cnt
+              FROM bt),
+        k AS (SELECT doc_id, blk, btext FROM w WHERE cnt = 1 OR rn = 1),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(btext, ' ' ORDER BY blk) AS clean_text
+                FROM k GROUP BY doc_id),
+        nb AS (SELECT doc_id, count(*) AS n_blocks FROM bt GROUP BY doc_id)
+        SELECT nb.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+               CAST(nb.n_blocks AS BIGINT) AS n_blocks,
+               CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept
+        FROM nb LEFT JOIN agg USING (doc_id)
     """,
     "sliding_window_events": """
         WITH e AS (

@@ -92,7 +92,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "name",
     ["chunk_documents", "doc_repetition_filter", "inverted_index",
      "doc_tfidf_topk", "user_event_deltas", "mad_value_per_type",
-     "cooccur_top20", "dedup_substring"],
+     "cooccur_top20", "dedup_substring", "dedup_paragraphs"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
