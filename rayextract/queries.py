@@ -2753,6 +2753,73 @@ def doc_quality_gate(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Round 2d: bloom-prefiltered semi join, sequence packing, retention cohorts
+# ---------------------------------------------------------------------------
+
+
+def bloom_semi_lineitems(sf_dir: str):
+    """Bloom-prefiltered big-big semi join: item count + total quantity per
+    lineitem order whose order books > $475k (~5% selectivity).
+
+    Scale shape — the classic shuffle-volume cut: the qualifying orderkeys
+    build a fixed 128 KB bloom (relational.build_bloom_filter — per-batch
+    deduped bit positions, driver OR, ONE ray.put) that every probe batch
+    tests vectorized BEFORE pre-aggregating, so only ~selectivity x lineitem
+    rows (plus bloom false positives) enter the co-partition exchange. The
+    tagged-union verify (q4 shape) then removes false positives exactly —
+    the bloom buys bytes, never correctness."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+    from .relational import bloom_might_contain, build_bloom_filter
+
+    def qual(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["o_totalprice"] > 475000.0, "o_orderkey"]
+        return pd.DataFrame({"okey": k.to_numpy(dtype="int64")})
+
+    orders = lambda: _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(  # noqa: E731
+        qual, batch_format="pandas"
+    )
+    bits_ref = _ray.put(build_bloom_filter(orders(), "okey"))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["l_orderkey"].to_numpy(dtype="int64")
+        m = bloom_might_contain(_ray.get(bits_ref), keys)
+        t = pd.DataFrame(
+            {"okey": keys[m],
+             "qty": df["l_quantity"].to_numpy()[m].round().astype("int64")}
+        )
+        g = t.groupby("okey", sort=False, as_index=False).agg(
+            n=("qty", "size"), q=("qty", "sum")
+        )
+        g["side"] = np.int8(0)
+        return g
+
+    def o_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df["okey"].to_numpy(dtype="int64"),
+             "n": np.int64(0), "q": np.int64(0), "side": np.int8(1)}
+        )
+
+    both = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(probe, batch_format="pandas")
+        .union(orders().map_batches(o_tag, batch_format="pandas"))
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0]
+        li = li[li["okey"].isin(g.loc[g["side"] == 1, "okey"])]
+        out = li.groupby("okey", sort=False, as_index=False).agg(
+            n_items=("n", "sum"), sum_qty=("q", "sum")
+        )
+        return out.rename(columns={"okey": "l_orderkey"}).astype("int64")
+
+    return bucketed_group_reduce(both, ["okey"], lambda df: df, verify,
+                                 n_buckets=64)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -2832,6 +2899,7 @@ QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "doc_quality_gate": doc_quality_gate,
     "customers_with_big_orders": customers_with_big_orders,
+    "bloom_semi_lineitems": bloom_semi_lineitems,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
     "event_transitions": event_transitions,
@@ -2903,6 +2971,13 @@ sh AS (
 allsh AS (SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash FROM documents d LEFT JOIN sh USING (doc_id))"""
 
 SQL: dict[str, str] = {
+    "bloom_semi_lineitems": """
+        SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 475000
+        GROUP BY l.l_orderkey
+    """,
     "dedup_simhash": f"WITH {_SIMHASH_CTE}\nSELECT doc_id, simhash FROM allsh",
     "dedup_simhash_pairs": f"""
         WITH {_SIMHASH_CTE}

@@ -213,3 +213,71 @@ def topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+# --- Bloom-prefiltered semi join -------------------------------------------
+# The 100 TB pattern for a big-big semi join with a selective build side:
+# a fixed-size bit array over the build keys is broadcast once and prunes
+# the probe side BEFORE its rows reach the co-partition exchange, so the
+# shuffle carries ~selectivity x probe bytes instead of all of them. The
+# bloom admits false positives, so survivors still go through the exact
+# tagged-union verify — the filter only buys shuffle volume, never
+# correctness.
+
+_BLOOM_C1 = 0x9E3779B97F4A7C15
+_BLOOM_C2 = 0xC2B2AE3D27D4EB4F
+
+
+def _bloom_positions(keys, m_bits: int, k: int):
+    """k deterministic bit positions per int64 key (double hashing,
+    numpy-vectorized, wrap-around uint64 arithmetic)."""
+    import numpy as np
+
+    x = keys.astype("uint64")
+    h1 = x * np.uint64(_BLOOM_C1)
+    h1 ^= h1 >> np.uint64(31)
+    h2 = (x * np.uint64(_BLOOM_C2)) | np.uint64(1)
+    m = np.uint64(m_bits)
+    return [((h1 + np.uint64(i) * h2) % m) for i in range(k)]
+
+
+def build_bloom_filter(
+    ds: "ray.data.Dataset", key: str, m_bits: int = 1 << 20, k: int = 4
+):
+    """uint64 word array (m_bits/64 words) with every build key's k bits set.
+
+    Each batch emits its DISTINCT set-bit positions (<= min(k*keys, m_bits)
+    int32 rows — pre-deduped, so a hot batch is bounded by the filter size,
+    not the key count); the driver ORs them into the one fixed-size bitmap
+    it broadcasts. At multi-node scale the position lists would tree-reduce,
+    but the artifact itself is m_bits/8 bytes (128 KB default) either way.
+    """
+    import numpy as np
+
+    def positions(df: pd.DataFrame) -> pd.DataFrame:
+        ks = np.unique(df[key].to_numpy(dtype="int64"))
+        if not len(ks):
+            return pd.DataFrame({"pos": np.array([], dtype="int64")})
+        pos = np.unique(np.concatenate(_bloom_positions(ks, m_bits, k)))
+        return pd.DataFrame({"pos": pos.astype("int64")})
+
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    for b in ds.map_batches(positions, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        p = b["pos"].to_numpy(dtype="uint64")
+        np.bitwise_or.at(bits, (p >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (p & np.uint64(63)))
+    return bits
+
+
+def bloom_might_contain(bits, keys, m_bits: int = 1 << 20, k: int = 4):
+    """Vectorized membership test: True = maybe present, False = definitely
+    absent (the only side the filter guarantees)."""
+    import numpy as np
+
+    mask = np.ones(len(keys), dtype=bool)
+    for pos in _bloom_positions(keys.astype("int64"), m_bits, k):
+        word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+        mask &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    return mask
