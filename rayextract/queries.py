@@ -2819,6 +2819,78 @@ def bloom_semi_lineitems(sf_dir: str):
                                  n_buckets=64)
 
 
+PACK_BUDGET = 256  # tokens per training-sequence bin
+PACK_RANGE = 1024  # doc_ids per scan range (drives the metadata table size)
+
+
+def pack_sequences(sf_dir: str):
+    """Sequence packing (doc -> training-bin assignment): in doc_id order,
+    bin_id = floor(exclusive-prefix-sum(n_tokens) / PACK_BUDGET) — the
+    offset-packing each LLM data pipeline runs to batch short documents
+    into fixed token-budget sequences without a global sort.
+
+    Scale shape — the textbook distributed exclusive scan:
+      1. per-batch partials (range_id = doc_id // PACK_RANGE, sum n_tokens)
+         -> bucketed reduce -> per-range totals: corpus/PACK_RANGE rows of
+         metadata, the ONLY driver-side state; exclusive-scanned and
+         ray.put once.
+      2. docs co-partition by range_id in ONE exchange; each bucket sorts
+         its ranges by doc_id and adds (within-range exclusive cumsum +
+         broadcast range offset) vectorized.
+    No stage sees more than a range in one group, and the exchanged rows
+    are (range_id, doc_id, n_tokens) — text never shuffles."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def ntok_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.array(
+            [len(_tokens(t)) if isinstance(t, str) else 0 for t in df["text"]],
+            dtype="int64",
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(dtype="int64"),
+             "rg": df["doc_id"].to_numpy(dtype="int64") // PACK_RANGE,
+             "n_tokens": n}
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def range_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = ntok_rows(df)
+        return t.groupby("rg", sort=False, as_index=False)["n_tokens"].sum()
+
+    def range_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("rg", sort=False, as_index=False)["n_tokens"].sum()
+
+    totals = bucketed_group_reduce(
+        docs, ["rg"], range_partial, range_reduce, n_buckets=16
+    ).to_pandas().sort_values("rg")
+    offs = dict(
+        zip(totals["rg"].tolist(),
+            np.concatenate([[0], totals["n_tokens"].cumsum().to_numpy()[:-1]])
+            .tolist())
+    )
+    offs_ref = _ray.put(offs)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        o = _ray.get(offs_ref)
+        g = g.sort_values(["rg", "doc_id"], kind="stable")
+        excl = g.groupby("rg", sort=False)["n_tokens"].cumsum() - g["n_tokens"]
+        base = g["rg"].map(o).to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(),
+             "n_tokens": g["n_tokens"].to_numpy(),
+             "bin_id": (base + excl.to_numpy()) // PACK_BUDGET}
+        )
+
+    return bucketed_group_reduce(
+        docs.map_batches(ntok_rows, batch_format="pandas"),
+        ["rg"], lambda df: df, assign, n_buckets=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2900,6 +2972,7 @@ QUERIES = {
     "doc_quality_gate": doc_quality_gate,
     "customers_with_big_orders": customers_with_big_orders,
     "bloom_semi_lineitems": bloom_semi_lineitems,
+    "pack_sequences": pack_sequences,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
     "event_transitions": event_transitions,
@@ -2971,6 +3044,17 @@ sh AS (
 allsh AS (SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash FROM documents d LEFT JOIN sh USING (doc_id))"""
 
 SQL: dict[str, str] = {
+    "pack_sequences": r"""
+        WITH t AS (SELECT doc_id,
+                          len(list_filter(string_split_regex(trim(text), '\s+'),
+                                          x -> x <> '')) AS n_tokens
+                   FROM documents)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // 256 AS BIGINT) AS bin_id
+        FROM t
+    """,
     "bloom_semi_lineitems": """
         SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
                CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
