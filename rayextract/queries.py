@@ -2891,6 +2891,53 @@ def pack_sequences(sf_dir: str):
     )
 
 
+def user_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users bucketed by their first-activity day
+    (the cohort), counted distinct per (cohort_day, offset_days) — the
+    product-analytics staple Ray Data has no operator for.
+
+    Scale shape: ONE exchange. Batches pre-dedup (user_id, day) pairs (at
+    most days-per-window rows per user per batch), co-partition on
+    hash(user_id); each bucket derives the cohort with a vectorized
+    transform('min') — a user's rows all share the bucket, so the min is
+    global — and emits exact per-(cohort, offset) user counts. The final
+    groupby merges days x days rows: driver-size metadata."""
+    from .bucketed import bucketed_group_reduce
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(dtype="int64"),
+             "d": df["ts"].dt.floor("D")}
+        )
+        return t.drop_duplicates()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "d"])
+        cd = g.groupby("user_id", sort=False)["d"].transform("min")
+        t = pd.DataFrame(
+            {"cohort_day": cd.dt.strftime("%Y-%m-%d"),
+             "offset_days": ((g["d"] - cd).dt.days).astype("int64"),
+             "user_id": g["user_id"]}
+        )
+        return (
+            t.groupby(["cohort_day", "offset_days"], sort=False)["user_id"]
+            .nunique().rename("n_users").reset_index()
+        )
+
+    parts = bucketed_group_reduce(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            pairs, batch_format="pandas"
+        ),
+        ["user_id"], lambda df: df, per_bucket, n_buckets=64,
+    ).to_pandas()
+    out = (
+        parts.groupby(["cohort_day", "offset_days"], sort=False, as_index=False)
+        ["n_users"].sum()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2973,6 +3020,7 @@ QUERIES = {
     "customers_with_big_orders": customers_with_big_orders,
     "bloom_semi_lineitems": bloom_semi_lineitems,
     "pack_sequences": pack_sequences,
+    "user_retention_cohorts": user_retention_cohorts,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
     "event_transitions": event_transitions,
@@ -3044,6 +3092,16 @@ sh AS (
 allsh AS (SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash FROM documents d LEFT JOIN sh USING (doc_id))"""
 
 SQL: dict[str, str] = {
+    "user_retention_cohorts": """
+        WITH p AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                   FROM events),
+        c AS (SELECT user_id, min(d) AS cd FROM p GROUP BY user_id)
+        SELECT strftime(c.cd, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', c.cd, p.d) AS BIGINT) AS offset_days,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+        FROM p JOIN c USING (user_id)
+        GROUP BY 1, 2
+    """,
     "pack_sequences": r"""
         WITH t AS (SELECT doc_id,
                           len(list_filter(string_split_regex(trim(text), '\s+'),
