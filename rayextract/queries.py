@@ -2938,6 +2938,180 @@ def user_retention_cohorts(sf_dir: str):
     return out
 
 
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: share of 1996 revenue from PROMO parts, exact to
+    the cent. Part projects to a 1-bit (partkey -> is_promo) broadcast dict
+    (the dimension-broadcast shape every star join uses); lineitem batches
+    compute integer micro-cent revenue partials and the driver sums the
+    two per-batch counters — no shuffle at all."""
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_type"])
+    import ray as _ray
+
+    promo_ref = _ray.put(
+        set(part.loc[part["p_type"] == "PROMO", "p_partkey"].tolist())
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= pd.Timestamp("1996-01-01")) & (
+            df["l_shipdate"] < pd.Timestamp("1997-01-01")
+        )
+        sub = df.loc[m]
+        rev = _round_half_away(
+            sub["l_extendedprice"].to_numpy()
+            * (1.0 - sub["l_discount"].to_numpy()) * 100.0
+        )
+        promo = sub["l_partkey"].isin(_ray.get(promo_ref)).to_numpy()
+        return pd.DataFrame(
+            {"promo_cents": [int(rev[promo].sum())],
+             "total_cents": [int(rev.sum())]}
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    )
+    promo, total = int(parts["promo_cents"].sum()), int(parts["total_cents"].sum())
+    return pd.DataFrame(
+        {"promo_cents": [promo], "total_cents": [total],
+         "promo_bp": [(10000 * promo + total // 2) // total]}
+    )
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: customers behind orders totalling > 250 units.
+    Scale shape: the quantity sum per order is a bucketed pre-aggregated
+    reduce (never a per-order Python group); the HAVING filter shrinks it
+    to a driver-size key set that broadcasts into the orders scan, and the
+    customer names attach by a predicate-pushed small read — only
+    aggregate-size frames ever reach the driver."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"okey": df["l_orderkey"].to_numpy(dtype="int64"),
+             "qty": _round_half_away(df["l_quantity"].to_numpy())}
+        )
+        return t.groupby("okey", sort=False, as_index=False)["qty"].sum()
+
+    def l_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("okey", sort=False, as_index=False)["qty"].sum()
+        return s.loc[s["qty"] > 250]
+
+    big = bucketed_group_reduce(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        ["okey"], l_partial, l_reduce, n_buckets=64,
+    ).to_pandas()
+    qty_ref = _ray.put(dict(zip(big["okey"].tolist(), big["qty"].tolist())))
+
+    def o_attach(df: pd.DataFrame) -> pd.DataFrame:
+        lut = _ray.get(qty_ref)
+        m = df["o_orderkey"].isin(lut)
+        sub = df.loc[m]
+        return pd.DataFrame(
+            {"o_orderkey": sub["o_orderkey"].to_numpy(dtype="int64"),
+             "o_custkey": sub["o_custkey"].to_numpy(dtype="int64"),
+             "o_orderdate": sub["o_orderdate"].dt.strftime("%Y-%m-%d"),
+             "total_cents": _cents(sub["o_totalprice"]),
+             "sum_qty": sub["o_orderkey"].map(lut).to_numpy(dtype="int64")}
+        )
+
+    hits = (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(o_attach, batch_format="pandas").to_pandas()
+    )
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = hits.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "total_cents", "sum_qty"]]
+
+
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape: 1996-1997 trade volume per (supplier nation,
+    customer nation, ship year). Two big-big joins done as co-partition
+    exchanges — orders x customer-nation on custkey would be one at true
+    scale, but customer here is dimension-broadcastable, so the engine
+    broadcasts BOTH nation lookups (supplier and customer maps are
+    nation-count-bounded dicts) and runs the single unavoidable big-big
+    exchange lineitem x orders on orderkey with tagged-union buckets;
+    revenue is integer cents end to end."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    sup = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cst = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup_ref = _ray.put(
+        {int(k): nname[int(v)] for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])}
+    )
+    cst_ref = _ray.put(
+        {int(k): nname[int(v)] for k, v in zip(cst["c_custkey"], cst["c_nationkey"])}
+    )
+
+    def l_proj(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= pd.Timestamp("1996-01-01")) & (
+            df["l_shipdate"] < pd.Timestamp("1998-01-01")
+        )
+        sub = df.loc[m]
+        return pd.DataFrame(
+            {"okey": sub["l_orderkey"].to_numpy(dtype="int64"),
+             "supp_nation": sub["l_suppkey"].map(_ray.get(sup_ref)),
+             "cust_nation": "",
+             "ship_year": sub["l_shipdate"].dt.year.astype("int64"),
+             "cents": _round_half_away(
+                 sub["l_extendedprice"].to_numpy()
+                 * (1.0 - sub["l_discount"].to_numpy()) * 100.0
+             ),
+             "side": np.int8(0)}
+        )
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df["o_orderkey"].to_numpy(dtype="int64"),
+             "supp_nation": "",
+             "cust_nation": df["o_custkey"].map(_ray.get(cst_ref)),
+             "ship_year": np.int64(0),
+             "cents": np.int64(0),
+             "side": np.int8(1)}
+        )
+
+    both = (
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate",
+               "l_extendedprice", "l_discount"])
+        .map_batches(l_proj, batch_format="pandas")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+                o_proj, batch_format="pandas"
+            )
+        )
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0]
+        od = g.loc[g["side"] == 1, ["okey", "cust_nation"]].drop_duplicates("okey")
+        m = li.drop(columns=["cust_nation"]).merge(od, on="okey")
+        return m.groupby(
+            ["supp_nation", "cust_nation", "ship_year"], sort=False,
+            as_index=False,
+        )["cents"].sum()
+
+    parts = bucketed_group_reduce(
+        both, ["okey"], lambda df: df, per_bucket, n_buckets=64
+    ).to_pandas()
+    out = parts.groupby(
+        ["supp_nation", "cust_nation", "ship_year"], sort=False, as_index=False
+    )["cents"].sum()
+    out = out.rename(columns={"cents": "revenue_cents"})
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3021,6 +3195,9 @@ QUERIES = {
     "bloom_semi_lineitems": bloom_semi_lineitems,
     "pack_sequences": pack_sequences,
     "user_retention_cohorts": user_retention_cohorts,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
     "event_transitions": event_transitions,
@@ -3092,6 +3269,48 @@ sh AS (
 allsh AS (SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash FROM documents d LEFT JOIN sh USING (doc_id))"""
 
 SQL: dict[str, str] = {
+    "q14_promo_revenue": """
+        WITH l AS (SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                               AS BIGINT) AS cents,
+                          l_partkey
+                   FROM lineitem
+                   WHERE l_shipdate >= DATE '1996-01-01'
+                     AND l_shipdate < DATE '1997-01-01')
+        SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN l.cents ELSE 0 END)
+                    AS BIGINT) AS promo_cents,
+               CAST(sum(l.cents) AS BIGINT) AS total_cents,
+               CAST((10000 * sum(CASE WHEN p.p_type = 'PROMO' THEN l.cents
+                                      ELSE 0 END)
+                     + sum(l.cents) // 2) // sum(l.cents) AS BIGINT) AS promo_bp
+        FROM l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    "q18_large_orders": """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+               CAST(s.sum_qty AS BIGINT) AS sum_qty
+        FROM (SELECT l_orderkey,
+                     sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250) s
+        JOIN orders o ON s.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "q7_nation_volume": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate < DATE '1998-01-01'
+        GROUP BY 1, 2, 3
+    """,
     "user_retention_cohorts": """
         WITH p AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
                    FROM events),
