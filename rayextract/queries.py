@@ -1665,6 +1665,38 @@ def transcript_extract(sf_dir: str):
     return build_conv_fields(turns, cfg)
 
 
+def transcript_turn_stats(sf_dir: str):
+    """Per-conversation turn/token statistics over the derived transcript
+    corpus — the profiling pass a transcript pipeline runs before sizing
+    batch/block parameters (turn counts, token volume, longest turn).
+
+    Scale shape: the turn explode is a flat map; per-batch partials
+    pre-aggregate (count, sum, max) per conv_id so the single bucketed
+    exchange carries one narrow row per (conv x batch). The oracle
+    reproduces the same numbers arithmetically from the documents table."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.array([len(_tokens(t)) for t in df["text"]], dtype="int64")
+        t = pd.DataFrame({"conv_id": df["conv_id"], "n": n})
+        return t.groupby("conv_id", sort=False, as_index=False).agg(
+            n_turns=("n", "size"), n_tokens=("n", "sum"),
+            max_turn_tokens=("n", "max"),
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("conv_id", sort=False, as_index=False).agg(
+            n_turns=("n_turns", "sum"), n_tokens=("n_tokens", "sum"),
+            max_turn_tokens=("max_turn_tokens", "max"),
+        )
+
+    return bucketed_group_reduce(
+        _docs_to_transcripts(sf_dir), ["conv_id"], partial, reduce,
+        n_buckets=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-prep operators round 2b: chunking, repetition, index, tf-idf
 # ---------------------------------------------------------------------------
@@ -3183,6 +3215,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "k2_annotation_quads": k2_annotation_quads,
     "transcript_extract": transcript_extract,
+    "transcript_turn_stats": transcript_turn_stats,
     "chunk_documents": chunk_documents,
     "doc_repetition_filter": doc_repetition_filter,
     "inverted_index": inverted_index,
@@ -3393,6 +3426,22 @@ SQL: dict[str, str] = {
           GROUP BY e.doc_id
         )
         SELECT d.doc_id, s.org FROM documents d LEFT JOIN surface s USING (doc_id)
+    """,
+    "transcript_turn_stats": r"""
+        WITH d AS (SELECT doc_id,
+                          'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                          doc_id % 3 = 0 AS has_p,
+                          len(list_filter(string_split_regex(trim(text), '\s+'),
+                                          x -> x <> '')) AS ntok
+                   FROM documents)
+        SELECT conv_id,
+               CAST(1 + CASE WHEN has_p THEN 1 ELSE 0 END
+                    + greatest(1, CAST(ceil(ntok / 12.0) AS BIGINT)) AS BIGINT)
+                 AS n_turns,
+               CAST(8 + CASE WHEN has_p THEN 6 ELSE 0 END + ntok AS BIGINT)
+                 AS n_tokens,
+               CAST(greatest(8, least(ntok, 12)) AS BIGINT) AS max_turn_tokens
+        FROM d
     """,
     "transcript_extract": r"""WITH d AS (
           SELECT doc_id,
