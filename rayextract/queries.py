@@ -3144,6 +3144,100 @@ def q7_nation_volume(sf_dir: str):
     return out
 
 
+def ohlc_value_per_type_hour(sf_dir: str):
+    """Open/high/low/close (+count) of event value per (type, hour) — the
+    ordered-aggregate shape (first/last BY time) Ray Data has no native
+    aggregate for, done as a MERGEABLE partial: each batch emits one row per
+    (type, hour) carrying (open, open_key, close, close_key, high, low, n),
+    and the bucketed reduce merges partials by comparing the (ts, event_id)
+    keys — order never requires a sort of the raw rows. Ties on ts break by
+    event_id, matching the SQL row_number order exactly."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"event_type": df["event_type"],
+             "h": df["ts"].dt.floor("h"),
+             "ts": df["ts"],
+             "eid": df["event_id"].to_numpy(dtype="int64"),
+             "cents": _cents(df["value"])}
+        )
+        t = t.sort_values(["ts", "eid"], kind="stable")
+        g = t.groupby(["event_type", "h"], sort=False)
+        out = g.agg(
+            open_cents=("cents", "first"), close_cents=("cents", "last"),
+            o_ts=("ts", "first"), o_eid=("eid", "first"),
+            c_ts=("ts", "last"), c_eid=("eid", "last"),
+            high_cents=("cents", "max"), low_cents=("cents", "min"),
+            n=("cents", "size"),
+        ).reset_index()
+        return out
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        opens = g.sort_values(["o_ts", "o_eid"], kind="stable").groupby(
+            ["event_type", "h"], sort=False
+        ).agg(open_cents=("open_cents", "first")).reset_index()
+        closes = g.sort_values(["c_ts", "c_eid"], kind="stable").groupby(
+            ["event_type", "h"], sort=False
+        ).agg(close_cents=("close_cents", "last")).reset_index()
+        rest = g.groupby(["event_type", "h"], sort=False, as_index=False).agg(
+            high_cents=("high_cents", "max"), low_cents=("low_cents", "min"),
+            n=("n", "sum"),
+        )
+        out = rest.merge(opens, on=["event_type", "h"]).merge(
+            closes, on=["event_type", "h"]
+        )
+        out["hour"] = out["h"].dt.strftime("%Y-%m-%d %H:00:00")
+        for c in ("open_cents", "close_cents", "high_cents", "low_cents", "n"):
+            out[c] = out[c].astype("int64")
+        return out[["event_type", "hour", "open_cents", "high_cents",
+                    "low_cents", "close_cents", "n"]]
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"]),
+        ["event_type", "h"], partial, reduce, n_buckets=64,
+    )
+
+
+def event_path_trigrams(sf_dir: str):
+    """Top-20 per-user event-type trigram paths (view>click>purchase …) —
+    sequence mining over ordered user journeys, the path-analysis op behind
+    funnel discovery.
+
+    Scale shape: ONE user-keyed exchange of narrow (user, ts, eid, type)
+    rows — adjacency needs a user's full ordered history co-located; each
+    bucket sorts once and builds trigrams with two vectorized shifts (user
+    boundaries masked), emitting partial counts bounded by the type-domain
+    cubed. The driver merge handles |types|^3 = 125 rows."""
+    from .bucketed import bucketed_group_reduce
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        e1 = g["event_type"].to_numpy()
+        same2 = g["user_id"].to_numpy()[:-2] == g["user_id"].to_numpy()[2:]
+        if len(g) < 3:
+            return pd.DataFrame({"path": pd.Series([], dtype="object"),
+                                 "n": np.array([], dtype="int64")})
+        path = pd.Series(
+            np.char.add(np.char.add(
+                np.char.add(e1[:-2].astype(str), ">"),
+                np.char.add(e1[1:-1].astype(str), ">")),
+                e1[2:].astype(str))[same2]
+        )
+        c = path.value_counts()
+        return pd.DataFrame({"path": c.index, "n": c.to_numpy(dtype="int64")})
+
+    parts = bucketed_group_reduce(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        ["user_id"], lambda df: df, per_bucket, n_buckets=64,
+    ).to_pandas()
+    out = parts.groupby("path", sort=False, as_index=False)["n"].sum()
+    out = out.sort_values(["n", "path"], ascending=[False, True],
+                          kind="stable").head(20).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3216,6 +3310,8 @@ QUERIES = {
     "k2_annotation_quads": k2_annotation_quads,
     "transcript_extract": transcript_extract,
     "transcript_turn_stats": transcript_turn_stats,
+    "ohlc_value_per_type_hour": ohlc_value_per_type_hour,
+    "event_path_trigrams": event_path_trigrams,
     "chunk_documents": chunk_documents,
     "doc_repetition_filter": doc_repetition_filter,
     "inverted_index": inverted_index,
@@ -3426,6 +3522,35 @@ SQL: dict[str, str] = {
           GROUP BY e.doc_id
         )
         SELECT d.doc_id, s.org FROM documents d LEFT JOIN surface s USING (doc_id)
+    """,
+    "event_path_trigrams": """
+        WITH w AS (SELECT user_id, event_type AS e1,
+                          lead(event_type, 1) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) AS e2,
+                          lead(event_type, 2) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) AS e3
+                   FROM events)
+        SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
+        FROM w WHERE e3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+    "ohlc_value_per_type_hour": """
+        WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        w AS (SELECT *,
+                     row_number() OVER (PARTITION BY event_type, h
+                                        ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY event_type, h
+                                        ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM e)
+        SELECT event_type, strftime(h, '%Y-%m-%d %H:00:00') AS hour,
+               CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+               CAST(max(cents) AS BIGINT) AS high_cents,
+               CAST(min(cents) AS BIGINT) AS low_cents,
+               CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY 1, 2
     """,
     "transcript_turn_stats": r"""
         WITH d AS (SELECT doc_id,

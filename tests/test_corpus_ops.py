@@ -93,7 +93,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     ["chunk_documents", "doc_repetition_filter", "inverted_index",
      "doc_tfidf_topk", "user_event_deltas", "mad_value_per_type",
      "cooccur_top20", "dedup_substring", "dedup_paragraphs",
-     "pack_sequences", "user_retention_cohorts", "transcript_turn_stats"],
+     "pack_sequences", "user_retention_cohorts", "transcript_turn_stats",
+     "ohlc_value_per_type_hour", "event_path_trigrams"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
