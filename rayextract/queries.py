@@ -3238,6 +3238,123 @@ def event_path_trigrams(sf_dir: str):
     return out
 
 
+_CHK_MOD = (1 << 61) - 1  # Mersenne modulus: order-invariant sum stays in int64
+
+
+def table_checksum_documents(sf_dir: str):
+    """Order-invariant content checksum of the documents table — the
+    cross-cluster verification artifact a 100 TB migration/resume needs
+    (compare two runs' outputs without ordering or co-locating them).
+    checksum = sum over rows of md5_64(doc_id || '|' || text) mod 2^61-1:
+    commutative, so per-batch partials (ONE int64 row each) merge on the
+    driver with no shuffle at all."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        acc = 0
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            s = f"{int(doc_id)}|{text if isinstance(text, str) else ''}"
+            h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+            acc = (acc + h % _CHK_MOD) % _CHK_MOD
+        return pd.DataFrame({"n": [len(df)], "c": [acc]})
+
+    parts = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    )
+    # Python-int accumulation: a handful of partials each < 2^61 would
+    # silently wrap pandas' int64 sum
+    chk = sum(int(x) for x in parts["c"]) % _CHK_MOD
+    return pd.DataFrame({"n_rows": [int(parts["n"].sum())], "checksum": [chk]})
+
+
+def weighted_sample_docs(sf_dir: str, k: int = 64):
+    """Deterministic weighted sampling: the 64 documents with the smallest
+    priority = md5_64(doc_id) mod 2^62 // (n_chars + 1) — longer docs get
+    proportionally smaller priorities, i.e. weight-proportional inclusion,
+    with a content-independent reproducible key (the A-Res idea with an
+    integer hash in place of the random draw).
+
+    Scale shape: per-batch partial top-k (k rows per batch leave each
+    task), driver merges the k x batches candidate set — no shuffle."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["n_chars"].to_numpy(dtype="int64") + 1
+        h = np.array(
+            [int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[:8], "little"
+             ) % (1 << 62)
+             for d in df["doc_id"]],
+            dtype="int64",
+        )
+        t = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(dtype="int64"),
+             "priority": h // w,
+             "n_chars": df["n_chars"].to_numpy(dtype="int64")}
+        )
+        return t.sort_values(["priority", "doc_id"], kind="stable").head(k)
+
+    parts = (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    )
+    return (
+        parts.sort_values(["priority", "doc_id"], kind="stable")
+        .head(k).reset_index(drop=True)
+    )
+
+
+def funnel_view_click_purchase(sf_dir: str):
+    """Session funnel conversion: share of 30-min-gap sessions containing a
+    view, then a click strictly after it, then a purchase strictly after
+    that (subsequence match; greedy-earliest == the vectorized state
+    machine). Output: one row (n_sessions, n_converted, conv_bp).
+
+    Scale shape: the sessionize exchange (narrow rows, user-bucketed); each
+    bucket runs sort + per-session cummax/shift chains — O(n) vectorized,
+    no per-session Python — and emits TWO counters; the driver sums."""
+    from .bucketed import bucketed_group_reduce
+
+    gap_sec = 1800
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"tot": [0], "conv": [0]})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gaps = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        sid = np.cumsum((gaps.isna() | (gaps > gap_sec)).to_numpy())
+        t = pd.DataFrame(
+            {"sid": sid,
+             "is_v": (g["event_type"] == "view").to_numpy(),
+             "is_c": (g["event_type"] == "click").to_numpy(),
+             "is_p": (g["event_type"] == "purchase").to_numpy()}
+        )
+        by = t.groupby("sid", sort=False)
+        seen_v_prev = by["is_v"].cummax().groupby(t["sid"], sort=False).shift(
+            1, fill_value=False
+        )
+        t["vc"] = t["is_c"] & seen_v_prev
+        seen_vc_prev = t.groupby("sid", sort=False)["vc"].cummax().groupby(
+            t["sid"], sort=False
+        ).shift(1, fill_value=False)
+        vcp = t["is_p"] & seen_vc_prev
+        conv = int(vcp.groupby(t["sid"], sort=False).any().sum())
+        return pd.DataFrame({"tot": [int(t["sid"].nunique())], "conv": [conv]})
+
+    parts = bucketed_group_reduce(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        ["user_id"],
+        lambda df: df[["user_id", "ts", "event_id", "event_type"]],
+        reduce, n_buckets=64,
+    ).to_pandas()
+    tot, conv = int(parts["tot"].sum()), int(parts["conv"].sum())
+    return pd.DataFrame(
+        {"n_sessions": [tot], "n_converted": [conv],
+         "conv_bp": [(10000 * conv + tot // 2) // tot if tot else 0]}
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3312,6 +3429,9 @@ QUERIES = {
     "transcript_turn_stats": transcript_turn_stats,
     "ohlc_value_per_type_hour": ohlc_value_per_type_hour,
     "event_path_trigrams": event_path_trigrams,
+    "table_checksum_documents": table_checksum_documents,
+    "weighted_sample_docs": weighted_sample_docs,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
     "chunk_documents": chunk_documents,
     "doc_repetition_filter": doc_repetition_filter,
     "inverted_index": inverted_index,
@@ -3522,6 +3642,56 @@ SQL: dict[str, str] = {
           GROUP BY e.doc_id
         )
         SELECT d.doc_id, s.org FROM documents d LEFT JOIN surface s USING (doc_id)
+    """,
+    "table_checksum_documents": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(md5_number_upper(CAST(doc_id AS VARCHAR) || '|' ||
+                                         coalesce(text, ''))
+                        % 2305843009213693951)
+                    % 2305843009213693951 AS BIGINT) AS checksum
+        FROM documents
+    """,
+    "weighted_sample_docs": """
+        SELECT doc_id,
+               CAST((md5_number_upper(CAST(doc_id AS VARCHAR))
+                     % 4611686018427387904) // (n_chars + 1) AS BIGINT)
+                 AS priority,
+               n_chars
+        FROM documents
+        ORDER BY priority, doc_id LIMIT 64
+    """,
+    "funnel_view_click_purchase": """
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), s AS (
+          SELECT user_id, ts, event_id, event_type,
+                 sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                          THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        ), r AS (
+          SELECT user_id, sid, event_type,
+                 row_number() OVER (PARTITION BY user_id, sid
+                                    ORDER BY ts, event_id) AS rn
+          FROM s
+        ),
+        v AS (SELECT user_id, sid, min(rn) AS vrn FROM r
+              WHERE event_type = 'view' GROUP BY 1, 2),
+        c AS (SELECT r.user_id, r.sid, min(rn) AS crn
+              FROM r JOIN v USING (user_id, sid)
+              WHERE event_type = 'click' AND rn > vrn GROUP BY 1, 2),
+        p AS (SELECT r.user_id, r.sid
+              FROM r JOIN c USING (user_id, sid)
+              WHERE event_type = 'purchase' AND rn > crn GROUP BY 1, 2),
+        tot AS (SELECT count(*) AS t FROM (SELECT DISTINCT user_id, sid FROM s)),
+        cv AS (SELECT count(*) AS c FROM p)
+        SELECT CAST(tot.t AS BIGINT) AS n_sessions,
+               CAST(cv.c AS BIGINT) AS n_converted,
+               CAST((10000 * cv.c + tot.t // 2) // tot.t AS BIGINT) AS conv_bp
+        FROM tot, cv
     """,
     "event_path_trigrams": """
         WITH w AS (SELECT user_id, event_type AS e1,

@@ -94,7 +94,9 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "doc_tfidf_topk", "user_event_deltas", "mad_value_per_type",
      "cooccur_top20", "dedup_substring", "dedup_paragraphs",
      "pack_sequences", "user_retention_cohorts", "transcript_turn_stats",
-     "ohlc_value_per_type_hour", "event_path_trigrams"],
+     "ohlc_value_per_type_hour", "event_path_trigrams",
+     "table_checksum_documents", "weighted_sample_docs",
+     "funnel_view_click_purchase"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
