@@ -3355,6 +3355,188 @@ def funnel_view_click_purchase(sf_dir: str):
     )
 
 
+LSH_PLANES = 16
+EMB_DIM = 64
+
+
+def _hyperplane_signs(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix from the md5 contract (bit 0 of
+    md5_64('j:i')) — recomputable row-for-row in DuckDB."""
+    import hashlib
+
+    s = np.empty((n_planes, dim), dtype=np.int64)
+    for j in range(n_planes):
+        for i in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"{j}:{i}".encode()).digest()[:8], "little"
+            )
+            s[j, i] = 1 if h % 2 == 1 else -1
+    return s
+
+
+def embedding_lsh_buckets(sf_dir: str):
+    """Random-hyperplane (SimHash-for-vectors) LSH bucketing of the
+    embedding table: 16 deterministic ±1 hyperplanes, bucket = the 16-bit
+    sign pattern — the bucketing stage an ANN index uses to co-partition
+    candidate vectors. Embeddings are quantized to integer micro-units
+    BEFORE the dot products, so the signs (and the SQL oracle) are exact,
+    never at the mercy of float summation order.
+
+    Scale shape: signs broadcast once (16x64 ints); one int-matmul per
+    batch; per-batch bucket counts pre-aggregate, so the single exchange
+    carries <= 2^16 narrow rows per batch."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    signs_ref = _ray.put(_hyperplane_signs(LSH_PLANES, EMB_DIM))
+    weights = (np.int64(1) << np.arange(LSH_PLANES, dtype=np.int64))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        x = _round_half_away(m * 1_000_000.0)
+        dots = x @ _ray.get(signs_ref).T
+        bucket = ((dots >= 0).astype(np.int64) * weights[None, :]).sum(axis=1)
+        c = pd.Series(bucket).value_counts()
+        return pd.DataFrame(
+            {"bucket_id": c.index.to_numpy(dtype="int64"),
+             "n_vectors": c.to_numpy(dtype="int64")}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bucket_id", sort=False, as_index=False)["n_vectors"].sum()
+        out["n_vectors"] = out["n_vectors"].astype("int64")
+        return out
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        ["bucket_id"], partial, reduce, n_buckets=16,
+    )
+
+
+def orders_enriched(sf_dir: str):
+    """Row-PRODUCING big-big join (not an aggregate): every order with its
+    customer's name and segment attached — the grace-hash-join shape: both
+    sides project narrow at the scan, tagged union, ONE co-partition
+    exchange on custkey, vectorized merge per bucket. Output is row-sized
+    and streams; nothing is broadcast (customer plays the big-dimension
+    role here on purpose — the broadcast variant is e7/q14)."""
+    from .bucketed import bucketed_group_reduce
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"ck": df["o_custkey"].to_numpy(dtype="int64"),
+             "o_orderkey": df["o_orderkey"].to_numpy(dtype="int64"),
+             "total_cents": _cents(df["o_totalprice"]),
+             "c_name": "", "c_mktsegment": "", "side": np.int8(0)}
+        )
+
+    def c_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"ck": df["c_custkey"].to_numpy(dtype="int64"),
+             "o_orderkey": np.int64(0), "total_cents": np.int64(0),
+             "c_name": df["c_name"], "c_mktsegment": df["c_mktsegment"],
+             "side": np.int8(1)}
+        )
+
+    both = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(o_proj, batch_format="pandas")
+        .union(
+            _read(sf_dir, "customer",
+                  ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+                c_proj, batch_format="pandas"
+            )
+        )
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == 0, ["ck", "o_orderkey", "total_cents"]]
+        c = g.loc[g["side"] == 1, ["ck", "c_name", "c_mktsegment"]].drop_duplicates("ck")
+        m = o.merge(c, on="ck")
+        return m[["o_orderkey", "total_cents", "c_name", "c_mktsegment"]]
+
+    return bucketed_group_reduce(both, ["ck"], lambda df: df, merge,
+                                 n_buckets=64)
+
+
+def fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit: orphan-row counts for every FK edge in
+    the star schema — the data-quality gate a pipeline runs before joining
+    100 TB of facts. Small parents (nation/customer/supplier/part) check by
+    broadcast key set; the big-big edge (lineitem -> orders) co-partitions
+    pre-aggregated (key, n) child partials with parent keys in one
+    exchange. Output: (relationship, n_orphans)."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    out_rows = []
+
+    # broadcast-parent edges: child counted per batch against a key set
+    def count_orphans(child_tbl, child_col, parent_keys_ref, label):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            n = int((~df[child_col].isin(_ray.get(parent_keys_ref))).sum())
+            return pd.DataFrame({"n": [n]})
+
+        parts = child_tbl.map_batches(fn, batch_format="pandas").to_pandas()
+        out_rows.append((label, int(parts["n"].sum())))
+
+    nat = set(_read_small(sf_dir, "nation", ["n_nationkey"])["n_nationkey"])
+    nref = _ray.put(nat)
+    count_orphans(_read(sf_dir, "customer", ["c_nationkey"]), "c_nationkey",
+                  nref, "customer.nationkey->nation")
+    count_orphans(_read(sf_dir, "supplier", ["s_nationkey"]), "s_nationkey",
+                  nref, "supplier.nationkey->nation")
+    pref = _ray.put(set(_read_small(sf_dir, "part", ["p_partkey"])["p_partkey"]))
+    count_orphans(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey",
+                  pref, "lineitem.partkey->part")
+    sref = _ray.put(
+        set(_read_small(sf_dir, "supplier", ["s_suppkey"])["s_suppkey"])
+    )
+    count_orphans(_read(sf_dir, "lineitem", ["l_suppkey"]), "l_suppkey",
+                  sref, "lineitem.suppkey->supplier")
+    cref = _ray.put(
+        set(_read_small(sf_dir, "customer", ["c_custkey"])["c_custkey"])
+    )
+    count_orphans(_read(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+                  cref, "orders.custkey->customer")
+
+    # big-big edge: lineitem.orderkey -> orders, co-partitioned
+    def l_proj(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"k": df["l_orderkey"].to_numpy(dtype="int64")})
+        g = t.groupby("k", sort=False, as_index=False).size()
+        g["side"] = np.int8(0)
+        return g.rename(columns={"size": "n"})
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": df["o_orderkey"].to_numpy(dtype="int64"),
+             "n": np.int64(0), "side": np.int8(1)}
+        )
+
+    both = (
+        _read(sf_dir, "lineitem", ["l_orderkey"])
+        .map_batches(l_proj, batch_format="pandas")
+        .union(_read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+            o_proj, batch_format="pandas"))
+    )
+
+    def orphan_sum(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0]
+        n = int(li.loc[~li["k"].isin(g.loc[g["side"] == 1, "k"]), "n"].sum())
+        return pd.DataFrame({"n": [n]})
+
+    parts = bucketed_group_reduce(
+        both, ["k"], lambda df: df, orphan_sum, n_buckets=64
+    ).to_pandas()
+    out_rows.append(("lineitem.orderkey->orders", int(parts["n"].sum())))
+
+    out = pd.DataFrame(out_rows, columns=["relationship", "n_orphans"])
+    out["n_orphans"] = out["n_orphans"].astype("int64")
+    return out.sort_values("relationship").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3432,6 +3614,9 @@ QUERIES = {
     "table_checksum_documents": table_checksum_documents,
     "weighted_sample_docs": weighted_sample_docs,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "embedding_lsh_buckets": embedding_lsh_buckets,
+    "orders_enriched": orders_enriched,
+    "fk_integrity_audit": fk_integrity_audit,
     "chunk_documents": chunk_documents,
     "doc_repetition_filter": doc_repetition_filter,
     "inverted_index": inverted_index,
@@ -3692,6 +3877,58 @@ SQL: dict[str, str] = {
                CAST(cv.c AS BIGINT) AS n_converted,
                CAST((10000 * cv.c + tot.t // 2) // tot.t AS BIGINT) AS conv_bp
         FROM tot, cv
+    """,
+    "embedding_lsh_buckets": """
+        WITH signs AS (
+          SELECT j, i, CASE WHEN md5_number_upper(CAST(j AS VARCHAR) || ':' ||
+                                                  CAST(i AS VARCHAR)) % 2 = 1
+                            THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(range(16)) AS j), (SELECT unnest(range(64)) AS i)
+        ),
+        x AS (SELECT vec_id, unnest(range(len(embedding))) AS i,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS xi
+              FROM embeddings),
+        dots AS (SELECT x.vec_id, s.j, sum(s.s * x.xi) AS d
+                 FROM x JOIN signs s ON x.i = s.i GROUP BY 1, 2),
+        b AS (SELECT vec_id,
+                     CAST(sum(CASE WHEN d >= 0 THEN 1 << j ELSE 0 END)
+                          AS BIGINT) AS bucket_id
+              FROM dots GROUP BY 1)
+        SELECT bucket_id, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM b GROUP BY 1
+    """,
+    "orders_enriched": """
+        SELECT o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT)
+                 AS total_cents,
+               c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "fk_integrity_audit": """
+        SELECT 'customer.nationkey->nation' AS relationship,
+               CAST(count(*) FILTER (n.n_nationkey IS NULL) AS BIGINT) AS n_orphans
+        FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        UNION ALL
+        SELECT 'supplier.nationkey->nation',
+               CAST(count(*) FILTER (n.n_nationkey IS NULL) AS BIGINT)
+        FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        UNION ALL
+        SELECT 'lineitem.partkey->part',
+               CAST(count(*) FILTER (p.p_partkey IS NULL) AS BIGINT)
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        UNION ALL
+        SELECT 'lineitem.suppkey->supplier',
+               CAST(count(*) FILTER (s.s_suppkey IS NULL) AS BIGINT)
+        FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        UNION ALL
+        SELECT 'orders.custkey->customer',
+               CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem.orderkey->orders',
+               CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ORDER BY relationship
     """,
     "event_path_trigrams": """
         WITH w AS (SELECT user_id, event_type AS e1,
