@@ -3582,6 +3582,126 @@ def quantize_embeddings_int8(sf_dir: str):
     return docs.map_batches(encode, batch_format="pandas")
 
 
+def dedup_incremental(sf_dir: str):
+    """Incremental (cross-run) exact dedup: the daily-crawl shape — a new
+    shard (docs with doc_id % 4 == 3) is deduplicated against the PRIOR
+    corpus (everything else) by content hash, emitting only genuinely new
+    content. Neither side materializes: prior hashes and new-doc hashes
+    co-partition by hash in ONE tagged-union exchange (16 bytes/row), and
+    the anti filter runs vectorized per bucket. Ties inside the new shard
+    (same text twice) keep the smallest doc_id."""
+    import hashlib
+
+    from .bucketed import bucketed_group_reduce
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hash_rows(side: int):
+        keep_new = side == 0
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy(dtype="int64")
+            m = (ids % 4 == 3) if keep_new else (ids % 4 != 3)
+            sub = df.loc[m]
+            hs = [
+                hashlib.md5(
+                    (t if isinstance(t, str) else "").encode()
+                ).hexdigest()
+                for t in sub["text"]
+            ]
+            return pd.DataFrame(
+                {"h": hs, "doc_id": sub["doc_id"].to_numpy(dtype="int64"),
+                 "side": np.int8(side)}
+            )
+
+        return fn
+
+    both = docs.map_batches(hash_rows(0), batch_format="pandas").union(
+        docs.map_batches(hash_rows(1), batch_format="pandas")
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        new = g[g["side"] == 0]
+        new = new[~new["h"].isin(g.loc[g["side"] == 1, "h"])]
+        first = new.sort_values("doc_id", kind="stable").drop_duplicates("h")
+        return pd.DataFrame(
+            {"doc_id": first["doc_id"].astype("int64"),
+             "text_hash": first["h"]}
+        )
+
+    return bucketed_group_reduce(both, ["h"], lambda df: df, anti,
+                                 n_buckets=64)
+
+
+def table_diff_documents(sf_dir: str):
+    """Snapshot diff (added / removed / changed by key) between corpus v1
+    (the documents table) and a derived v2 (docs % 7 == 0 removed,
+    remaining docs % 5 == 0 upper-cased, one added row per doc % 11 == 0
+    at key doc_id + 10000000) — the migration-validation op run before
+    promoting a re-processed 100 TB corpus.
+
+    Scale shape: both versions project to (doc_id, content-hash) at the
+    scan; ONE co-partition exchange on doc_id; each bucket classifies with
+    two vectorized merges. Text never shuffles — only 16-byte hash rows."""
+    import hashlib
+
+    from .bucketed import bucketed_group_reduce
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def h64(texts) -> list:
+        return [
+            hashlib.md5((t if isinstance(t, str) else "").encode()).hexdigest()
+            for t in texts
+        ]
+
+    def v1_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(dtype="int64"),
+             "h": h64(df["text"]), "side": np.int8(0)}
+        )
+
+    def v2_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        texts = [t if isinstance(t, str) else "" for t in df["text"]]
+        out_id, out_t = [], []
+        for i, t in zip(ids, texts):
+            if i % 7 == 0:
+                pass  # removed in v2
+            elif i % 5 == 0:
+                out_id.append(int(i)); out_t.append(t.upper())
+            else:
+                out_id.append(int(i)); out_t.append(t)
+            if i % 11 == 0:
+                out_id.append(int(i) + 10_000_000); out_t.append(t + " v2")
+        return pd.DataFrame(
+            {"doc_id": np.array(out_id, dtype="int64"),
+             "h": h64(out_t), "side": np.int8(1)}
+        )
+
+    both = docs.map_batches(v1_rows, batch_format="pandas").union(
+        docs.map_batches(v2_rows, batch_format="pandas")
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["side"] == 0, ["doc_id", "h"]]
+        b = g.loc[g["side"] == 1, ["doc_id", "h"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_1", "_2"),
+                    indicator=True)
+        status = np.where(
+            m["_merge"] == "left_only", "removed",
+            np.where(m["_merge"] == "right_only", "added",
+                     np.where(m["h_1"] != m["h_2"], "changed", "same")),
+        )
+        out = pd.DataFrame(
+            {"doc_id": m["doc_id"].astype("int64"), "status": status}
+        )
+        return out[out["status"] != "same"]
+
+    return bucketed_group_reduce(both, ["doc_id"], lambda df: df, classify,
+                                 n_buckets=64)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3663,6 +3783,8 @@ QUERIES = {
     "orders_enriched": orders_enriched,
     "fk_integrity_audit": fk_integrity_audit,
     "quantize_embeddings_int8": quantize_embeddings_int8,
+    "dedup_incremental": dedup_incremental,
+    "table_diff_documents": table_diff_documents,
     "chunk_documents": chunk_documents,
     "doc_repetition_filter": doc_repetition_filter,
     "inverted_index": inverted_index,
@@ -3937,6 +4059,33 @@ SQL: dict[str, str] = {
                CAST(min(code) AS BIGINT) AS code_min,
                CAST(max(code) AS BIGINT) AS code_max
         FROM c GROUP BY vec_id
+    """,
+    "dedup_incremental": """
+        WITH newd AS (SELECT doc_id, md5(coalesce(text, '')) AS h
+                      FROM documents WHERE doc_id % 4 = 3),
+        prior AS (SELECT DISTINCT md5(coalesce(text, '')) AS h
+                  FROM documents WHERE doc_id % 4 <> 3)
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, h AS text_hash
+        FROM newd WHERE h NOT IN (SELECT h FROM prior)
+        GROUP BY h
+    """,
+    "table_diff_documents": """
+        WITH v1 AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+        v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN md5(upper(coalesce(text, '')))
+                      ELSE md5(coalesce(text, '')) END AS h
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 10000000, md5(coalesce(text, '') || ' v2')
+          FROM documents WHERE doc_id % 11 = 0
+        )
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.doc_id IS NULL THEN 'added'
+                    ELSE 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        WHERE v2.doc_id IS NULL OR v1.doc_id IS NULL OR v1.h <> v2.h
     """,
     "embedding_lsh_buckets": """
         WITH signs AS (

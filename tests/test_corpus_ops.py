@@ -96,7 +96,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "pack_sequences", "user_retention_cohorts", "transcript_turn_stats",
      "ohlc_value_per_type_hour", "event_path_trigrams",
      "table_checksum_documents", "weighted_sample_docs",
-     "funnel_view_click_purchase"],
+     "funnel_view_click_purchase", "dedup_incremental",
+     "table_diff_documents"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
