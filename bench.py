@@ -144,6 +144,10 @@ def run_queries() -> dict[str, float]:
         "doc_quality_gate",
         "attribution_click_purchase",
         "hll_users_per_type",
+        "pack_sequences",
+        "orders_enriched",
+        "embedding_lsh_buckets",
+        "dedup_incremental",
     ]
     out = {}
     for name in picks:
