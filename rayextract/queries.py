@@ -3870,7 +3870,72 @@ sh AS (
 ),
 allsh AS (SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash FROM documents d LEFT JOIN sh USING (doc_id))"""
 
+def _minhash_cte() -> str:
+    """CTE chain recomputing dedup.minhash_lsh_pairs (128 perms, 16 bands,
+    3-gram shingles, est_sim >= 0.9) entirely in SQL. The permutation
+    constants are exported verbatim from RandomState(7) — the same values
+    MinHasher builds — so signatures match component-for-component; band
+    candidates group on the exact 8-tuple (est >= 0.9 forces >= 4 fully
+    matching bands, so tuple-grouping and the Ray path's hashed banding
+    yield the same post-filter pair set; see dedup.minhash_lsh_pairs)."""
+    p31 = (1 << 31) - 1
+    rng = np.random.RandomState(7)
+    a = rng.randint(1, p31, size=128, dtype=np.uint64)
+    b = rng.randint(0, p31, size=128, dtype=np.uint64)
+    vals = ", ".join(
+        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(128)
+    )
+    return rf"""ab AS (SELECT * FROM (VALUES {vals}) AS t(p, a, b)),
+        mh_tk AS (SELECT doc_id,
+                         list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x <> '') AS toks
+                  FROM documents),
+        mh_sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+                  FROM mh_tk, unnest(range(1, len(toks) - 1)) AS r(i)
+                  WHERE len(toks) >= 3),
+        mh_hv AS (SELECT DISTINCT doc_id,
+                         CAST(md5_number_upper(s) & 2147483647 AS BIGINT) AS h
+                  FROM mh_sh),
+        mh_sig AS (SELECT mh_hv.doc_id, ab.p,
+                          min((ab.a * mh_hv.h + ab.b) % 2147483647) AS v
+                   FROM mh_hv, ab GROUP BY 1, 2),
+        mh_bk AS (SELECT doc_id, CAST(p // 8 AS BIGINT) AS band,
+                         string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS key
+                  FROM mh_sig GROUP BY 1, 2),
+        mh_cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                    FROM mh_bk x JOIN mh_bk y
+                      ON x.band = y.band AND x.key = y.key
+                         AND x.doc_id < y.doc_id),
+        mh_mm AS (SELECT c.doc_a, c.doc_b,
+                         sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS m
+                  FROM mh_cand c
+                  JOIN mh_sig sa ON sa.doc_id = c.doc_a
+                  JOIN mh_sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+                  GROUP BY 1, 2),
+        mpairs AS (SELECT doc_a, doc_b, m / 128.0 AS est_sim
+                   FROM mh_mm WHERE m / 128.0 >= 0.9)"""
+
+
+_MINHASH_CTE = _minhash_cte()
+
 SQL: dict[str, str] = {
+    "dedup_minhash": f"""
+        WITH {_MINHASH_CTE}
+        SELECT doc_a, doc_b, est_sim FROM mpairs
+    """,
+    "dedup_minhash_clusters": f"""
+        WITH RECURSIVE {_MINHASH_CTE},
+        mh_e AS (SELECT doc_a AS u, doc_b AS v FROM mpairs
+                 UNION SELECT doc_b, doc_a FROM mpairs),
+        mh_reach(node, r) AS (
+          SELECT u, u FROM mh_e
+          UNION
+          SELECT mh_e.u, mh_reach.r FROM mh_e
+          JOIN mh_reach ON mh_e.v = mh_reach.node
+        )
+        SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM mh_reach GROUP BY node
+    """,
     "q14_promo_revenue": """
         WITH l AS (SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100)
                                AS BIGINT) AS cents,
