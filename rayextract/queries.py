@@ -2809,17 +2809,19 @@ def bloom_semi_lineitems(sf_dir: str):
         k = df.loc[df["o_totalprice"] > 475000.0, "o_orderkey"]
         return pd.DataFrame({"okey": k.to_numpy(dtype="int64")})
 
-    orders = lambda: _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(  # noqa: E731
+    # qualifying keys are aggregate-sized (~5% of orders): pin them so the
+    # bloom build and the verify union don't each re-scan the orders table
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
         qual, batch_format="pandas"
-    )
-    bits_ref = _ray.put(build_bloom_filter(orders(), "okey"))
+    ).materialize()
+    bits_ref = _ray.put(build_bloom_filter(orders, "okey"))
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         keys = df["l_orderkey"].to_numpy(dtype="int64")
         m = bloom_might_contain(_ray.get(bits_ref), keys)
         t = pd.DataFrame(
             {"okey": keys[m],
-             "qty": df["l_quantity"].to_numpy()[m].round().astype("int64")}
+             "qty": _round_half_away(df["l_quantity"].to_numpy()[m])}
         )
         g = t.groupby("okey", sort=False, as_index=False).agg(
             n=("qty", "size"), q=("qty", "sum")
@@ -2836,7 +2838,7 @@ def bloom_semi_lineitems(sf_dir: str):
     both = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
         .map_batches(probe, batch_format="pandas")
-        .union(orders().map_batches(o_tag, batch_format="pandas"))
+        .union(orders.map_batches(o_tag, batch_format="pandas"))
     )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
@@ -3006,7 +3008,7 @@ def q14_promo_revenue(sf_dir: str):
     promo, total = int(parts["promo_cents"].sum()), int(parts["total_cents"].sum())
     return pd.DataFrame(
         {"promo_cents": [promo], "total_cents": [total],
-         "promo_bp": [(10000 * promo + total // 2) // total]}
+         "promo_bp": [(10000 * promo + total // 2) // total if total else 0]}
     )
 
 
@@ -3488,14 +3490,25 @@ def fk_integrity_audit(sf_dir: str):
                   nref, "customer.nationkey->nation")
     count_orphans(_read(sf_dir, "supplier", ["s_nationkey"]), "s_nationkey",
                   nref, "supplier.nationkey->nation")
+    # one lineitem scan serves both dimension checks (it's the biggest
+    # table — don't pay its I/O twice for two broadcast key sets)
     pref = _ray.put(set(_read_small(sf_dir, "part", ["p_partkey"])["p_partkey"]))
-    count_orphans(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey",
-                  pref, "lineitem.partkey->part")
     sref = _ray.put(
         set(_read_small(sf_dir, "supplier", ["s_suppkey"])["s_suppkey"])
     )
-    count_orphans(_read(sf_dir, "lineitem", ["l_suppkey"]), "l_suppkey",
-                  sref, "lineitem.suppkey->supplier")
+
+    def li_orphans(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n_part": [int((~df["l_partkey"].isin(_ray.get(pref))).sum())],
+             "n_supp": [int((~df["l_suppkey"].isin(_ray.get(sref))).sum())]}
+        )
+
+    li = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(li_orphans, batch_format="pandas").to_pandas()
+    )
+    out_rows.append(("lineitem.partkey->part", int(li["n_part"].sum())))
+    out_rows.append(("lineitem.suppkey->supplier", int(li["n_supp"].sum())))
     cref = _ray.put(
         set(_read_small(sf_dir, "customer", ["c_custkey"])["c_custkey"])
     )
@@ -3596,29 +3609,20 @@ def dedup_incremental(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def hash_rows(side: int):
-        keep_new = side == 0
+    # the new/prior masks partition the same rows, so ONE scan tags both
+    # sides (side 0 = new shard, side 1 = prior corpus)
+    def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        hs = [
+            hashlib.md5((t if isinstance(t, str) else "").encode()).hexdigest()
+            for t in df["text"]
+        ]
+        return pd.DataFrame(
+            {"h": hs, "doc_id": ids,
+             "side": np.where(ids % 4 == 3, 0, 1).astype("int8")}
+        )
 
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            ids = df["doc_id"].to_numpy(dtype="int64")
-            m = (ids % 4 == 3) if keep_new else (ids % 4 != 3)
-            sub = df.loc[m]
-            hs = [
-                hashlib.md5(
-                    (t if isinstance(t, str) else "").encode()
-                ).hexdigest()
-                for t in sub["text"]
-            ]
-            return pd.DataFrame(
-                {"h": hs, "doc_id": sub["doc_id"].to_numpy(dtype="int64"),
-                 "side": np.int8(side)}
-            )
-
-        return fn
-
-    both = docs.map_batches(hash_rows(0), batch_format="pandas").union(
-        docs.map_batches(hash_rows(1), batch_format="pandas")
-    )
+    both = docs.map_batches(hash_rows, batch_format="pandas")
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
         new = g[g["side"] == 0]

@@ -271,11 +271,15 @@ def build_bloom_filter(
     return bits
 
 
-def bloom_might_contain(bits, keys, m_bits: int = 1 << 20, k: int = 4):
+def bloom_might_contain(bits, keys, k: int = 4):
     """Vectorized membership test: True = maybe present, False = definitely
-    absent (the only side the filter guarantees)."""
+    absent (the only side the filter guarantees). The modulus is derived
+    from the bitmap itself (len(bits)*64) so a build/probe sizing mismatch
+    — which would silently break the no-false-negative guarantee — cannot
+    happen."""
     import numpy as np
 
+    m_bits = len(bits) * 64
     mask = np.ones(len(keys), dtype=bool)
     for pos in _bloom_positions(keys.astype("int64"), m_bits, k):
         word = bits[(pos >> np.uint64(6)).astype(np.int64)]
