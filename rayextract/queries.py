@@ -3706,6 +3706,72 @@ def table_diff_documents(sf_dir: str):
                                  n_buckets=64)
 
 
+def sliding_distinct_users(sf_dir: str):
+    """Exact DISTINCT users per 1-hour window sliding by 30 min — the
+    non-mergeable window aggregate (distinct cannot combine from counts):
+    batches pre-dedup (window, user) pairs, ONE window-keyed exchange of
+    the deduped pairs, per-bucket nunique. Cost is inherently one row per
+    (window, user) — the same order any exact windowed-distinct pays."""
+    from .bucketed import bucketed_group_reduce
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        t30 = df["ts"].dt.floor("30min")
+        u = df["user_id"].to_numpy(dtype="int64")
+        out = pd.concat(
+            [pd.DataFrame({"w": t30, "user_id": u}),
+             pd.DataFrame({"w": t30 - pd.Timedelta(minutes=30), "user_id": u})],
+            ignore_index=True,
+        ).drop_duplicates()
+        out["window_start"] = out["w"].dt.strftime("%Y-%m-%d %H:%M:00")
+        return out[["window_start", "user_id"]]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("window_start", sort=False)["user_id"].nunique()
+        return out.rename("n_users").reset_index().astype({"n_users": "int64"})
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+            explode, batch_format="pandas"
+        ),
+        ["window_start"], lambda df: df, per_bucket, n_buckets=64,
+    )
+
+
+def bpe_top_merges(sf_dir: str):
+    """The first BPE-training iteration: the 20 most frequent adjacent
+    character pairs inside corpus tokens (count = total occurrences,
+    lexicographic tiebreak) — what a tokenizer trainer computes before its
+    first merge. Counter partials per batch (pair domain is bounded by
+    charset²), bucketed merge, tiny top-k on the driver."""
+    from collections import Counter
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            for tok in _tokens(text) if isinstance(text, str) else []:
+                for i in range(len(tok) - 1):
+                    c[tok[i : i + 2]] += 1
+        return pd.DataFrame(
+            {"pair": list(c.keys()),
+             "n": np.fromiter(c.values(), dtype="int64", count=len(c))}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("pair", sort=False, as_index=False)["n"].sum()
+
+    parts = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["text"]), ["pair"], partial, reduce,
+        n_buckets=16,
+    ).to_pandas()
+    out = parts.sort_values(["n", "pair"], ascending=[False, True],
+                            kind="stable").head(20).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3789,6 +3855,8 @@ QUERIES = {
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "dedup_incremental": dedup_incremental,
     "table_diff_documents": table_diff_documents,
+    "sliding_distinct_users": sliding_distinct_users,
+    "bpe_top_merges": bpe_top_merges,
     "chunk_documents": chunk_documents,
     "doc_repetition_filter": doc_repetition_filter,
     "inverted_index": inverted_index,
@@ -4128,6 +4196,31 @@ SQL: dict[str, str] = {
                CAST(min(code) AS BIGINT) AS code_min,
                CAST(max(code) AS BIGINT) AS code_max
         FROM c GROUP BY vec_id
+    """,
+    "sliding_distinct_users": """
+        WITH e AS (
+          SELECT date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 30) MINUTE
+                   AS t30,
+                 user_id
+          FROM events
+        ), x AS (
+          SELECT t30 AS w, user_id FROM e
+          UNION ALL
+          SELECT t30 - INTERVAL 30 MINUTE, user_id FROM e
+        )
+        SELECT strftime(w, '%Y-%m-%d %H:%M:00') AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM x GROUP BY 1
+    """,
+    "bpe_top_merges": r"""
+        WITH toks AS (SELECT unnest(list_filter(
+                        string_split_regex(trim(text), '\s+'), x -> x <> ''))
+                        AS tok
+                      FROM documents),
+        p AS (SELECT substr(tok, i, 2) AS pair
+              FROM toks, unnest(range(1, length(tok))) AS r(i))
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20
     """,
     "dedup_incremental": """
         WITH newd AS (SELECT doc_id, md5(coalesce(text, '')) AS h
