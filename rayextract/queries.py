@@ -3772,6 +3772,82 @@ def bpe_top_merges(sf_dir: str):
     return out
 
 
+LATE_GRACE_SEC = 600
+LATE_RANGE = 4096  # event_ids per scan range
+
+
+def late_event_audit(sf_dir: str):
+    """Watermark / late-data audit with streaming semantics replayed over
+    the log: arrival order = event_id; the watermark at each arrival is
+    max(event ts seen so far, exclusive) minus a 10-min grace, and an event
+    is LATE if its ts is below that. Output: per event-time hour,
+    (n_events, n_late) — the health report a streaming ingestion job emits.
+
+    Scale shape: the distributed exclusive scan again, with MAX as the
+    monoid instead of SUM (pack_sequences' shape generalizes): per-range
+    ts maxima are the only driver state (one row per LATE_RANGE event_ids),
+    prefix-maxed and broadcast; ONE range-keyed exchange computes the
+    within-range running max vectorized. Counts then pre-aggregate per
+    hour."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def rng_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"rg": df["event_id"].to_numpy(dtype="int64") // LATE_RANGE,
+             "mx": df["ts"]}
+        )
+        return t.groupby("rg", sort=False, as_index=False)["mx"].max()
+
+    def rng_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("rg", sort=False, as_index=False)["mx"].max()
+
+    totals = bucketed_group_reduce(
+        ev, ["rg"], rng_partial, rng_reduce, n_buckets=16
+    ).to_pandas().sort_values("rg")
+    # exclusive prefix max per range (NaT for the first range)
+    prefix = totals["mx"].cummax().shift(1)
+    offs = dict(zip(totals["rg"].tolist(), prefix.tolist()))
+    offs_ref = _ray.put(offs)
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        o = _ray.get(offs_ref)
+        g = g.sort_values(["rg", "event_id"], kind="stable")
+        run = g.groupby("rg", sort=False)["ts"].cummax().groupby(
+            g["rg"], sort=False
+        ).shift(1)
+        base = g["rg"].map(o)
+        wm = pd.concat([run, base], axis=1).max(axis=1)  # NaT-safe elementwise
+        late = g["ts"] < (wm - pd.Timedelta(seconds=LATE_GRACE_SEC))
+        t = pd.DataFrame(
+            {"hour": g["ts"].dt.strftime("%Y-%m-%d %H:00:00"),
+             "late": late.fillna(False).to_numpy(dtype="int64")}
+        )
+        out = t.groupby("hour", sort=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum")
+        ).reset_index()
+        return out.astype({"n_events": "int64", "n_late": "int64"})
+
+    parts = bucketed_group_reduce(
+        ev.map_batches(
+            lambda df: pd.DataFrame(
+                {"rg": df["event_id"].to_numpy(dtype="int64") // LATE_RANGE,
+                 "event_id": df["event_id"].to_numpy(dtype="int64"),
+                 "ts": df["ts"]}
+            ),
+            batch_format="pandas",
+        ),
+        ["rg"], lambda df: df, audit, n_buckets=64,
+    ).to_pandas()
+    out = parts.groupby("hour", sort=False, as_index=False)[
+        ["n_events", "n_late"]
+    ].sum()
+    return out.astype({"n_events": "int64", "n_late": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3857,6 +3933,7 @@ QUERIES = {
     "table_diff_documents": table_diff_documents,
     "sliding_distinct_users": sliding_distinct_users,
     "bpe_top_merges": bpe_top_merges,
+    "late_event_audit": late_event_audit,
     "chunk_documents": chunk_documents,
     "doc_repetition_filter": doc_repetition_filter,
     "inverted_index": inverted_index,
@@ -4196,6 +4273,21 @@ SQL: dict[str, str] = {
                CAST(min(code) AS BIGINT) AS code_min,
                CAST(max(code) AS BIGINT) AS code_max
         FROM c GROUP BY vec_id
+    """,
+    "late_event_audit": """
+        WITH w AS (
+          SELECT ts,
+                 max(ts) OVER (ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS wm
+          FROM events
+        )
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN wm IS NOT NULL
+                              AND ts < wm - INTERVAL 600 SECOND
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM w GROUP BY 1
     """,
     "sliding_distinct_users": """
         WITH e AS (

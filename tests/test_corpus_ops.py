@@ -97,7 +97,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "ohlc_value_per_type_hour", "event_path_trigrams",
      "table_checksum_documents", "weighted_sample_docs",
      "funnel_view_click_purchase", "dedup_incremental",
-     "table_diff_documents", "sliding_distinct_users", "bpe_top_merges"],
+     "table_diff_documents", "sliding_distinct_users", "bpe_top_merges",
+     "late_event_audit"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
