@@ -1665,6 +1665,20 @@ def transcript_extract(sf_dir: str):
     return build_conv_fields(turns, cfg)
 
 
+def curate_transcripts(sf_dir: str):
+    """Flagship composition: the full extraction pipeline feeding a
+    training-set selection gate — keep conversations with an extracted
+    patient name and a moderate turn count (3-40), emitting the curation
+    manifest (conv_id, patient_name, n_turns). Pure streaming filter over
+    the extraction output; no extra shuffle beyond the fold's."""
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["patient_name"].notna() & df["n_turns"].between(3, 40)
+        return df.loc[m, ["conv_id", "patient_name", "n_turns"]]
+
+    return transcript_extract(sf_dir).map_batches(gate, batch_format="pandas")
+
+
 def transcript_turn_stats(sf_dir: str):
     """Per-conversation turn/token statistics over the derived transcript
     corpus — the profiling pass a transcript pipeline runs before sizing
@@ -3919,6 +3933,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "k2_annotation_quads": k2_annotation_quads,
     "transcript_extract": transcript_extract,
+    "curate_transcripts": curate_transcripts,
     "transcript_turn_stats": transcript_turn_stats,
     "ohlc_value_per_type_hour": ohlc_value_per_type_hour,
     "event_path_trigrams": event_path_trigrams,
@@ -5489,3 +5504,10 @@ SQL: dict[str, str] = {
     # multimodal_frame_features (fake-decode feature values). Everything
     # else above is value-hash-checked.
 }
+
+
+SQL["curate_transcripts"] = (
+    "WITH base AS (" + SQL["transcript_extract"] + ") "
+    "SELECT conv_id, patient_name, n_turns FROM base "
+    "WHERE patient_name IS NOT NULL AND n_turns BETWEEN 3 AND 40"
+)
