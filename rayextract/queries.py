@@ -3862,6 +3862,36 @@ def late_event_audit(sf_dir: str):
     return out.astype({"n_events": "int64", "n_late": "int64"})
 
 
+def doc_pii_flags(sf_dir: str):
+    """PII risk profile per document: counts of email-, US-phone- and
+    SSN-shaped substrings — the scrub-or-quarantine routing signal a
+    training-data pipeline computes before release. Pure per-batch Arrow
+    regex kernels (count_substring_regex on the zero-copy batch), no
+    shuffle; patterns are RE2-compatible so the DuckDB oracle runs the
+    identical regexes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pats = {
+        "n_emails": r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "n_phones": r"\d{3}-\d{3}-\d{4}",
+        "n_ssn": r"\d{3}-\d{2}-\d{4}",
+    }
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t["text"], pa.scalar("", pa.string()))
+        cols = {"doc_id": t["doc_id"]}
+        for name, pat in pats.items():
+            cols[name] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64()
+            )
+        return pa.table(cols)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3949,6 +3979,7 @@ QUERIES = {
     "sliding_distinct_users": sliding_distinct_users,
     "bpe_top_merges": bpe_top_merges,
     "late_event_audit": late_event_audit,
+    "doc_pii_flags": doc_pii_flags,
     "chunk_documents": chunk_documents,
     "doc_repetition_filter": doc_repetition_filter,
     "inverted_index": inverted_index,
@@ -4288,6 +4319,17 @@ SQL: dict[str, str] = {
                CAST(min(code) AS BIGINT) AS code_min,
                CAST(max(code) AS BIGINT) AS code_max
         FROM c GROUP BY vec_id
+    """,
+    "doc_pii_flags": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
+                    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
+                    '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
+                    '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssn
+        FROM documents
     """,
     "late_event_audit": """
         WITH w AS (

@@ -18,7 +18,7 @@ from rayextract.queries import QUERIES, SQL
 
 EDGE_DOCS = pd.DataFrame(
     {
-        "doc_id": np.arange(8, dtype=np.int64),
+        "doc_id": np.arange(9, dtype=np.int64),
         "text": [
             "",  # empty
             "   ",  # whitespace-only
@@ -28,10 +28,11 @@ EDGE_DOCS = pd.DataFrame(
             " ".join(f"w{i%7}" for i in range(32)),  # exactly one full window
             " ".join(f"w{i%7}" for i in range(33)),  # one full + 9-token tail
             " ".join(f"t{i%5}" for i in range(24)),  # exactly stride tokens
+            "contact a.b@x.io or 555-123-4567 ssn 123-45-6789",  # PII (7 toks)
         ],
-        "lang": ["en"] * 8,
-        "source": ["s0", "s0", "s1", "s1", "s2", "s2", "s3", "s3"],
-        "n_chars": np.zeros(8, dtype=np.int64),
+        "lang": ["en"] * 9,
+        "source": ["s0", "s0", "s1", "s1", "s2", "s2", "s3", "s3", "s4"],
+        "n_chars": np.zeros(9, dtype=np.int64),
     }
 )
 EDGE_DOCS["n_chars"] = EDGE_DOCS["text"].str.len().astype("int64")
@@ -98,7 +99,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "table_checksum_documents", "weighted_sample_docs",
      "funnel_view_click_purchase", "dedup_incremental",
      "table_diff_documents", "sliding_distinct_users", "bpe_top_merges",
-     "late_event_audit"],
+     "late_event_audit", "doc_pii_flags"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
