@@ -360,8 +360,12 @@ def blocked_lsh_jaccard_pairs(
             total_tokens = sum(len(t) for t in tok_arrays)
             # dense is O(m^2 * vocab) time and O(m * vocab) memory; both
             # bounds are deterministic functions of the cell content, so
-            # every band group makes the same choice
-            if m <= dense_cell_max and m * total_tokens <= (1 << 26):
+            # every band group makes the same choice. Gate at 2^24: the
+            # float32 matmul accumulates 0/1 products into intersection
+            # counts, and every partial sum is <= total_tokens <= 2^24 —
+            # the float32 exact-integer ceiling — so the counts (and the
+            # documented byte-equality with ngram_jaccard_pairs) stay exact.
+            if m <= dense_cell_max and m * total_tokens <= (1 << 24):
                 out = _dense_cell(ids, tok_arrays) if int(grp) == 0 else None
             else:
                 sig_mat = np.vstack(

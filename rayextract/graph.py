@@ -276,6 +276,18 @@ def pagerank(
         return rd.from_pandas(_pagerank_local(edge_df, iters))
 
     # ---- distributed loop -------------------------------------------------
+    # GLOBAL edge dedup first: to_edges' drop_duplicates is batch-local, and
+    # unlike connected_components (min-label is idempotent) PageRank double-
+    # counts a pair repeated across input blocks in both degree and
+    # contribution.  Bucketing by src co-locates every copy of (src, dst), so
+    # a per-bucket drop_duplicates is a global distinct.
+    edges = bucketed_group_reduce(
+        edges, ["src"],
+        lambda df: df.drop_duplicates(),
+        lambda g: g.drop_duplicates(),
+        n_buckets=16,
+    ).materialize()
+
     degs = bucketed_group_reduce(
         edges, ["src"],
         lambda df: df.groupby("src", sort=False, as_index=False).agg(

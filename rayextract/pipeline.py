@@ -26,6 +26,7 @@ import ray.data as rd
 
 from .config import ExtractConfig
 from .fold import fold_conversations
+from .schema import OUTPUT_FORMAT_VERSION
 from .stages import ContentParser
 
 PARSE_COLUMNS = ["conv_id", "turn_idx", "text"]  # role/tool/ts not needed to extract
@@ -256,8 +257,15 @@ def run_sharded(
             stats["shards_empty"] += 1
             continue
         # skip only if the manifest row covers EXACTLY this input set — a
-        # shard whose inputs changed (new files polled in) must recompute
-        if sid in done and done[sid].get("inputs") == shard_paths:
+        # shard whose inputs changed (new files polled in) must recompute —
+        # AND was written under the current output format: resuming an
+        # out_dir from an older schema would leave mixed schemas across
+        # shard dirs (rows without "format" predate versioning = version 1)
+        if (
+            sid in done
+            and done[sid].get("inputs") == shard_paths
+            and done[sid].get("format", 1) == OUTPUT_FORMAT_VERSION
+        ):
             stats["shards_skipped"] += 1
             stats["turns"] += done[sid]["n_turns"]
             stats["convs"] += done[sid]["n_convs"]
@@ -336,6 +344,7 @@ def run_sharded(
         )
         rec = {
             "shard": sid,
+            "format": OUTPUT_FORMAT_VERSION,
             "inputs": shard_paths,
             "n_turns": n_turns,
             "n_convs": n_convs,

@@ -32,6 +32,13 @@ SPAN_TYPE = pa.struct(
     ]
 )
 
+# Output-format version stamped into every manifest row by run_sharded.
+# Bump whenever TURNS_OUT_SCHEMA / CONV_FIELDS_SCHEMA changes shape: resume
+# then recomputes shards written under the old format instead of leaving a
+# mixed-schema turns dataset across shard dirs (version 2 = clean_upper
+# dropped from the turns output in round 2).
+OUTPUT_FORMAT_VERSION = 2
+
 TURNS_OUT_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),

@@ -222,8 +222,16 @@ class ContentParserSink(ContentParser):
             h = hashlib.sha1()
             h.update("\x1f".join(full.column("conv_id").to_pylist()).encode())
             h.update(full.column("turn_idx").to_numpy(zero_copy_only=False).tobytes())
-            pq.write_table(
-                full,
-                os.path.join(self.sink_dir, f"turns-{h.hexdigest()[:20]}.parquet"),
+            final = os.path.join(
+                self.sink_dir, f"turns-{h.hexdigest()[:20]}.parquet"
             )
+            # Write to a per-writer temp name, then atomically rename onto the
+            # digest name: a task killed mid-write can't leave a truncated
+            # file under the final name, and two concurrently executing
+            # duplicates of the same task (lineage re-execution racing the
+            # original) each complete a whole file before the rename — the
+            # loser just replaces identical bytes.
+            tmp = f"{final}.tmp-{os.getpid()}-{id(batch):x}"
+            pq.write_table(full, tmp)
+            os.replace(tmp, final)
         return full.select(self.FOLD_COLUMNS)

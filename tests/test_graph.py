@@ -123,3 +123,26 @@ def test_empty_pairs_yields_empty_components():
     # Ray drops empty blocks, so the schema is not observable — the contract
     # is: empty result, no driver crash (round-2 regression: KeyError 'node')
     assert len(out) == 0
+
+
+def test_pagerank_distributed_dedups_edges_globally():
+    """ADVICE r2: a pair duplicated ACROSS blocks must not double-count
+    degree/contributions in the distributed path (batch-local drop_duplicates
+    was insufficient). Repro from the advisor: [(1,2),(1,2),(2,3)] in 3 blocks."""
+    from rayextract.graph import pagerank
+
+    blocks = [
+        pd.DataFrame({"doc_a": [1], "doc_b": [2]}),
+        pd.DataFrame({"doc_a": [1], "doc_b": [2]}),
+        pd.DataFrame({"doc_a": [2], "doc_b": [3]}),
+    ]
+    ds = rd.from_pandas(blocks)
+    loc = (
+        pagerank(ds, iters=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        pagerank(ds, iters=5, local_max_edges=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(loc, dist)

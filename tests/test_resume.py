@@ -134,3 +134,35 @@ def test_poll_picks_up_new_files_incrementally(tmp_path):
     assert s3["turns"] == s2["turns"]
     # every populated shard skips (empty shards aren't counted either way)
     assert s3["shards_skipped"] >= s2["shards_skipped"] + 1
+
+
+def test_old_format_manifest_rows_recompute(tmp_path):
+    """ADVICE r2: a manifest row written under an older output-format version
+    must NOT resume-skip — otherwise an out_dir written by pre-r2 code (with
+    clean_upper in the turns schema) resumes into a mixed-schema dataset."""
+    data_dir = tmp_path / "in"
+    synth.write_synth(str(data_dir), n_convs=20, seed=13, n_files=4)
+    cfg = ExtractConfig()
+    out = str(tmp_path / "out")
+    glob_pat = str(data_dir) + "/*.parquet"
+
+    pipeline.run_sharded(glob_pat, out, cfg, n_shards=2)
+    # all rows current format -> everything skips
+    stats = pipeline.run_sharded(glob_pat, out, cfg, n_shards=2)
+    assert stats["shards_skipped"] == stats["shards_total"] - stats["shards_empty"]
+
+    # rewrite the manifest as if written by the previous (version-1) code:
+    # drop the format field from every row
+    mp = pipeline._manifest_path(out)
+    rows = [json.loads(l) for l in open(mp) if l.strip()]
+    with open(mp, "w") as f:
+        for r in rows:
+            r.pop("format", None)
+            f.write(json.dumps(r) + "\n")
+    stats2 = pipeline.run_sharded(glob_pat, out, cfg, n_shards=2)
+    assert stats2["shards_skipped"] == 0
+    # and the recompute re-stamps the current version
+    done = pipeline.load_manifest(out)
+    from rayextract.schema import OUTPUT_FORMAT_VERSION
+
+    assert all(r.get("format") == OUTPUT_FORMAT_VERSION for r in done.values())
