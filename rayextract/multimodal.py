@@ -7,12 +7,17 @@ travel as an Arrow ``binary`` column with a typed ``meta`` struct, and every
 media transform is an actor-pool ``map_batches`` stage (codec/model state
 built once per actor, the D4 pattern from Worker.cs:61-95).
 
-The actual codecs (PIL / soundfile / PyAV) are NOT in this container, so the
-real decode path is a clearly-marked stub (``NotImplementedError`` behind an
-import-try); the default path is a DETERMINISTIC FAKE decoder that derives
+Image/video codecs (PIL / PyAV) are NOT in this container, so that decode
+path is a clearly-marked stub (``NotImplementedError`` behind an import-try)
+and the default path is a DETERMINISTIC FAKE decoder that derives
 pixel/sample arrays from the payload bytes with numpy. The Ray-side plumbing
 — schema, batch sizing, actor signatures, flat-map frame explosion, output
 layout — is real and tested (tests/test_multimodal.py).
+
+AUDIO has a REAL codec path (round 3): ``WavPcmDecoder`` parses genuine
+RIFF/WAV containers with the stdlib ``wave`` module (header fields + PCM16
+little-endian frames), run as an actor-pool stage; ``wav_encode`` produces
+the real container bytes. Under the driver gate as ``audio_wav_decode``.
 
 Scale notes: payload rows are large, so media stages run with SMALL
 ``batch_size`` (default 64) and the binary column is dropped as soon as the
@@ -264,3 +269,105 @@ def frame_features(frames: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return frames.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codec: RIFF/WAV PCM16 via the stdlib `wave` module (round 3)
+# ---------------------------------------------------------------------------
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples -> real RIFF/WAV container bytes (PCM16 LE)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def synth_wav_batch(t: pa.Table) -> pa.Table:
+    """Deterministic WAV fixture per document: n = 64 + doc_id % 129 samples
+    of sample[i] = ((doc_id*31 + i*7919) % 65536) - 32768 at
+    8000 + (doc_id % 3)*4000 Hz — pure integer arithmetic a SQL oracle can
+    regenerate, wrapped in a REAL WAV container."""
+    ids = t.column("doc_id").to_numpy()
+    payloads = []
+    for d in ids:
+        d = int(d)
+        n = 64 + d % 129
+        sr = 8000 + (d % 3) * 4000
+        i = np.arange(n, dtype=np.int64)
+        samples = ((d * 31 + i * 7919) % 65536) - 32768
+        payloads.append(wav_encode(samples, sr))
+    return pa.table(
+        {
+            "media_id": pa.array(ids.astype("int64"), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class WavPcmDecoder:
+    """Actor-pool REAL audio decode stage: parses the RIFF/WAV container
+    (stdlib ``wave`` — header, channel count, sample width, frame rate) and
+    the PCM16 LE frames, emitting integer-exact per-clip statistics
+    (sample_rate, n_samples, peak, energy). Malformed payloads are
+    quarantined as rows with n_samples = -1 rather than poisoning the batch
+    (Worker.cs:117-125 per-item try/catch analog)."""
+
+    def __init__(self):
+        import wave  # codec module bound once per actor (D4 pattern)
+
+        self._wave = wave
+
+    def _decode(self, payload: bytes) -> tuple[int, int, int, int]:
+        import io
+
+        with self._wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError("expected mono PCM16")
+            sr = w.getframerate()
+            n = w.getnframes()
+            samples = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+        peak = int(np.abs(samples).max()) if n else 0
+        energy = int((samples * samples).sum())
+        return sr, n, peak, energy
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        srs, ns, peaks, energies = [], [], [], []
+        for payload in t.column("payload").to_pylist():
+            try:
+                sr, n, peak, energy = self._decode(payload)
+            except Exception:
+                sr, n, peak, energy = 0, -1, 0, 0
+            srs.append(sr)
+            ns.append(n)
+            peaks.append(peak)
+            energies.append(energy)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "sample_rate": pa.array(srs, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "peak": pa.array(peaks, pa.int64()),
+                "energy": pa.array(energies, pa.int64()),
+            }
+        )
+
+
+def wav_features(
+    media: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4)
+) -> "ray.data.Dataset":
+    """(media_id, payload) WAV table -> integer-exact audio stats via the
+    real stdlib codec in an actor pool."""
+    return media.map_batches(
+        WavPcmDecoder,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

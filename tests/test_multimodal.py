@@ -97,3 +97,43 @@ def test_fake_pixels_tiling():
     pix = _fake_pixels(b"ab", 3, 2)
     assert pix.shape == (2, 3)
     assert pix.tolist() == [[97, 98, 97], [98, 97, 98]]
+
+
+def test_wav_codec_roundtrip_and_container():
+    """Round 3: the REAL WAV path — encode produces a genuine RIFF container
+    (magic bytes, fmt fields) and the stdlib decode recovers the exact PCM16
+    samples; malformed payloads are quarantined as n_samples = -1."""
+    import io
+    import wave as wavemod
+
+    import numpy as np
+    import pyarrow as pa
+
+    from rayextract.multimodal import WavPcmDecoder, wav_encode
+
+    samples = np.array([0, 1, -1, 32767, -32768, 1234], dtype=np.int64)
+    payload = wav_encode(samples, 12000)
+    # real container: RIFF/WAVE magic + header fields readable by stdlib
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    with wavemod.open(io.BytesIO(payload), "rb") as w:
+        assert w.getframerate() == 12000
+        assert w.getnframes() == len(samples)
+        back = np.frombuffer(w.readframes(len(samples)), dtype="<i2")
+    assert (back == samples).all()
+
+    dec = WavPcmDecoder()
+    out = dec(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "payload": pa.array([payload, b"not a wav"], pa.binary()),
+            }
+        )
+    )
+    good = out.to_pylist()[0]
+    assert good["sample_rate"] == 12000
+    assert good["n_samples"] == len(samples)
+    assert good["peak"] == 32768
+    assert good["energy"] == int((samples.astype(np.int64) ** 2).sum())
+    bad = out.to_pylist()[1]
+    assert bad["n_samples"] == -1 and bad["sample_rate"] == 0
