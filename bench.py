@@ -180,10 +180,16 @@ def main() -> None:
     # run the headline twice and report the best, with BOTH walls recorded so
     # the sample is self-describing. Scaling subprocesses stay single-run
     # (their record already carries bracketing ceiling samples).
+    # The headline record additionally brackets its runs with the pure-CPU
+    # control (VERDICT r2 #1a): quiet-window reference ~0.55-0.65 s at 32
+    # procs on this host; >=0.9 s marks a heavily contended window and
+    # explains an inflated wall without further forensics.
+    c0 = _cpu_control_sec(NUM_CPUS)
     if os.environ.get("RAYEXTRACT_SKIP_QUERIES"):
         heads = [run_headline(NUM_CPUS)]
     else:
         heads = [run_headline(NUM_CPUS), run_headline(NUM_CPUS)]
+    c1 = _cpu_control_sec(NUM_CPUS)
     head = min(heads, key=lambda h: h["sec"])
     queries = {} if os.environ.get("RAYEXTRACT_SKIP_QUERIES") else run_queries()
     print(
@@ -200,6 +206,8 @@ def main() -> None:
                 "n_turns": head["n_turns"],
                 "turns_per_sec": round(head["turns_per_sec"], 1),
                 "stage_sec": head.get("stage_sec", {}),
+                "cpu_control_sec": [round(c0, 3), round(c1, 3)],
+                "cpu_control_quiet_ref": 0.6,
             }
         )
     )
@@ -266,6 +274,20 @@ def _burn(n: int) -> int:
     for i in range(n):
         s += i * i
     return s
+
+
+def _cpu_control_sec(nproc: int, n: int = 6_000_000) -> float:
+    """Wall of a FIXED pure-CPU workload (nproc procs x n burn iterations):
+    the co-tenant load probe stamped into every headline record so a noisy
+    window is self-describing. Quiet-window reference on this host: ~0.6 s
+    at 32 procs (see cpu_control_quiet_ref in the bench JSON)."""
+    import multiprocessing as mp
+
+    with mp.Pool(nproc) as p:  # warm the pool before timing
+        p.map(_burn, [1000] * nproc)
+        t0 = time.perf_counter()
+        p.map(_burn, [n] * nproc)
+        return time.perf_counter() - t0
 
 
 def _hw_scaling_ceiling(lo: int, hi: int, n: int = 6_000_000) -> float:

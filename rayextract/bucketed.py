@@ -43,6 +43,7 @@ def bucketed_group_reduce(
     stage1_batch_size: int | None = 8192,
     reduce_format: str = "pandas",
     stage1_format: str = "pandas",
+    arrow_exchange: bool = False,
 ) -> "ray.data.Dataset":
     """partial-per-batch -> hash-bucket shuffle -> vectorized per-bucket reduce.
 
@@ -55,6 +56,15 @@ def bucketed_group_reduce(
     exchange — see rayextract.__init__), HASH when RAYEXTRACT_HASH_SHUFFLE=1
     (explicit partition count, no sort barrier; the multi-node setting where
     per-exchange aggregator actors amortize).
+
+    ``arrow_exchange=True`` converts each stage-1 partial frame to an Arrow
+    table before it enters the exchange: a pandas frame with object-dtype
+    string columns ships as a PICKLED pandas block (~7x the bytes of the
+    Arrow encoding measured on the fold partials — 548 vs 79 B/row) and
+    sorts on the slower pandas path. Opt-in because an all-None object
+    column in one batch infers Arrow ``null`` type and conflicts with a
+    typed batch at concat — callers must guarantee type-stable partials
+    (the fold's partials pin every column dtype explicitly).
     """
     keys = list(keys)
     if reduce_format not in ("pandas", "pyarrow"):
@@ -76,6 +86,10 @@ def bucketed_group_reduce(
         out = batch_partial_fn(df)
         out = out.reset_index(drop=True)
         out[BUCKET_COL] = hash_bucket(out, keys, n_buckets)
+        if arrow_exchange:
+            import pyarrow as pa
+
+            return pa.Table.from_pandas(out, preserve_index=False)
         return out
 
     # big stage1 batches: the per-batch partial combine collapses more

@@ -182,6 +182,7 @@ def fold_conversations(
             num_partitions=num_partitions,
             reduce_format="pyarrow",
             stage1_format="pyarrow",
+            arrow_exchange=True,
         )
         final = bucketed_group_reduce(
             pre, ["conv_id"],
@@ -190,6 +191,7 @@ def fold_conversations(
             n_buckets=n_buckets,
             num_partitions=num_partitions,
             reduce_format="pyarrow",
+            arrow_exchange=True,
         )
         return final
     return bucketed_group_reduce(
@@ -200,4 +202,5 @@ def fold_conversations(
         num_partitions=num_partitions,
         reduce_format="pyarrow",
         stage1_format="pyarrow",
+        arrow_exchange=True,
     )
