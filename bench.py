@@ -84,9 +84,11 @@ def run_headline(num_cpus: int) -> dict:
 
     shutil.rmtree(out, ignore_errors=True)
 
+    from rayextract.config import parse_pool_size
+
     cfg = ExtractConfig(
-        batch_size=4096,
-        tagger_concurrency=max(2, num_cpus - 2),
+        batch_size=8192,
+        tagger_concurrency=parse_pool_size(num_cpus),
         salt_buckets=0,
     )
     # warm the page cache so we measure compute+shuffle, not first disk read

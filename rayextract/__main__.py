@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from .config import ExtractConfig
+    from .config import ExtractConfig, parse_pool_size
     from .pipeline import run_extraction, run_sharded
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
@@ -56,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
         extract_invoice=not args.no_invoice,
         salt_buckets=args.salt_buckets,
         batch_size=args.batch_size,
-        tagger_concurrency=args.concurrency or max(2, cpus - 2),
+        tagger_concurrency=args.concurrency or parse_pool_size(cpus),
     )
     if args.dry_run:
         # reference Testing=true: log instead of persist (Worker.cs:259-263)

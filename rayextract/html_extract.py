@@ -15,6 +15,7 @@ the ContentParser actor stage (see pipeline.py).
 from __future__ import annotations
 
 import re
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 BLOCK_TAGS = frozenset(
@@ -141,10 +142,21 @@ class _FastBlockParser:
         return k
 
     def feed(self, html: str) -> None:
-        from html import unescape
-
+        # The tag/data state machine is INLINED here rather than dispatched
+        # through handle_starttag/handle_endtag/handle_data: those ~3 method
+        # calls per tag were ~30% of the HTML-decode wall, which itself
+        # dominates the ContentParser stage profile. Semantics are pinned
+        # byte-identical to _BlockParser by tests/test_html_parity.py — any
+        # edit here must keep that suite green.
         pos, n = 0, len(html)
         find = html.find
+        tag_match = self._TAG.match
+        end_match = self._END.match
+        blocks = self.blocks
+        cur = self._cur
+        chrome = self._chrome_depth
+        link = self._link_depth
+        nblk = self._n
         while pos < n:
             lt = find("<", pos)
             if lt < 0:
@@ -152,70 +164,156 @@ class _FastBlockParser:
             if lt > pos:
                 data = html[pos:lt]
                 if "&" in data:
-                    data = unescape(data)
-                self.handle_data(data)
+                    data = _unescape(data)
+                # inline handle_data
+                if chrome == 0:
+                    if cur is None:
+                        cur = _Block(nblk)
+                        nblk += 1
+                    cur.parts.append(data)
+                    if link > 0:
+                        cur.link_chars += len(data.strip())
             if lt >= n:
                 break
             nxt = html[lt + 1] if lt + 1 < n else ""
-            if nxt == "!":
-                if html.startswith("<!--", lt):
-                    end = find("-->", lt + 4)
-                    pos = end + 3 if end >= 0 else self._unterminated(html, lt)
-                else:
-                    end = find(">", lt)
-                    pos = end + 1 if end >= 0 else self._unterminated(html, lt)
-            elif nxt == "?":
-                end = find(">", lt)
-                pos = end + 1 if end >= 0 else self._unterminated(html, lt)
-            elif nxt == "/":
-                gt = find(">", lt + 1)
-                if gt < 0:
-                    pos = self._unterminated(html, lt)
-                    continue
-                m = self._END.match(html, lt)
-                if m:
-                    self.handle_endtag(m.group(1).lower())
-                    pos = m.end()
-                    continue
-                nm = self._NAME_TOLERANT.match(html, lt + 2)
-                if nm:
-                    # discarded-junk end tag (</a b>): fire the name, skip junk
-                    self.handle_endtag(nm.group(1).lower())
-                    pos = find(">", nm.end()) + 1
-                elif html.startswith("</>", lt):
-                    pos = lt + 3
-                else:
-                    # bogus end tag (</1x>): consumed silently to '>'
-                    pos = gt + 1
-            elif nxt.isalpha():
-                m = self._TAG.match(html, lt)
+            if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
+                m = tag_match(html, lt)
                 if m:
                     tag = m.group(1).lower()
                     selfclosing = m.group(2).endswith("/")
-                    self.handle_starttag(tag, ())
+                    # inline handle_starttag
+                    if tag in CHROME_TAGS:
+                        chrome += 1
+                        if cur is not None and cur.parts:
+                            blocks.append(cur)
+                        cur = None
+                        if selfclosing:
+                            chrome = chrome - 1 if chrome > 0 else 0
+                        pos = m.end()
+                        # script/style (both chrome) are CDATA: their body is
+                        # suppressed (chrome > 0) but pos must jump past the
+                        # FULL close tag — or to end-of-input when unclosed,
+                        # leaving chrome incremented exactly as _BlockParser
+                        # does (close tag never fires).
+                        if not selfclosing and tag in ("script", "style"):
+                            cm = self._CLOSE[tag].search(html, pos)
+                            if cm:
+                                chrome = chrome - 1 if chrome > 0 else 0
+                                pos = cm.end()
+                            else:
+                                pos = n
+                        continue
+                    if tag == "a":
+                        link += 1
+                    if tag in BLOCK_TAGS:
+                        if cur is not None and cur.parts:
+                            blocks.append(cur)
+                        cur = _Block(nblk)
+                        nblk += 1
+                    elif tag == "br" and cur is not None:
+                        cur.parts.append(" ")
                     if selfclosing:
-                        self.handle_endtag(tag)
+                        # inline handle_endtag
+                        if tag == "a":
+                            link = link - 1 if link > 0 else 0
+                        if tag in BLOCK_TAGS:
+                            if cur is not None and cur.parts:
+                                blocks.append(cur)
+                            cur = None
                     pos = m.end()
-                    # script/style bodies are CDATA: raw until a FULL close
-                    # tag. stdlib's set_cdata_mode pattern is r'</\s*tag\s*>'
-                    # (html/parser.py:122-124) — a prefix like '</scriptx>' or
-                    # '</script foo>' does NOT end CDATA and stays data; with
-                    # no close tag at all, goahead breaks and the remaining
-                    # payload is never emitted (verified against 3.11).
-                    if tag in ("script", "style") and not selfclosing:
-                        cm = self._CLOSE[tag].search(html, pos)
-                        if cm:
-                            self.handle_data(html[pos : cm.start()])
-                            self.handle_endtag(tag)
-                            pos = cm.end()
-                        else:
-                            pos = n
+                    # (script/style CDATA is handled in the chrome branch
+                    # above — both tags are CHROME_TAGS. stdlib's
+                    # set_cdata_mode pattern is r'</\s*tag\s*>'
+                    # (html/parser.py:122-124) — a prefix like '</scriptx>'
+                    # or '</script foo>' does NOT end CDATA and stays data;
+                    # with no close tag at all, goahead breaks and the
+                    # remaining payload is never emitted, verified vs 3.11.)
                 else:
-                    self.handle_data("<")
+                    if chrome == 0:
+                        if cur is None:
+                            cur = _Block(nblk)
+                            nblk += 1
+                        cur.parts.append("<")
+                        if link > 0:
+                            cur.link_chars += 1
                     pos = lt + 1
+            elif nxt == "/":
+                gt = find(">", lt + 1)
+                if gt < 0:
+                    self._sync(cur, chrome, link, nblk)
+                    pos = self._unterminated(html, lt)
+                    cur, chrome, link, nblk = (
+                        self._cur, self._chrome_depth, self._link_depth, self._n
+                    )
+                    continue
+                m = end_match(html, lt)
+                if m:
+                    tag = m.group(1).lower()
+                    pos = m.end()
+                else:
+                    nm = self._NAME_TOLERANT.match(html, lt + 2)
+                    if nm:
+                        # discarded-junk end tag (</a b>): fire name, skip junk
+                        tag = nm.group(1).lower()
+                        pos = find(">", nm.end()) + 1
+                    elif html.startswith("</>", lt):
+                        pos = lt + 3
+                        continue
+                    else:
+                        # bogus end tag (</1x>): consumed silently to '>'
+                        pos = gt + 1
+                        continue
+                # inline handle_endtag
+                if tag in CHROME_TAGS:
+                    chrome = chrome - 1 if chrome > 0 else 0
+                    continue
+                if tag == "a":
+                    link = link - 1 if link > 0 else 0
+                if tag in BLOCK_TAGS:
+                    if cur is not None and cur.parts:
+                        blocks.append(cur)
+                    cur = None
+            elif nxt == "!":
+                if html.startswith("<!--", lt):
+                    end = find("-->", lt + 4)
+                    if end >= 0:
+                        pos = end + 3
+                    else:
+                        self._sync(cur, chrome, link, nblk)
+                        pos = self._unterminated(html, lt)
+                        cur, nblk = self._cur, self._n
+                else:
+                    end = find(">", lt)
+                    if end >= 0:
+                        pos = end + 1
+                    else:
+                        self._sync(cur, chrome, link, nblk)
+                        pos = self._unterminated(html, lt)
+                        cur, nblk = self._cur, self._n
+            elif nxt == "?":
+                end = find(">", lt)
+                if end >= 0:
+                    pos = end + 1
+                else:
+                    self._sync(cur, chrome, link, nblk)
+                    pos = self._unterminated(html, lt)
+                    cur, nblk = self._cur, self._n
             else:
-                self.handle_data("<")
+                if chrome == 0:
+                    if cur is None:
+                        cur = _Block(nblk)
+                        nblk += 1
+                    cur.parts.append("<")
+                    if link > 0:
+                        cur.link_chars += 1
                 pos = lt + 1
+        self._sync(cur, chrome, link, nblk)
+
+    def _sync(self, cur, chrome, link, nblk) -> None:
+        self._cur = cur
+        self._chrome_depth = chrome
+        self._link_depth = link
+        self._n = nblk
 
     def close(self) -> None:
         self._flush()

@@ -57,7 +57,7 @@ def _cluster_cfg():
     (the bench.py shape, ``max(2, cpus - 2)``) instead of the dataclass
     default of 4 — the driver invokes these queries at 32 cpus and a fixed
     4-actor pool runs ~8x under available parallelism (VERDICT r2 #2)."""
-    from .config import ExtractConfig
+    from .config import ExtractConfig, parse_pool_size
 
     try:
         import ray
@@ -65,7 +65,7 @@ def _cluster_cfg():
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:  # pragma: no cover - ray not initialised
         cpus = 4
-    return ExtractConfig(tagger_concurrency=max(2, cpus - 2))
+    return ExtractConfig(batch_size=8192, tagger_concurrency=parse_pool_size(cpus))
 
 
 def _read_small(sf_dir: str, table: str, columns=None, filters=None) -> pd.DataFrame:
