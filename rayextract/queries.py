@@ -4116,6 +4116,508 @@ def doc_pii_flags(sf_dir: str):
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: revenue lost to returned items per customer, one
+    quarter. Scale shape: lineitem keeps only R-flag rows (predicate cuts
+    ~2/3 at the scan), orders keeps only the quarter window; the single
+    big-big exchange is a tagged-union co-partition on orderkey (same shape
+    as q7/q18 — orders is a fact table, never broadcast); the per-customer
+    aggregate is customer-bounded and the name/nation dims attach by
+    broadcast-size driver reads at the very end."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    def l_proj(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.loc[df["l_returnflag"] == "R"]
+        return pd.DataFrame(
+            {"okey": sub["l_orderkey"].to_numpy(dtype="int64"),
+             "ckey": np.int64(0),
+             "cents": _round_half_away(
+                 sub["l_extendedprice"].to_numpy()
+                 * (1.0 - sub["l_discount"].to_numpy()) * 100.0
+             ),
+             "side": np.int8(0)}
+        )
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= pd.Timestamp("1996-01-01")) & (
+            df["o_orderdate"] < pd.Timestamp("1996-04-01")
+        )
+        sub = df.loc[m]
+        return pd.DataFrame(
+            {"okey": sub["o_orderkey"].to_numpy(dtype="int64"),
+             "ckey": sub["o_custkey"].to_numpy(dtype="int64"),
+             "cents": np.int64(0),
+             "side": np.int8(1)}
+        )
+
+    both = (
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+        .map_batches(l_proj, batch_format="pandas")
+        .union(
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+                o_proj, batch_format="pandas"
+            )
+        )
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        li = g.loc[g["side"] == 0, ["okey", "cents"]]
+        od = g.loc[g["side"] == 1, ["okey", "ckey"]].drop_duplicates("okey")
+        m = li.merge(od, on="okey")
+        return m.groupby("ckey", sort=False, as_index=False)["cents"].sum()
+
+    parts = bucketed_group_reduce(
+        both, ["okey"], lambda df: df, per_bucket, n_buckets=64
+    ).to_pandas()
+    agg = parts.groupby("ckey", sort=False, as_index=False)["cents"].sum()
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    nat = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    out = agg.merge(cust, left_on="ckey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out = out.rename(columns={"cents": "revenue_cents"})
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out[["c_custkey", "c_name", "n_name", "revenue_cents"]]
+
+
+def q13_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape: how many customers placed k orders, INCLUDING the
+    zero-order bucket of the left join. Scale shape: no join at all — the
+    per-customer order count is a bucketed combiner over orders (bounded by
+    #customers), the k-histogram over it is another combiner (bounded by
+    max k), and the zero bucket is arithmetic: total customers minus
+    customers seen in orders. The customer table is touched only by a
+    count(*) scan."""
+    counts = pre_aggregate(
+        _read(sf_dir, "orders", ["o_custkey"]), ["o_custkey"], counts=True
+    )
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("n", sort=False).size().rename("custdist").reset_index()
+        )
+
+    from .bucketed import bucketed_group_reduce
+
+    hist = bucketed_group_reduce(
+        counts, ["n"], hist_partial,
+        lambda g: g.groupby("n", sort=False, as_index=False)["custdist"].sum(),
+        n_buckets=16,
+    ).to_pandas()
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_with_orders = int(hist["custdist"].sum())
+    zero = n_customers - n_with_orders
+    out = hist.rename(columns={"n": "c_count"})
+    if zero > 0:
+        out = pd.concat(
+            [out, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return out
+
+
+_Q19_BRACKETS = (
+    # (brand, size_lo, size_hi, qty_lo, qty_hi) — inclusive bounds
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 1, 25, 10, 20),
+    ("Brand#3", 1, 35, 20, 30),
+)
+
+
+def q19_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 shape: disjunctive bracket predicate across the part dims
+    and the lineitem measure. Scale shape: the part side collapses to a
+    broadcast dict partkey -> bracket id covering ONLY parts that can match
+    any bracket (brand+size prefilter pushed into the dimension read);
+    lineitem batches resolve the bracket vectorized and emit two integer
+    counters per batch — no shuffle, single-row result."""
+    import ray as _ray
+
+    brands = sorted({b for b, *_ in _Q19_BRACKETS})
+    part = _read_small(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_size"],
+        filters=[("p_brand", "in", brands)],
+    )
+    frames = []
+    for b, slo, shi, qlo, qhi in _Q19_BRACKETS:
+        m = (part["p_brand"] == b) & (part["p_size"] >= slo) & (part["p_size"] <= shi)
+        frames.append(
+            pd.DataFrame(
+                {"pk": part.loc[m, "p_partkey"].to_numpy(dtype="int64"),
+                 "qlo": qlo, "qhi": qhi}
+            )
+        )
+    elig = pd.concat(frames).sort_values("pk", kind="stable")
+    # broadcast as sorted arrays; each batch resolves brackets with one
+    # vectorized searchsorted — no per-row dict probe
+    ref = _ray.put(
+        (elig["pk"].to_numpy(), elig["qlo"].to_numpy(dtype="float64"),
+         elig["qhi"].to_numpy(dtype="float64"))
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pks, qlo, qhi = _ray.get(ref)
+        pk = df["l_partkey"].to_numpy(dtype="int64")
+        qty = df["l_quantity"].to_numpy()
+        if len(pks):
+            idx_c = np.clip(np.searchsorted(pks, pk), 0, len(pks) - 1)
+            m = (pks[idx_c] == pk) & (qty >= qlo[idx_c]) & (qty <= qhi[idx_c])
+        else:
+            m = np.zeros(len(pk), dtype=bool)
+        cents = _round_half_away(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy()) * 100.0
+        )
+        return pd.DataFrame(
+            {"revenue_cents": [int(cents[m].sum())], "n_lines": [int(m.sum())]}
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    )
+    return pd.DataFrame(
+        {"revenue_cents": [int(parts["revenue_cents"].sum())],
+         "n_lines": [int(parts["n_lines"].sum())]}
+    )
+
+
+def q16_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per part attribute group,
+    excluding one brand. Scale shape: per-batch dedup of (partkey, suppkey)
+    pairs, attribute attach by broadcast part dims, then a bucketed DISTINCT
+    on (brand, type, size, suppkey) followed by a bounded group count — the
+    raw pair stream crosses the exchange once, pre-deduped per batch."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    part = part.loc[part["p_brand"] != "Brand#1"]
+    ref = _ray.put(part.reset_index(drop=True))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        dims = _ray.get(ref)
+        sub = df[["l_partkey", "l_suppkey"]].drop_duplicates()
+        m = sub.merge(dims, left_on="l_partkey", right_on="p_partkey")
+        out = m[["p_brand", "p_type", "p_size", "l_suppkey"]].rename(
+            columns={"l_suppkey": "suppkey"}
+        ).drop_duplicates()
+        out["p_size"] = out["p_size"].astype("int64")
+        out["suppkey"] = out["suppkey"].astype("int64")
+        return out
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["p_brand", "p_type", "p_size", "suppkey"])
+        return (
+            d.groupby(["p_brand", "p_type", "p_size"], sort=False)
+            .size().rename("supplier_cnt").reset_index()
+        )
+
+    out = bucketed_group_reduce(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        ["p_brand", "p_type", "p_size"], pairs, reduce, n_buckets=32,
+    ).to_pandas()
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return out
+
+
+def q22_dormant_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape (adapted: this corpus has no phone column and every
+    customer has orders): customers whose balance beats the positive-balance
+    average AND whose LAST order predates 2000-01-01 — the scalar-subquery
+    broadcast + per-customer anti/max aggregate shape. The threshold compare
+    is integer-exact (cents * n > sum_cents avoids float avg entirely);
+    the last-order date is a bucketed max over orders; the customer scan
+    filters against the broadcast aggregate and groups by segment."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    # scalar: (sum of positive balances in cents, count) — two int counters
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["c_acctbal"])
+        pos = cents > 0
+        return pd.DataFrame({"s": [int(cents[pos].sum())], "n": [int(pos.sum())]})
+
+    bp = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pandas").to_pandas()
+    )
+    sum_cents, n_pos = int(bp["s"].sum()), int(bp["n"].sum())
+
+    # per-customer last order date (bucketed max — customer-bounded output)
+    def last_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", sort=False, as_index=False)[
+            "o_orderdate"
+        ].max()
+
+    last = bucketed_group_reduce(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+        ["o_custkey"], last_partial,
+        lambda g: g.groupby("o_custkey", sort=False, as_index=False)[
+            "o_orderdate"
+        ].max(),
+        n_buckets=32,
+    ).to_pandas()
+    dormant = set(
+        last.loc[last["o_orderdate"] < pd.Timestamp("2000-01-01"), "o_custkey"]
+        .astype("int64").tolist()
+    )
+    dref = _ray.put(dormant)
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ds_ = _ray.get(dref)
+        cents = _cents(df["c_acctbal"])
+        m = (cents * n_pos > sum_cents) & df["c_custkey"].isin(ds_).to_numpy()
+        sub = df.loc[m]
+        t = pd.DataFrame(
+            {"c_mktsegment": sub["c_mktsegment"],
+             "cents": cents[m]}
+        )
+        g = t.groupby("c_mktsegment", sort=False)["cents"].agg(["sum", "size"])
+        return pd.DataFrame(
+            {"c_mktsegment": g.index, "totacctbal_cents": g["sum"].astype("int64"),
+             "numcust": g["size"].astype("int64")}
+        )
+
+    parts = (
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+        .map_batches(seg_partial, batch_format="pandas").to_pandas()
+    )
+    out = parts.groupby("c_mktsegment", sort=False, as_index=False).agg(
+        numcust=("numcust", "sum"), totacctbal_cents=("totacctbal_cents", "sum")
+    )
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal_cents"] = out["totacctbal_cents"].astype("int64")
+    return out[["c_mktsegment", "numcust", "totacctbal_cents"]]
+
+
+HH_CAPACITY = 100_000  # Misra-Gries capacity; > corpus vocab at driver scales
+
+
+def _mg_truncate(t: pd.DataFrame, capacity: int) -> pd.DataFrame:
+    """Misra-Gries truncation of an exact (token, n) count frame to
+    ``capacity`` entries: subtract the (capacity+1)-th largest count from
+    the kept top-``capacity``, drop <= 0, and carry the subtraction in an
+    ``err`` column (0 when nothing was truncated). Guarantee after any
+    merge-by-sum of such partials: true_count <= n + sum(errs of ALL
+    partials); property-tested in tests/test_r3_ops.py."""
+    err = 0
+    if len(t) > capacity:
+        t = t.sort_values(["n", "token"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+        err = int(t["n"].iloc[capacity])
+        t = t.iloc[:capacity].copy()
+        t["n"] = t["n"] - err
+        t = t.loc[t["n"] > 0]
+    else:
+        t = t.copy()
+    t["err"] = np.int64(err)
+    return t
+
+
+def heavy_hitters_tokens(sf_dir: str):
+    """Frequent-token heavy hitters via a mergeable Misra-Gries summary —
+    the bounded-memory sketch a 100 TB token-frequency pass uses instead of
+    an exact (vocab-sized) groupby. Each batch builds exact counts then
+    truncates to HH_CAPACITY entries Misra-Gries-style (subtract the
+    (C+1)-th count, drop <=0, carry the subtraction as ``err``); partials
+    merge by bucketed sum (counts AND errs are both associative sums). The
+    guarantee ships with the row: true_count in [n, n + err_bound].
+
+    At driver scales the corpus vocabulary is far below HH_CAPACITY, so no
+    truncation fires, err_bound = 0, and the result equals the exact top-40
+    — which is exactly what the SQL oracle checks. The bounded-capacity
+    behavior (err <= n_tokens/(C+1)) is property-tested in pytest with a
+    tiny capacity."""
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in df["text"]:
+            c.update(_tokens(s))
+        t = pd.DataFrame(
+            {"token": list(c.keys()), "n": np.fromiter(c.values(), dtype="int64")}
+        )
+        return _mg_truncate(t, HH_CAPACITY)
+
+    from .bucketed import bucketed_group_reduce
+
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["text"]),
+        ["token"], partial,
+        lambda g: g.groupby("token", sort=False, as_index=False).agg(
+            n=("n", "sum"), err=("err", "sum")
+        ),
+        n_buckets=32,
+    )
+    from .relational import topk
+
+    out = topk(counts, "n", 40, tiebreak="token")
+    out = out.rename(columns={"err": "err_bound"})
+    out["n"] = out["n"].astype("int64")
+    out["err_bound"] = out["err_bound"].astype("int64")
+    return out[["token", "n", "err_bound"]]
+
+
+def top_orders_per_priority_dense(sf_dir: str):
+    """Dense-rank top-N per group WITH ties — the ranking-window operator
+    (dense_rank() OVER (PARTITION BY ...)) Ray Data has no native window
+    for. Sound distributed pruning: a row whose total is among the global
+    top-3 DISTINCT values of its priority is necessarily among its own
+    batch's top-3 distinct values, so each batch forwards only those rows;
+    the driver derives the true top-3 distinct values per priority from the
+    small partial union and ranks by value order. Ties all survive, exactly
+    like the SQL window."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"],
+             "o_orderkey": df["o_orderkey"].to_numpy(dtype="int64"),
+             "total_cents": _cents(df["o_totalprice"])}
+        )
+        keep = []
+        for _, g in t.groupby("o_orderpriority", sort=False):
+            top3 = np.sort(g["total_cents"].unique())[-3:]
+            keep.append(g.loc[g["total_cents"].isin(top3)])
+        return pd.concat(keep) if keep else t.iloc[:0]
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    )
+    out_rows = []
+    for pri, g in parts.groupby("o_orderpriority", sort=False):
+        top3 = np.sort(g["total_cents"].unique())[::-1][:3]
+        rank_of = {int(v): i + 1 for i, v in enumerate(top3)}
+        sub = g.loc[g["total_cents"].isin(top3)].copy()
+        sub["rnk"] = sub["total_cents"].map(rank_of).astype("int64")
+        out_rows.append(sub)
+    out = pd.concat(out_rows, ignore_index=True)
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out[["o_orderpriority", "o_orderkey", "total_cents", "rnk"]]
+
+
+def doc_trigram_top20(sf_dir: str):
+    """Corpus-wide top-20 word trigrams — n-gram statistics over documents
+    (the language-model-ish counting pass): per-batch trigram Counter
+    partials, ONE bucketed sum keyed by trigram, deterministic top-k with
+    lexicographic tie-break. Shuffle volume is bounded by distinct trigrams
+    per batch, never corpus tokens."""
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in df["text"]:
+            toks = _tokens(s)
+            for i in range(len(toks) - 2):
+                c[" ".join(toks[i:i + 3])] += 1
+        return pd.DataFrame(
+            {"trigram": list(c.keys()),
+             "n": np.fromiter(c.values(), dtype="int64")}
+        )
+
+    from .bucketed import bucketed_group_reduce
+
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["text"]),
+        ["trigram"], partial,
+        lambda g: g.groupby("trigram", sort=False, as_index=False)["n"].sum(),
+        n_buckets=32,
+    )
+    from .relational import topk
+
+    out = topk(counts, "n", 20, tiebreak="trigram")
+    out["n"] = out["n"].astype("int64")
+    return out[["trigram", "n"]]
+
+
+SEMDEDUP_PLANES = 8
+SEMDEDUP_COS = 0.4  # compare as num>0 and num^2*100 >= 16*|a|^2*|b|^2
+
+
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup-style semantic dedup over the embedding table: vectors are
+    LSH-bucketed by an 8-plane hyperplane signature (same md5 sign contract
+    as embedding_lsh_buckets, micro-unit integer dots — exact), and within
+    a bucket a vector is dropped when an EARLIER vector (smaller vec_id)
+    is cosine-similar above the threshold (SemDeDup, Abbas et al. 2023 —
+    cluster, then prune within cluster). "Dominated by an earlier kept-
+    or-not vector" rather than chained greedy keeps the rule associative,
+    partition-friendly and SQL-expressible; dup_of reports the smallest
+    dominating id.
+
+    Scale shape: ONE exchange on the bucket signature; the O(b^2) compare
+    runs inside each bucket on quantized integer rows (the LSH split bounds
+    b; the corpus never does an all-pairs). The threshold compare is exact
+    integer arithmetic (python ints — num^2 overflows int64) on both sides,
+    so the oracle matches bit-for-bit."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    signs_ref = _ray.put(_hyperplane_signs(SEMDEDUP_PLANES, EMB_DIM))
+    weights = (np.int64(1) << np.arange(SEMDEDUP_PLANES, dtype=np.int64))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        x = _round_half_away(m * 1_000_000.0)
+        dots = x @ _ray.get(signs_ref).T
+        bucket = ((dots >= 0).astype(np.int64) * weights[None, :]).sum(axis=1)
+        return pd.DataFrame(
+            {"bucket_id": bucket,
+             "vec_id": df["vec_id"].to_numpy(dtype="int64"),
+             "x": [row.tolist() for row in x]}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for bid, grp in g.groupby("bucket_id", sort=False):
+            grp = grp.sort_values("vec_id", kind="stable")
+            ids = grp["vec_id"].to_numpy(dtype="int64")
+            X = np.vstack(grp["x"].to_numpy())
+            nrm = [int(v) for v in (X.astype(object) * X.astype(object)).sum(axis=1)]
+            dup_of = np.full(len(ids), -1, dtype="int64")
+            for a in range(1, len(ids)):
+                for b in range(a):
+                    num = int(np.dot(X[a].astype(object), X[b].astype(object)))
+                    if num > 0 and num * num * 100 >= 16 * nrm[a] * nrm[b]:
+                        dup_of[a] = ids[b]
+                        break  # ids sorted ascending: first hit is smallest
+            out.append(pd.DataFrame(
+                {"vec_id": ids, "bucket_id": np.int64(bid),
+                 "dup_of": dup_of, "kept": dup_of < 0}
+            ))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"vec_id": pd.array([], dtype="int64"),
+             "bucket_id": pd.array([], dtype="int64"),
+             "dup_of": pd.array([], dtype="int64"),
+             "kept": pd.array([], dtype="bool")}
+        )
+
+    res = bucketed_group_reduce(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        ["bucket_id"], partial, reduce, n_buckets=16,
+    ).to_pandas()
+    # dup_of = -1 sentinel for kept rows (avoids a nullable-int column in
+    # the driver's value-hash compare; the oracle COALESCEs to -1 too)
+    res["dup_of"] = res["dup_of"].astype("int64")
+    return res[["vec_id", "bucket_id", "dup_of", "kept"]]
+
+
 QUERIES = {
     "f1_remove_special": f1_remove_special,
     "f2_upper_invariant": f2_upper_invariant,
@@ -4231,6 +4733,15 @@ QUERIES = {
     "latest_event_per_user": latest_event_per_user,
     "users_click_and_purchase": users_click_and_purchase,
     "cms_token_counts": cms_token_counts,
+    "q10_returned_items": q10_returned_items,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q19_bracket_revenue": q19_bracket_revenue,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q22_dormant_rich_customers": q22_dormant_rich_customers,
+    "heavy_hitters_tokens": heavy_hitters_tokens,
+    "top_orders_per_priority_dense": top_orders_per_priority_dense,
+    "doc_trigram_top20": doc_trigram_top20,
+    "semdedup_embeddings": semdedup_embeddings,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -5889,3 +6400,133 @@ SQL["curate_transcripts"] = (
     "SELECT conv_id, patient_name, n_turns FROM base "
     "WHERE patient_name IS NOT NULL AND n_turns BETWEEN 3 AND 40"
 )
+
+
+# ---- round-3 relational breadth oracles ----------------------------------
+SQL["q10_returned_items"] = """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1996-04-01'
+        GROUP BY 1, 2, 3
+    """
+SQL["q13_order_count_distribution"] = """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c.c_custkey,
+                     CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY 1)
+        GROUP BY 1
+    """
+SQL["q19_bracket_revenue"] = """
+        SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """
+SQL["q16_supplier_variety"] = """
+        SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+        GROUP BY 1, 2, 3
+    """
+SQL["q22_dormant_rich_customers"] = """
+        WITH bal AS (SELECT c_custkey, c_mktsegment,
+                            CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                     FROM customer),
+        pos AS (SELECT CAST(sum(cents) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM bal WHERE cents > 0),
+        lastord AS (SELECT o_custkey, max(o_orderdate) AS lastd
+                    FROM orders GROUP BY 1)
+        SELECT b.c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(b.cents) AS BIGINT) AS totacctbal_cents
+        FROM bal b
+        JOIN lastord l ON b.c_custkey = l.o_custkey, pos
+        WHERE b.cents * pos.n > pos.s AND l.lastd < DATE '2000-01-01'
+        GROUP BY 1
+    """
+
+# ---- round-3 sketch / window / semantic-dedup oracles --------------------
+SQL["heavy_hitters_tokens"] = r"""
+        SELECT token, n, CAST(0 AS BIGINT) AS err_bound FROM (
+          SELECT token, count(*) AS n FROM (
+            SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                      t -> t <> '')) AS token
+            FROM documents WHERE trim(text) <> ''
+          ) GROUP BY token
+        ) ORDER BY n DESC, token LIMIT 40
+    """
+SQL["top_orders_per_priority_dense"] = """
+        SELECT o_orderpriority, o_orderkey, total_cents, rnk FROM (
+          SELECT o_orderpriority, o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+                 CAST(dense_rank() OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC
+                 ) AS BIGINT) AS rnk
+          FROM orders)
+        WHERE rnk <= 3
+    """
+SQL["doc_trigram_top20"] = r"""
+        WITH tk AS (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '') AS toks
+                    FROM documents),
+        tg AS (SELECT array_to_string(toks[i:i+2], ' ') AS trigram
+               FROM tk, unnest(range(1, len(toks) - 1)) AS r(i)
+               WHERE len(toks) >= 3)
+        SELECT trigram, CAST(count(*) AS BIGINT) AS n FROM tg
+        GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
+    """
+SQL["semdedup_embeddings"] = """
+        WITH signs AS (
+          SELECT j, i, CASE WHEN md5_number_upper(CAST(j AS VARCHAR) || ':' ||
+                                                  CAST(i AS VARCHAR)) % 2 = 1
+                            THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(range(8)) AS j), (SELECT unnest(range(64)) AS i)
+        ),
+        x AS (SELECT vec_id, unnest(range(len(embedding))) AS i,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS xi
+              FROM embeddings),
+        dots AS (SELECT x.vec_id, s.j, sum(s.s * x.xi) AS d
+                 FROM x JOIN signs s ON x.i = s.i GROUP BY 1, 2),
+        b AS (SELECT vec_id,
+                     CAST(sum(CASE WHEN d >= 0 THEN 1 << j ELSE 0 END)
+                          AS BIGINT) AS bucket_id
+              FROM dots GROUP BY 1),
+        nrm AS (SELECT vec_id, sum(xi * xi) AS nn FROM x GROUP BY 1),
+        pair AS (SELECT a.vec_id AS va, bb.vec_id AS vb
+                 FROM b a JOIN b bb ON a.bucket_id = bb.bucket_id
+                                    AND bb.vec_id < a.vec_id),
+        dt AS (SELECT p.va, p.vb, sum(xa.xi * xb.xi) AS num
+               FROM pair p
+               JOIN x xa ON xa.vec_id = p.va
+               JOIN x xb ON xb.vec_id = p.vb AND xb.i = xa.i
+               GROUP BY 1, 2),
+        dup AS (SELECT dt.va, min(dt.vb) AS dup_of
+                FROM dt
+                JOIN nrm na ON na.vec_id = dt.va
+                JOIN nrm nb ON nb.vec_id = dt.vb
+                WHERE dt.num > 0
+                  AND CAST(dt.num AS HUGEINT) * dt.num * 100
+                      >= 16 * CAST(na.nn AS HUGEINT) * nb.nn
+                GROUP BY 1)
+        SELECT b.vec_id, b.bucket_id,
+               CAST(COALESCE(dup.dup_of, -1) AS BIGINT) AS dup_of,
+               dup.dup_of IS NULL AS kept
+        FROM b LEFT JOIN dup ON b.vec_id = dup.va
+    """

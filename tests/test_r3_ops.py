@@ -1,0 +1,118 @@
+"""Round-3 operator tests: Misra-Gries bound, dense-rank ties, semdedup.
+
+The driver-facing correctness of these ops is the DuckDB oracle
+(scripts/selfcheck.py); these tests pin the properties the oracle can't —
+the sketch's error bound under real truncation, window ties on crafted
+input, and the semantic-dedup rule against a brute-force reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayextract.queries import (
+    _mg_truncate,
+    semdedup_embeddings,
+    top_orders_per_priority_dense,
+)
+
+
+def test_mg_truncate_bound():
+    """Merged MG partials: n <= true <= n + sum(all partial errs)."""
+    rng = np.random.RandomState(11)
+    vocab = [f"t{i}" for i in range(40)]
+    # zipf-ish stream split into 6 batches
+    stream = rng.choice(vocab, size=3000, p=np.arange(40, 0, -1) / np.arange(40, 0, -1).sum())
+    true = pd.Series(stream).value_counts()
+    partials = []
+    for chunk in np.array_split(stream, 6):
+        t = pd.Series(chunk).value_counts().rename("n").rename_axis("token").reset_index()
+        partials.append(_mg_truncate(t, capacity=5))
+    total_err = sum(int(p["err"].iloc[0]) if len(p) else 0 for p in partials)
+    assert total_err > 0  # capacity 5 << 40 tokens: truncation must fire
+    merged = (
+        pd.concat(partials).groupby("token", as_index=False)["n"].sum()
+        .set_index("token")["n"]
+    )
+    for tok, n_hat in merged.items():
+        assert n_hat <= true[tok] <= n_hat + total_err
+    # tokens dropped everywhere are still bounded by total_err
+    for tok in set(vocab) - set(merged.index):
+        if tok in true:
+            assert true[tok] <= total_err
+
+
+def test_mg_truncate_exact_when_capacity_large():
+    t = pd.DataFrame({"token": ["a", "b"], "n": [5, 3]})
+    out = _mg_truncate(t, capacity=10)
+    assert out["err"].eq(0).all()
+    assert dict(zip(out["token"], out["n"])) == {"a": 5, "b": 3}
+
+
+@pytest.fixture()
+def tie_dir(tmp_path):
+    """Orders table with deliberate total ties inside a priority."""
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, 11, dtype="int64"),
+            "o_orderpriority": ["1-URGENT"] * 6 + ["2-HIGH"] * 4,
+            "o_totalprice": [100.0, 100.0, 90.0, 90.0, 80.0, 10.0,
+                             50.0, 50.0, 50.0, 40.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp_path, "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_dense_rank_ties(tie_dir, ray_session):
+    out = top_orders_per_priority_dense(tie_dir)
+    urgent = out[out["o_orderpriority"] == "1-URGENT"].sort_values("o_orderkey")
+    # dense rank: 100->1 (x2), 90->2 (x2), 80->3; 10 excluded
+    assert urgent["o_orderkey"].tolist() == [1, 2, 3, 4, 5]
+    assert urgent["rnk"].tolist() == [1, 1, 2, 2, 3]
+    high = out[out["o_orderpriority"] == "2-HIGH"].sort_values("o_orderkey")
+    # only two distinct values: all rows survive, ranks 1,1,1,2
+    assert high["rnk"].tolist() == [1, 1, 1, 2]
+
+
+@pytest.fixture()
+def emb_dir(tmp_path):
+    """Embeddings with a planted near-duplicate pair and an orthogonal-ish
+    decoy, 64-dim to match the query's hyperplane contract."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(64).astype("float32")
+    rows = [
+        (10, base),
+        (20, base + rng.randn(64).astype("float32") * 0.01),  # near-dup of 10
+        (30, rng.randn(64).astype("float32")),
+        (40, -base),  # anti-parallel: cos < 0, never a dup
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1].tolist() for r in rows],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 1, 1], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_semdedup_planted_dup(emb_dir, ray_session):
+    out = semdedup_embeddings(emb_dir).sort_values("vec_id").reset_index(drop=True)
+    by_id = out.set_index("vec_id")
+    # 10 and its +noise copy share every hyperplane sign -> same bucket;
+    # cos ~ 1 >= 0.4 -> 20 is dominated by 10
+    assert bool(by_id.loc[10, "kept"])
+    assert not bool(by_id.loc[20, "kept"])
+    assert int(by_id.loc[20, "dup_of"]) == 10
+    # the anti-parallel vector flips every sign: different bucket, kept
+    assert bool(by_id.loc[40, "kept"])
+    assert int(by_id.loc[40, "dup_of"]) == -1
