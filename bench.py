@@ -220,10 +220,10 @@ def scaling() -> None:
     """Same headline job at 8 and 32 CPUs in fresh processes.
 
     Uses a larger corpus than the per-round bench (RAYEXTRACT_SCALING_CONVS,
-    default 600k convs ~ 3.5M turns): the scaling-efficiency criterion models
-    the 100 TB regime where per-job fixed costs (actor pool spin-up, shuffle
-    coordination) are amortized; at sf0.1 the 32-cpu run is only ~19s and
-    fixed costs dominate the ratio.
+    default 1.2M convs ~ 7M turns, the round-2 protocol corpus): the
+    scaling-efficiency criterion models the 100 TB regime where per-job
+    fixed costs (actor pool spin-up, shuffle coordination) are amortized;
+    at sf0.1 the 32-cpu run is only ~6s and fixed costs dominate the ratio.
     """
 
     def run(ncpu: int) -> dict:
@@ -231,7 +231,7 @@ def scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
-            RAYEXTRACT_BENCH_CONVS=os.environ.get("RAYEXTRACT_SCALING_CONVS", "600000"),
+            RAYEXTRACT_BENCH_CONVS=os.environ.get("RAYEXTRACT_SCALING_CONVS", "1200000"),
             RAYEXTRACT_SKIP_QUERIES="1",
         )
         out = subprocess.run(

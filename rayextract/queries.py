@@ -4618,6 +4618,223 @@ def semdedup_embeddings(sf_dir: str):
     return res[["vec_id", "bucket_id", "dup_of", "kept"]]
 
 
+def doc_token_entropy(sf_dir: str):
+    """Per-document token-distribution Shannon entropy — the vocabulary-
+    diversity quality signal (low entropy = repetitive/templated text, a
+    standard pre-training filter axis). Reported as integer micro-nats of
+    N*H = N ln N - sum_w c_w ln c_w, with EVERY transcendental term rounded
+    to integer micro-units before the (order-free, exact) integer sum —
+    the same determinism contract as doc_bigram_logprob. Empty docs are
+    omitted (no distribution to score). Fully per-batch; no shuffle."""
+    import math
+
+    from .textstats import _tokens
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        ids, ns, ents = [], [], []
+        for doc_id, s in zip(df["doc_id"], df["text"]):
+            t = _tokens(s)
+            n = len(t)
+            if n == 0:
+                continue
+            sc = 0
+            for c in Counter(t).values():
+                x = c * math.log(c) * 1e6
+                sc += int(math.floor(x + 0.5))
+            xn = n * math.log(n) * 1e6
+            ids.append(int(doc_id))
+            ns.append(n)
+            ents.append(int(math.floor(xn + 0.5)) - sc)
+        return pd.DataFrame(
+            {"doc_id": np.array(ids, dtype="int64"),
+             "n_tokens": np.array(ns, dtype="int64"),
+             "ent_n_micro": np.array(ents, dtype="int64")}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+def events_csv_source(sf_dir: str):
+    """CSV source-format coverage (the reference's folder-poll source
+    consumed opaque files; this engine reads parquet, jsonl and csv): the
+    events table is exported once to CSV under /tmp (deterministic
+    content), read back with ray.data.read_csv, and aggregated per type —
+    proving the csv reader feeds the same combiner pipeline bit-for-bit.
+    The oracle aggregates the ORIGINAL parquet, so any reader drift
+    (type inference, timestamp parsing, quoting) fails the value hash."""
+    import hashlib
+
+    import ray.data as _rd
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    csv_dir = f"/tmp/rayextract_csv/{key}"
+    done = os.path.join(csv_dir, "_done")
+    if not os.path.exists(done):
+        os.makedirs(csv_dir, exist_ok=True)
+        t = pq.read_table(src, columns=["event_id", "event_type", "value", "ts"])
+        import pyarrow.csv as pacsv
+
+        pacsv.write_csv(t, os.path.join(csv_dir, "events.csv"))
+        with open(done, "w") as f:
+            f.write("ok")
+
+    ds = _rd.read_csv(os.path.join(csv_dir, "events.csv"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"event_type": df["event_type"],
+             "micro": _round_half_away(df["value"].to_numpy(dtype="float64")
+                                       * 1_000_000.0)}
+        )
+        g = t.groupby("event_type", sort=False)["micro"].agg(["sum", "size"])
+        return pd.DataFrame(
+            {"event_type": g.index, "sum_micro": g["sum"].astype("int64"),
+             "n": g["size"].astype("int64")}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", sort=False, as_index=False).agg(
+        sum_micro=("sum_micro", "sum"), n=("n", "sum")
+    )
+    out["sum_micro"] = out["sum_micro"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+CONTAINMENT_RARE_MAX = 5   # a shingle anchoring candidates appears in <= 5 docs
+CONTAINMENT_TAU = 0.8      # |A ∩ B| / min(|A|, |B|) threshold (x10 integer cmp)
+
+
+def dedup_containment(sf_dir: str):
+    """Containment (subset/overlap) near-dup pairs — catches a small doc
+    embedded in a big one, which Jaccard-LSH structurally misses (the
+    union term drowns the overlap). Candidates come from RARE-ANCHOR
+    blocking: only 3-gram shingles appearing in <= CONTAINMENT_RARE_MAX
+    docs propose pairs (a bounded C(5,2) per rare shingle — no all-pairs),
+    then the exact overlap |A∩B| is counted for candidates only and gated
+    on containment = |A∩B| / min(|A|,|B|) >= CONTAINMENT_TAU.
+
+    Scale shape: one scan emits distinct (shingle, doc) rows; a bucketed
+    reduce keyed by shingle (a) counts per-doc shingle sizes via a second
+    keyed reduce, (b) emits candidate pairs from rare shingles; the
+    overlap count re-walks the shingle buckets with the (small) candidate
+    partner map broadcast, emitting (pair, 1) partials — every exchange is
+    linear in the shingle stream, pair work is candidate-bounded."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, shs = [], []
+        for doc_id, s in zip(df["doc_id"], df["text"]):
+            t = _tokens(s)
+            if len(t) < 3:
+                continue
+            seen = {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+            ids.extend([int(doc_id)] * len(seen))
+            shs.extend(sorted(seen))
+        return pd.DataFrame(
+            {"s": shs, "doc_id": np.array(ids, dtype="int64")}
+        )
+
+    sh = docs.map_batches(shingle_rows, batch_format="pandas")
+
+    # per-doc shingle-set sizes (doc-keyed bucketed count). Kept as a
+    # Dataset: only the candidate docs' sizes ever reach the driver.
+    sizes_ds = bucketed_group_reduce(
+        sh, ["doc_id"],
+        lambda df: df.groupby("doc_id", sort=False).size().rename("m").reset_index(),
+        lambda g: g.groupby("doc_id", sort=False, as_index=False)["m"].sum(),
+        n_buckets=32,
+    )
+
+    # candidate pairs from rare shingles (shingle-keyed bucketed reduce;
+    # each batch pre-dedupes, the bucket sees every row of its shingles)
+    def cand_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("s", sort=False):
+            d = np.unique(grp["doc_id"].to_numpy(dtype="int64"))
+            if 2 <= len(d) <= CONTAINMENT_RARE_MAX:
+                for i in range(len(d)):
+                    for j in range(i + 1, len(d)):
+                        out_a.append(d[i])
+                        out_b.append(d[j])
+        return pd.DataFrame(
+            {"da": np.array(out_a, dtype="int64"),
+             "db": np.array(out_b, dtype="int64")}
+        ).drop_duplicates()
+
+    cands = bucketed_group_reduce(
+        sh, ["s"], lambda df: df.drop_duplicates(), cand_reduce, n_buckets=32,
+    ).to_pandas().drop_duplicates()
+
+    # overlap counts for candidates only: partner map broadcast, shingle
+    # buckets emit one (da, db) row per co-occurring shingle
+    partners: dict[int, list[int]] = {}
+    for a, b in zip(cands["da"].astype(int), cands["db"].astype(int)):
+        partners.setdefault(a, []).append(b)
+    pref = _ray.put({k: set(v) for k, v in partners.items()})
+
+    def overlap_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        pm = _ray.get(pref)
+        counts: dict = {}
+        for _, grp in g.groupby("s", sort=False):
+            d = np.unique(grp["doc_id"].to_numpy(dtype="int64"))
+            if len(d) < 2:
+                continue
+            dset = set(int(x) for x in d)
+            for a in dset:
+                ps = pm.get(a)
+                if not ps:
+                    continue
+                for b in ps & dset:
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+        ks = list(counts.keys())
+        return pd.DataFrame(
+            {"da": np.array([k[0] for k in ks], dtype="int64"),
+             "db": np.array([k[1] for k in ks], dtype="int64"),
+             "ov": np.fromiter(counts.values(), dtype="int64")}
+        )
+
+    ov = bucketed_group_reduce(
+        sh, ["s"], lambda df: df.drop_duplicates(), overlap_reduce, n_buckets=32,
+    ).to_pandas()
+    if not len(ov):
+        return pd.DataFrame(
+            {"doc_a": pd.array([], dtype="int64"),
+             "doc_b": pd.array([], dtype="int64"),
+             "overlap": pd.array([], dtype="int64"),
+             "containment_bp": pd.array([], dtype="int64")}
+        )
+    ix = ov.groupby(["da", "db"], sort=False, as_index=False)["ov"].sum().rename(
+        columns={"ov": "overlap"}
+    )
+    need = set(ix["da"].astype(int)) | set(ix["db"].astype(int))
+    nref = _ray.put(need)
+    sizes = sizes_ds.map_batches(
+        lambda df: df[df["doc_id"].isin(_ray.get(nref))], batch_format="pandas"
+    ).to_pandas()
+    m_of = dict(zip(sizes["doc_id"].astype(int), sizes["m"].astype(int)))
+    ix["min_m"] = np.minimum(
+        ix["da"].map(m_of).to_numpy(dtype="int64"),
+        ix["db"].map(m_of).to_numpy(dtype="int64"),
+    )
+    keep = ix.loc[ix["overlap"] * 10 >= int(CONTAINMENT_TAU * 10) * ix["min_m"]].copy()
+    keep["containment_bp"] = (10000 * keep["overlap"] + keep["min_m"] // 2) // keep["min_m"]
+    keep = keep.rename(columns={"da": "doc_a", "db": "doc_b"})
+    for c in ("doc_a", "doc_b", "overlap", "containment_bp"):
+        keep[c] = keep[c].astype("int64")
+    return keep[["doc_a", "doc_b", "overlap", "containment_bp"]]
+
+
 QUERIES = {
     "f1_remove_special": f1_remove_special,
     "f2_upper_invariant": f2_upper_invariant,
@@ -4742,6 +4959,9 @@ QUERIES = {
     "top_orders_per_priority_dense": top_orders_per_priority_dense,
     "doc_trigram_top20": doc_trigram_top20,
     "semdedup_embeddings": semdedup_embeddings,
+    "doc_token_entropy": doc_token_entropy,
+    "events_csv_source": events_csv_source,
+    "dedup_containment": dedup_containment,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -6530,3 +6750,54 @@ SQL["semdedup_embeddings"] = """
                dup.dup_of IS NULL AS kept
         FROM b LEFT JOIN dup ON b.vec_id = dup.va
     """
+
+# ---- round-3 wave-3 oracles ----------------------------------------------
+SQL["doc_token_entropy"] = r"""
+    WITH tk AS (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+    c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    s AS (SELECT doc_id,
+                 CAST(sum(CAST(round(c * ln(c) * 1000000) AS BIGINT))
+                      AS BIGINT) AS sc,
+                 CAST(sum(c) AS BIGINT) AS n
+          FROM c GROUP BY 1)
+    SELECT doc_id, n AS n_tokens,
+           CAST(round(n * ln(n) * 1000000) AS BIGINT) - sc AS ent_n_micro
+    FROM s
+"""
+SQL["events_csv_source"] = """
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_micro,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+"""
+SQL["dedup_containment"] = r"""
+    WITH tk AS (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+           FROM tk, unnest(range(1, len(toks) - 1)) AS r(i)
+           WHERE len(toks) >= 3),
+    rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+    cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
+             WHERE a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY 1),
+    inter AS (SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS overlap
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.da
+              JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+              GROUP BY 1, 2)
+    SELECT i.da AS doc_a, i.db AS doc_b, i.overlap,
+           CAST((10000 * i.overlap + least(sa.m, sb.m) // 2)
+                // least(sa.m, sb.m) AS BIGINT) AS containment_bp
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.da
+    JOIN sz sb ON sb.doc_id = i.db
+    WHERE i.overlap * 10 >= 8 * least(sa.m, sb.m)
+"""

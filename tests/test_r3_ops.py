@@ -116,3 +116,33 @@ def test_semdedup_planted_dup(emb_dir, ray_session):
     # the anti-parallel vector flips every sign: different bucket, kept
     assert bool(by_id.loc[40, "kept"])
     assert int(by_id.loc[40, "dup_of"]) == -1
+
+
+@pytest.fixture()
+def contain_dir(tmp_path):
+    """Documents with a planted containment pair: doc 2 is a strict subset
+    (prefix) of doc 1; doc 3 shares a rare shingle but low containment."""
+    big = " ".join(f"w{i}" for i in range(40))
+    small = " ".join(f"w{i}" for i in range(12))          # contained in big
+    other = "w0 w1 w2 " + " ".join(f"z{i}" for i in range(30))
+    filler = [" ".join(f"f{i}_{d}" for i in range(20)) for d in range(4)]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(1, 8, dtype="int64"),
+         "text": [big, small, other] + filler,
+         "lang": "en", "source": "t", "n_chars": 0}
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_containment_planted_subset(contain_dir, ray_session):
+    from rayextract.queries import dedup_containment
+
+    out = dedup_containment(contain_dir)
+    pairs = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+    assert (1, 2) in pairs  # subset detected
+    row = out.set_index(["doc_a", "doc_b"]).loc[(1, 2)]
+    assert int(row["overlap"]) == 10          # 12 tokens -> 10 shingles, all shared
+    assert int(row["containment_bp"]) == 10000
+    assert (1, 3) not in pairs                # shares one rare shingle, low containment
