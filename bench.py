@@ -150,6 +150,11 @@ def run_queries() -> dict[str, float]:
         "orders_enriched",
         "embedding_lsh_buckets",
         "dedup_incremental",
+        "q10_returned_items",
+        "heavy_hitters_tokens",
+        "semdedup_embeddings",
+        "dedup_containment",
+        "doc_token_entropy",
     ]
     out = {}
     for name in picks:

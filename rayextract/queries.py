@@ -1724,6 +1724,25 @@ def transcript_extract(sf_dir: str):
     return build_conv_fields(turns, cfg)
 
 
+def transcript_extract_salted(sf_dir: str):
+    """The SAME extraction pipeline as transcript_extract but with the
+    salted two-stage conv fold engaged (salt_buckets=4) — the hot-key path
+    the north rule requires for skew from pathologically long
+    conversations: partials pre-merge under (conv_id, salt) so no single
+    reducer sees more than 1/salt of a hot conversation's partial stream.
+    Driver-gated against the IDENTICAL SQL oracle as the unsalted path,
+    proving the salt pre-pass is bit-invariant (the winner encoding is an
+    order-free min; the fold docstring states the contract, this query
+    puts it under the value-hash gate)."""
+    from dataclasses import replace
+
+    from .pipeline import build_conv_fields, build_turns
+
+    cfg = replace(_cluster_cfg(), salt_buckets=4)
+    turns = build_turns(_docs_to_transcripts(sf_dir), cfg)
+    return build_conv_fields(turns, cfg)
+
+
 def curate_transcripts(sf_dir: str):
     """Flagship composition: the full extraction pipeline feeding a
     training-set selection gate — keep conversations with an extracted
@@ -4903,6 +4922,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "k2_annotation_quads": k2_annotation_quads,
     "transcript_extract": transcript_extract,
+    "transcript_extract_salted": transcript_extract_salted,
     "curate_transcripts": curate_transcripts,
     "transcript_turn_stats": transcript_turn_stats,
     "resume_manifest_audit": resume_manifest_audit,
@@ -6801,3 +6821,6 @@ SQL["dedup_containment"] = r"""
     JOIN sz sb ON sb.doc_id = i.db
     WHERE i.overlap * 10 >= 8 * least(sa.m, sb.m)
 """
+
+# salted fold must be bit-identical to the unsalted oracle
+SQL["transcript_extract_salted"] = SQL["transcript_extract"]
