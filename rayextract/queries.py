@@ -4698,7 +4698,10 @@ def events_csv_source(sf_dir: str):
         t = pq.read_table(src, columns=["event_id", "event_type", "value", "ts"])
         import pyarrow.csv as pacsv
 
-        pacsv.write_csv(t, os.path.join(csv_dir, "events.csv"))
+        # write-then-rename: a concurrent run never reads a torn CSV
+        tmp = os.path.join(csv_dir, f".events.{os.getpid()}.csv")
+        pacsv.write_csv(t, tmp)
+        os.replace(tmp, os.path.join(csv_dir, "events.csv"))
         with open(done, "w") as f:
             f.write("ok")
 
