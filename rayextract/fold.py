@@ -192,15 +192,30 @@ def fold_conversations(
             reduce_format="pyarrow",
             stage1_format="pyarrow",
             arrow_exchange=True,
+            stage1_batch_size=stage1_batch_size,
         )
+
+        def pin_partials(t: pa.Table) -> pd.DataFrame:
+            # re-pin enc_* to pandas "string" dtype before the second
+            # arrow_exchange: a stage-1 batch whose rare field is all-NA
+            # would otherwise infer Arrow null type via object dtype and
+            # conflict with string-typed batches at exchange concat (the
+            # hazard bucketed.py's arrow_exchange docstring warns about)
+            df = t.to_pandas()
+            for c in _ENC_COLS:
+                df[c] = df[c].astype("string")
+            return df
+
         final = bucketed_group_reduce(
             pre, ["conv_id"],
-            lambda df: df,  # already wide partials
+            pin_partials,  # already wide partials; dtype pinning only
             decode_final_arrow,
             n_buckets=n_buckets,
             num_partitions=num_partitions,
             reduce_format="pyarrow",
+            stage1_format="pyarrow",
             arrow_exchange=True,
+            stage1_batch_size=stage1_batch_size,
         )
         return final
     return bucketed_group_reduce(

@@ -4143,8 +4143,6 @@ def q10_returned_items(sf_dir: str):
     as q7/q18 — orders is a fact table, never broadcast); the per-customer
     aggregate is customer-bounded and the name/nation dims attach by
     broadcast-size driver reads at the very end."""
-    import ray as _ray
-
     from .bucketed import bucketed_group_reduce
 
     def l_proj(df: pd.DataFrame) -> pd.DataFrame:
@@ -4421,6 +4419,9 @@ def q22_dormant_rich_customers(sf_dir: str):
 
 
 HH_CAPACITY = 100_000  # Misra-Gries capacity; > corpus vocab at driver scales
+# marker token carrying a partial's truncation residual through the exchange;
+# \x00 cannot appear in whitespace-split tokens of the driver corpora
+HH_ERR_TOKEN = "\x00mg_err"
 
 
 def _mg_truncate(t: pd.DataFrame, capacity: int) -> pd.DataFrame:
@@ -4449,9 +4450,14 @@ def heavy_hitters_tokens(sf_dir: str):
     the bounded-memory sketch a 100 TB token-frequency pass uses instead of
     an exact (vocab-sized) groupby. Each batch builds exact counts then
     truncates to HH_CAPACITY entries Misra-Gries-style (subtract the
-    (C+1)-th count, drop <=0, carry the subtraction as ``err``); partials
-    merge by bucketed sum (counts AND errs are both associative sums). The
-    guarantee ships with the row: true_count in [n, n + err_bound].
+    (C+1)-th count, drop <=0, carry the subtraction as ``err``); partial
+    counts merge by bucketed sum, and every row reports the GLOBAL error
+    bound: true_count in [n, n + err_bound] where err_bound is the sum of
+    ALL partials' truncation residuals — a token dropped by a truncating
+    batch loses that batch's err row too, so per-token err sums understate
+    the bound (the round-3 review caught exactly that); the global sum is
+    carried by one marker row per partial (token "\\x00mg_err", n=0) that
+    merges in its own bucket and is peeled off before the top-k.
 
     At driver scales the corpus vocabulary is far below HH_CAPACITY, so no
     truncation fires, err_bound = 0, and the result equals the exact top-40
@@ -4469,10 +4475,19 @@ def heavy_hitters_tokens(sf_dir: str):
         t = pd.DataFrame(
             {"token": list(c.keys()), "n": np.fromiter(c.values(), dtype="int64")}
         )
-        return _mg_truncate(t, HH_CAPACITY)
+        t = _mg_truncate(t, HH_CAPACITY)
+        err = int(t["err"].iloc[0]) if len(t) else 0
+        marker = pd.DataFrame(
+            {"token": [HH_ERR_TOKEN], "n": np.array([0], dtype="int64"),
+             "err": np.array([err], dtype="int64")}
+        )
+        return pd.concat([t, marker], ignore_index=True)
 
     from .bucketed import bucketed_group_reduce
 
+    # merged summary is sketch-sized (<= capacity survivors per truncating
+    # partial; vocab-bounded otherwise) — materialize once so the top-k and
+    # the marker peel don't recompute the corpus scan
     counts = bucketed_group_reduce(
         _read(sf_dir, "documents", ["text"]),
         ["token"], partial,
@@ -4480,11 +4495,24 @@ def heavy_hitters_tokens(sf_dir: str):
             n=("n", "sum"), err=("err", "sum")
         ),
         n_buckets=32,
+    ).materialize()
+
+    def peel_marker(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["token"] == HH_ERR_TOKEN, ["err"]]
+
+    total_err = int(
+        counts.map_batches(peel_marker, batch_format="pandas")
+        .to_pandas()["err"].sum()
     )
+
+    def drop_marker(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["token"] != HH_ERR_TOKEN]
+
     from .relational import topk
 
-    out = topk(counts, "n", 40, tiebreak="token")
-    out = out.rename(columns={"err": "err_bound"})
+    out = topk(counts.map_batches(drop_marker, batch_format="pandas"),
+               "n", 40, tiebreak="token")
+    out["err_bound"] = np.int64(total_err)
     out["n"] = out["n"].astype("int64")
     out["err_bound"] = out["err_bound"].astype("int64")
     return out[["token", "n", "err_bound"]]
@@ -4516,6 +4544,13 @@ def top_orders_per_priority_dense(sf_dir: str):
         _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
         .map_batches(partial, batch_format="pandas").to_pandas()
     )
+    if not len(parts):  # empty/filtered-out orders table (no columns either)
+        return pd.DataFrame(
+            {"o_orderpriority": pd.array([], dtype="string"),
+             "o_orderkey": pd.array([], dtype="int64"),
+             "total_cents": pd.array([], dtype="int64"),
+             "rnk": pd.array([], dtype="int64")}
+        )
     out_rows = []
     for pri, g in parts.groupby("o_orderpriority", sort=False):
         top3 = np.sort(g["total_cents"].unique())[::-1][:3]
@@ -4608,11 +4643,12 @@ def semdedup_embeddings(sf_dir: str):
             grp = grp.sort_values("vec_id", kind="stable")
             ids = grp["vec_id"].to_numpy(dtype="int64")
             X = np.vstack(grp["x"].to_numpy())
-            nrm = [int(v) for v in (X.astype(object) * X.astype(object)).sum(axis=1)]
+            Xo = X.astype(object)  # one conversion per bucket, not per pair
+            nrm = [int(v) for v in (Xo * Xo).sum(axis=1)]
             dup_of = np.full(len(ids), -1, dtype="int64")
             for a in range(1, len(ids)):
                 for b in range(a):
-                    num = int(np.dot(X[a].astype(object), X[b].astype(object)))
+                    num = int(np.dot(Xo[a], Xo[b]))
                     if num > 0 and num * num * 100 >= 16 * nrm[a] * nrm[b]:
                         dup_of[a] = ids[b]
                         break  # ids sorted ascending: first hit is smallest
@@ -4690,7 +4726,12 @@ def events_csv_source(sf_dir: str):
     import ray.data as _rd
 
     src = os.path.join(sf_dir, "events.parquet")
-    key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    # cache key covers path + mtime + size: a regenerated corpus at the
+    # same path invalidates the export instead of serving stale rows
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     csv_dir = f"/tmp/rayextract_csv/{key}"
     done = os.path.join(csv_dir, "_done")
     if not os.path.exists(done):
@@ -4767,7 +4808,11 @@ def dedup_containment(sf_dir: str):
             {"s": shs, "doc_id": np.array(ids, dtype="int64")}
         )
 
-    sh = docs.map_batches(shingle_rows, batch_format="pandas")
+    # three consumers (sizes, candidates, overlap) read the shingle stream:
+    # materialize it once instead of re-tokenizing the corpus three times.
+    # At 100 TB the equivalent is persisting the shingle stream to parquet
+    # (checkpoint) between the passes — same pattern as kmeans_embeddings.
+    sh = docs.map_batches(shingle_rows, batch_format="pandas").materialize()
 
     # per-doc shingle-set sizes (doc-keyed bucketed count). Kept as a
     # Dataset: only the candidate docs' sizes ever reach the driver.

@@ -146,3 +146,28 @@ def test_containment_planted_subset(contain_dir, ray_session):
     assert int(row["overlap"]) == 10          # 12 tokens -> 10 shingles, all shared
     assert int(row["containment_bp"]) == 10000
     assert (1, 3) not in pairs                # shares one rare shingle, low containment
+
+
+def test_heavy_hitters_marker_hygiene(ray_session):
+    """The MG error-marker row never leaks into the output, and the global
+    err bound is one constant per run (0 in the exact regime)."""
+    from rayextract.queries import heavy_hitters_tokens
+
+    out = heavy_hitters_tokens("/root/testdata/sf0.001")
+    assert not out["token"].str.contains("\x00").any()
+    assert out["err_bound"].nunique() == 1
+    assert int(out["err_bound"].iloc[0]) == 0  # vocab << capacity
+
+
+def test_dense_rank_empty_orders(tmp_path, ray_session):
+    from rayextract.queries import top_orders_per_priority_dense
+
+    df = pd.DataFrame(
+        {"o_orderkey": pd.array([], dtype="int64"),
+         "o_orderpriority": pd.array([], dtype="string"),
+         "o_totalprice": pd.array([], dtype="float64")}
+    )
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp_path, "orders.parquet"))
+    out = top_orders_per_priority_dense(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["o_orderpriority", "o_orderkey", "total_cents", "rnk"]
