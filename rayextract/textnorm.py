@@ -96,15 +96,18 @@ def upper_invariant_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
 def keyword_mask(upper_arr: pa.Array | pa.ChunkedArray, keys_upper: tuple[str, ...]) -> pa.Array:
     """F3: boolean mask — any key is a substring of the (already upper) text.
 
-    OR-fold of ``pc.match_substring`` per key (Worker.cs:216-220); gate cheap
-    stages before the expensive tagger actor stage.
+    Semantics: OR over literal substring matches (Worker.cs:216-220). One
+    RE2 alternation of escaped literals instead of an OR-fold of per-key
+    ``pc.match_substring`` passes: the per-key fold re-scanned the whole
+    column once per key (18 keys = 18x the column's DRAM traffic — the
+    parse stage is memory-bandwidth-bound at high core counts, see
+    BASELINE.md round-3 scaling notes). Literal alternation in RE2 is
+    prefiltered internally; equivalence with the substring OR is exact.
     """
     if not keys_upper:
         return pc.equal(pc.utf8_length(upper_arr), -1)  # all-false of right length
-    mask = pc.match_substring(upper_arr, keys_upper[0])
-    for k in keys_upper[1:]:
-        mask = pc.or_(mask, pc.match_substring(upper_arr, k))
-    return mask
+    pattern = "|".join(re.escape(k) for k in keys_upper)
+    return pc.match_substring_regex(upper_arr, pattern)
 
 
 def contains_any(upper_text: str, keys_upper: tuple[str, ...]) -> bool:
