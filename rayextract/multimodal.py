@@ -371,3 +371,64 @@ def wav_features(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class WavDspDecoder(WavPcmDecoder):
+    """Real-codec audio FEATURE extraction (not just stats): decodes the
+    RIFF/WAV container with the stdlib codec, then computes waveform DSP —
+    zero-crossing count and absolute-amplitude sum (integer-exact, SQL-
+    oracle-able because the fixture samples are arithmetic), plus the FFT
+    spectral centroid in Hz (numpy rfft — real frequency-domain analysis;
+    float, so its query is rows-only and the physics is pinned by a
+    pure-tone pytest)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ns, zcrs, abs_sums, cents = [], [], [], []
+        for payload in t.column("payload").to_pylist():
+            try:
+                import io
+
+                with self._wave.open(io.BytesIO(payload), "rb") as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError("expected mono PCM16")
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    s = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+                zcr = int(np.sum(s[:-1] * s[1:] < 0)) if n > 1 else 0
+                abs_sum = int(np.abs(s).sum())
+                if n > 1:
+                    mag = np.abs(np.fft.rfft(s.astype(np.float64)))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+                    denom = mag.sum()
+                    cent = float((mag * freqs).sum() / denom) if denom > 0 else 0.0
+                else:
+                    cent = 0.0
+            except Exception:
+                n, zcr, abs_sum, cent = -1, 0, 0, 0.0
+            ns.append(n)
+            zcrs.append(zcr)
+            abs_sums.append(abs_sum)
+            cents.append(cent)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "n_samples": pa.array(ns, pa.int64()),
+                "zcr": pa.array(zcrs, pa.int64()),
+                "abs_sum": pa.array(abs_sums, pa.int64()),
+                "centroid_hz": pa.array(cents, pa.float64()),
+            }
+        )
+
+
+def wav_dsp_features(
+    media: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4)
+) -> "ray.data.Dataset":
+    """(media_id, payload) WAV table -> waveform + spectral features via the
+    real stdlib codec and numpy FFT in an actor pool."""
+    return media.map_batches(
+        WavDspDecoder,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

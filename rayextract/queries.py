@@ -4902,6 +4902,48 @@ def dedup_containment(sf_dir: str):
     return keep[["doc_a", "doc_b", "overlap", "containment_bp"]]
 
 
+def audio_zcr_stats(sf_dir: str):
+    """Real-WAV waveform DSP under the FULL value-hash gate: per document a
+    genuine RIFF/WAV PCM16 container is synthesized (integer-arithmetic
+    samples), DECODED by the stdlib codec in an actor pool, and reduced to
+    zero-crossing count + absolute-amplitude sum — integer-exact features
+    the oracle regenerates arithmetically (lag window over the sample
+    formula). Any codec bug (header, endianness, frame count) or DSP bug
+    breaks the hash. Zero shuffle; decode+DSP per batch."""
+    from .multimodal import synth_wav_batch, wav_dsp_features
+
+    media = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_wav_batch, batch_format="pyarrow"
+    )
+    feats = wav_dsp_features(media)
+    import pyarrow as pa
+
+    def ints_only(t: pa.Table) -> pa.Table:
+        return t.select(["media_id", "n_samples", "zcr", "abs_sum"])
+
+    return feats.map_batches(ints_only, batch_format="pyarrow")
+
+
+def audio_spectral_centroid(sf_dir: str):
+    """FFT spectral centroid per decoded WAV clip — real frequency-domain
+    feature extraction (numpy rfft over the real-codec PCM). Floats are not
+    SQL-recomputable (no FFT in DuckDB), so this is a rows-only driver row;
+    the physics is pinned by tests/test_r3_ops.py::test_spectral_centroid
+    (pure tones land within one bin of their frequency)."""
+    from .multimodal import synth_wav_batch, wav_dsp_features
+
+    media = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_wav_batch, batch_format="pyarrow"
+    )
+    feats = wav_dsp_features(media)
+    import pyarrow as pa
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["media_id", "centroid_hz"])
+
+    return feats.map_batches(proj, batch_format="pyarrow")
+
+
 QUERIES = {
     "f1_remove_special": f1_remove_special,
     "f2_upper_invariant": f2_upper_invariant,
@@ -5030,6 +5072,8 @@ QUERIES = {
     "doc_token_entropy": doc_token_entropy,
     "events_csv_source": events_csv_source,
     "dedup_containment": dedup_containment,
+    "audio_zcr_stats": audio_zcr_stats,
+    "audio_spectral_centroid": audio_spectral_centroid,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -6872,3 +6916,18 @@ SQL["dedup_containment"] = r"""
 
 # salted fold must be bit-identical to the unsalted oracle
 SQL["transcript_extract_salted"] = SQL["transcript_extract"]
+
+SQL["audio_zcr_stats"] = """
+    WITH d AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+    s AS (SELECT doc_id, i, ((doc_id * 31 + i * 7919) % 65536) - 32768 AS v
+          FROM d, unnest(range(n)) AS r(i)),
+    p AS (SELECT doc_id, v,
+                 lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+          FROM s)
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(count(*) FILTER (pv IS NOT NULL AND pv * v < 0) AS BIGINT)
+               AS zcr,
+           CAST(sum(abs(v)) AS BIGINT) AS abs_sum
+    FROM p GROUP BY 1
+"""

@@ -171,3 +171,31 @@ def test_dense_rank_empty_orders(tmp_path, ray_session):
     out = top_orders_per_priority_dense(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["o_orderpriority", "o_orderkey", "total_cents", "rnk"]
+
+
+def test_spectral_centroid_pure_tones():
+    """A pure sine's spectral centroid lands within one FFT bin of its
+    frequency (direct decoder test, no Ray)."""
+    import pyarrow as pa
+
+    from rayextract.multimodal import WavDspDecoder, wav_encode
+
+    sr, n = 16000, 1024
+    rows = []
+    # phase offset keeps crossings off exact-zero samples (a bin-aligned
+    # tone's crossings land ON zeros, where strict sign-product zcr
+    # correctly counts nothing)
+    for mid, f in [(1, 1000.0), (2, 3000.0), (3, 6000.0)]:
+        t = np.arange(n) / sr
+        s = (20000 * np.sin(2 * np.pi * f * t + 0.3)).astype("<i2")
+        rows.append((mid, wav_encode(s.astype(np.int64), sr)))
+    tbl = pa.table(
+        {"media_id": pa.array([r[0] for r in rows], pa.int64()),
+         "payload": pa.array([r[1] for r in rows], pa.binary())}
+    )
+    out = WavDspDecoder()(tbl).to_pandas().set_index("media_id")
+    bin_hz = sr / n
+    for mid, f in [(1, 1000.0), (2, 3000.0), (3, 6000.0)]:
+        assert abs(out.loc[mid, "centroid_hz"] - f) < 2 * bin_hz
+    # zcr of a 1 kHz tone over 1024/16000 s: ~2 crossings per cycle
+    assert abs(int(out.loc[1, "zcr"]) - 2 * 1000 * n // sr) <= 4
