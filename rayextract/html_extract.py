@@ -28,6 +28,9 @@ MIN_BLOCK_CHARS = 25      # blocks shorter than this are boilerplate fragments
 MAX_LINK_DENSITY = 0.33   # fraction of block text inside <a> links
 
 _WS = re.compile(r"\s+")
+# any whitespace that r"\s+" -> " " would actually CHANGE: a run of two
+# spaces, or any \s char that isn't a plain space (incl. unicode spaces)
+_WS_ODD = re.compile(r"[^\S ]|  ")
 
 
 class _Block:
@@ -39,7 +42,10 @@ class _Block:
         self.order = order
 
     def text(self) -> str:
-        return _WS.sub(" ", "".join(self.parts)).strip()
+        j = "".join(self.parts)
+        if _WS_ODD.search(j) is None:  # sub would be a no-op: skip the copy
+            return j.strip()
+        return _WS.sub(" ", j).strip()
 
 
 class _BlockParser(HTMLParser):
@@ -319,8 +325,115 @@ class _FastBlockParser:
         self._flush()
 
 
+# --- bulk-split fast path for "simple" documents ---------------------------
+# Eligibility (ONE C-speed fullmatch): every '<' opens a well-formed start
+# tag (attrs may carry quotes, but no '<'/'>' inside them — where stdlib's
+# tolerant attr regex could disagree on tag extent) or a plain '</name>'
+# end tag. No comments, PIs, declarations, unterminated constructs, or
+# script/style (CDATA semantics) — those take the general scanner. For
+# eligible docs ONE re.split tokenizes the whole document in C and the
+# state machine walks the parts without any per-tag regex calls.
+_SIMPLE_ATTRS = r"(?:[^<>\"']|\"[^\"<>]*\"|'[^'<>]*')*"
+_SIMPLE_DOC = re.compile(
+    rf"(?:[^<]+|<[a-zA-Z][^\t\n\r\f />\x00]*{_SIMPLE_ATTRS}>"
+    rf"|</[a-zA-Z][-.a-zA-Z0-9:_]*>)*\Z"
+)
+_SIMPLE_SPLIT = re.compile(
+    rf"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)({_SIMPLE_ATTRS})>"
+)
+def _simple_blocks(html: str) -> "list[_Block] | None":
+    """Block list via the bulk tokenizer, or None if the doc is ineligible
+    (caller falls back to the exact general scanner). Output is
+    byte-identical to _BlockParser on eligible docs (parity-tested
+    exhaustively on the corpus + fuzz suite)."""
+    if _SIMPLE_DOC.fullmatch(html) is None:
+        return None
+    parts = _SIMPLE_SPLIT.split(html)
+    # script/style need CDATA semantics -> general scanner (names sit at
+    # parts[2::4] after the split; any casing)
+    for nm in parts[2::4]:
+        if nm in ("script", "style") or nm.lower() in ("script", "style"):
+            return None
+    blocks: list[_Block] = []
+    cur: _Block | None = None
+    chrome = 0
+    link = 0
+    nblk = 0
+    # parts = [data0, slash1, name1, attrs1, data1, slash2, name2, ...]
+    i, n = 0, len(parts)
+    while True:
+        data = parts[i]
+        if data and chrome == 0:
+            if "&" in data:
+                data = _unescape(data)
+            if cur is None:
+                cur = _Block(nblk)
+                nblk += 1
+            cur.parts.append(data)
+            if link > 0:
+                cur.link_chars += len(data.strip())
+        i += 1
+        if i >= n:
+            break
+        closing, tag, attrs = parts[i], parts[i + 1], parts[i + 2]
+        i += 3
+        tag = tag.lower()
+        if closing:
+            # inline handle_endtag
+            if tag in CHROME_TAGS:
+                chrome = chrome - 1 if chrome > 0 else 0
+                continue
+            if tag == "a":
+                link = link - 1 if link > 0 else 0
+            if tag in BLOCK_TAGS:
+                if cur is not None and cur.parts:
+                    blocks.append(cur)
+                cur = None
+            continue
+        selfclosing = attrs.endswith("/")
+        # inline handle_starttag (script/style excluded by eligibility)
+        if tag in CHROME_TAGS:
+            chrome += 1
+            if cur is not None and cur.parts:
+                blocks.append(cur)
+            cur = None
+            if selfclosing:
+                chrome = chrome - 1 if chrome > 0 else 0
+            continue
+        if tag == "a":
+            link += 1
+        if tag in BLOCK_TAGS:
+            if cur is not None and cur.parts:
+                blocks.append(cur)
+            cur = _Block(nblk)
+            nblk += 1
+        elif tag == "br" and cur is not None:
+            cur.parts.append(" ")
+        if selfclosing:
+            if tag == "a":
+                link = link - 1 if link > 0 else 0
+            if tag in BLOCK_TAGS:
+                if cur is not None and cur.parts:
+                    blocks.append(cur)
+                cur = None
+    if cur is not None and cur.parts:
+        blocks.append(cur)
+    return blocks
+
+
 def extract_blocks(html: str) -> list[tuple[str, float, bool]]:
     """[(block_text, link_density, kept)] in document order."""
+    simple = _simple_blocks(html)
+    if simple is not None:
+        out = []
+        for b in simple:
+            t = b.text()
+            if not t:
+                continue
+            ld = b.link_chars / max(1, len(t))
+            kept = len(t) >= MIN_BLOCK_CHARS and ld <= MAX_LINK_DENSITY
+            out.append((t, ld, kept))
+        return out
     p = _FastBlockParser()
     try:
         p.feed(html)
