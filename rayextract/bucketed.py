@@ -40,7 +40,7 @@ def bucketed_group_reduce(
     bucket_reduce_fn: Callable[[pd.DataFrame], "pd.DataFrame | object"],
     n_buckets: int = 64,
     num_partitions: int | None = None,
-    stage1_batch_size: int | None = 8192,
+    stage1_batch_size: int | None = 32768,
     reduce_format: str = "pandas",
     stage1_format: str = "pandas",
     arrow_exchange: bool = False,
@@ -93,11 +93,13 @@ def bucketed_group_reduce(
         return out
 
     # big stage1 batches: the per-batch partial combine collapses more
-    # duplicate keys locally, shrinking the shuffle (fold 14.5s -> 11.2s).
-    # 8192 measured best across corpus sizes — whole-block batches
-    # (batch_size=None) won at 3.5M turns but lost ~30% at 1.2M turns
-    # (interleaved A/B both times); pass None explicitly for conv-contiguous
-    # jobs big enough to amortize.
+    # duplicate keys locally, so the exchange sees fewer partial rows AND
+    # fewer input blocks — the exchange's FIXED cost, not merge compute,
+    # is the wall for every aggregate-sized reduce (the fold measured
+    # 5.2s -> 0.75s going 8192 -> 65536 at sf0.1; round-3 default raised
+    # 8192 -> 32768 for all bucketed reduces, ~23 MB of raw doc rows per
+    # task heap worst case). batch_size=None (whole blocks) is WORSE when
+    # upstream blocks are small — don't.
     partials = ds.map_batches(stage1, batch_format=stage1_format,
                               batch_size=stage1_batch_size)
 
