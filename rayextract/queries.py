@@ -4944,6 +4944,93 @@ def audio_spectral_centroid(sf_dir: str):
     return feats.map_batches(proj, batch_format="pyarrow")
 
 
+def orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth — the lag-over-AGGREGATE window
+    shape (event_transitions lags over raw rows; this lags over a grouped
+    series). Monthly integer-cent revenue comes from the bucketed combiner;
+    the month series is calendar-bounded, so the lag/growth math runs on
+    the driver over an aggregate-sized frame. growth_bp is integer basis
+    points (floor division, signed); the first month carries a -1e9
+    sentinel (no prior month)."""
+    from .bucketed import grouped_sum_count
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"month": df["o_orderdate"].dt.strftime("%Y-%m"),
+             "cents": _cents(df["o_totalprice"])}
+        )
+
+    monthly = grouped_sum_count(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            proj, batch_format="pandas"
+        ),
+        ["month"], sums=["cents"], counts=True, n_buckets=16,
+    ).to_pandas().sort_values("month").reset_index(drop=True)
+    rev = monthly["sum_cents"].to_numpy(dtype="int64")
+    prev = np.roll(rev, 1)
+    diff = rev - prev
+    # DuckDB integer // truncates toward zero; numpy floors — compute as
+    # sign * (|diff| * 10000 // |prev|) so both engines agree on negatives
+    growth = np.where(
+        prev != 0,
+        np.sign(diff) * (np.abs(diff) * 10000 // np.maximum(np.abs(prev), 1)),
+        np.int64(0),
+    ).astype("int64")
+    out = pd.DataFrame(
+        {"month": monthly["month"],
+         "revenue_cents": rev,
+         "n_orders": monthly["n"].astype("int64"),
+         "growth_bp": growth}
+    )
+    if len(out):
+        out.loc[0, "growth_bp"] = -(10 ** 9)  # first month: no prior
+    out["growth_bp"] = out["growth_bp"].astype("int64")
+    return out
+
+
+def event_anomaly_days(sf_dir: str):
+    """Integer-exact volume-anomaly detection: flag (event_type, day) cells
+    whose event count deviates from the type's mean by more than two
+    standard deviations. The 2-sigma test runs WITHOUT floats:
+    |x - S/N| > 2*sqrt((N*Q - S^2))/N  <=>  (x*N - S)^2 > 4*(N*Q - S^2)
+    with S = sum(counts), Q = sum(counts^2), N = #days — pure integer
+    arithmetic on both engines (HUGEINT in SQL), so the flag is bit-stable.
+    Day-count cells are a bounded aggregate (types x days); one combiner
+    exchange, driver-side flag math over the aggregate."""
+    from .bucketed import grouped_sum_count
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"],
+             "day": df["ts"].dt.strftime("%Y-%m-%d")}
+        )
+
+    cells = grouped_sum_count(
+        _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            proj, batch_format="pandas"
+        ),
+        ["event_type", "day"], sums=[], counts=True, n_buckets=16,
+    ).to_pandas()
+    out_rows = []
+    for et, g in cells.groupby("event_type", sort=False):
+        x = g["n"].to_numpy(dtype="int64")
+        n_days = len(x)
+        s = int(x.sum())
+        q = int((x.astype(object) * x.astype(object)).sum())
+        var_num = n_days * q - s * s  # N^2 * variance (exact int)
+        dev = x.astype(object) * n_days - s
+        flag = np.array(
+            [int(d) * int(d) > 4 * var_num for d in dev], dtype=bool
+        )
+        out_rows.append(pd.DataFrame(
+            {"event_type": et, "day": g["day"].to_numpy(),
+             "n": x, "is_anomaly": flag}
+        ))
+    out = pd.concat(out_rows, ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "day", "n", "is_anomaly"]]
+
+
 QUERIES = {
     "f1_remove_special": f1_remove_special,
     "f2_upper_invariant": f2_upper_invariant,
@@ -5074,6 +5161,8 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "audio_zcr_stats": audio_zcr_stats,
     "audio_spectral_centroid": audio_spectral_centroid,
+    "orders_monthly_growth": orders_monthly_growth,
+    "event_anomaly_days": event_anomaly_days,
 }
 
 _DATE_SQL = "(?i)" + DATE_PATTERN
@@ -6930,4 +7019,33 @@ SQL["audio_zcr_stats"] = """
                AS zcr,
            CAST(sum(abs(v)) AS BIGINT) AS abs_sum
     FROM p GROUP BY 1
+"""
+
+SQL["orders_monthly_growth"] = """
+    WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS revenue_cents,
+                      CAST(count(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY 1)
+    SELECT month, revenue_cents, n_orders,
+           CAST(COALESCE(
+               (revenue_cents - lag(revenue_cents) OVER (ORDER BY month))
+               * 10000 // abs(lag(revenue_cents) OVER (ORDER BY month)),
+               -1000000000) AS BIGINT) AS growth_bp
+    FROM m
+"""
+SQL["event_anomaly_days"] = """
+    WITH c AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type,
+                  CAST(count(*) AS HUGEINT) AS nd,
+                  CAST(sum(n) AS HUGEINT) AS s,
+                  CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS q
+           FROM c GROUP BY 1)
+    SELECT c.event_type, c.day, c.n,
+           (CAST(c.n AS HUGEINT) * st.nd - st.s)
+             * (CAST(c.n AS HUGEINT) * st.nd - st.s)
+             > 4 * (st.nd * st.q - st.s * st.s) AS is_anomaly
+    FROM c JOIN st USING (event_type)
 """
