@@ -4841,7 +4841,15 @@ def dedup_containment(sf_dir: str):
 
     cands = bucketed_group_reduce(
         sh, ["s"], lambda df: df.drop_duplicates(), cand_reduce, n_buckets=32,
-    ).to_pandas().drop_duplicates()
+    ).to_pandas()
+    if not len(cands):  # no rare anchors in this corpus: no candidates
+        return pd.DataFrame(
+            {"doc_a": pd.array([], dtype="int64"),
+             "doc_b": pd.array([], dtype="int64"),
+             "overlap": pd.array([], dtype="int64"),
+             "containment_bp": pd.array([], dtype="int64")}
+        )
+    cands = cands.drop_duplicates()
 
     # overlap counts for candidates only: partner map broadcast, shingle
     # buckets emit one (da, db) row per co-occurring shingle

@@ -24,6 +24,11 @@ OPS = [
     "funnel_view_click_purchase",  # per-session state machine
     "table_checksum_documents",  # commutative mod-sum
     "event_path_trigrams",       # cross-batch adjacency within user
+    "heavy_hitters_tokens",      # MG sketch: counts+global err via marker row
+    "doc_trigram_top20",         # Counter partials -> bucketed sum -> top-k
+    "dedup_containment",         # rare-anchor blocking + candidate overlap
+    "doc_token_entropy",         # per-term micro-nat rounding, no shuffle
+    "event_anomaly_days",        # integer 2-sigma flags over day cells
 ]
 
 
