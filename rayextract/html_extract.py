@@ -17,6 +17,11 @@ from __future__ import annotations
 import re
 from html import unescape as _unescape
 from html.parser import HTMLParser
+from html.parser import attrfind_tolerant as _stdlib_attrfind_tolerant
+from html.parser import (
+    locatestarttagend_tolerant as _stdlib_locatestarttagend_tolerant,
+)
+from html.parser import tagfind_tolerant as _stdlib_tagfind_tolerant
 
 BLOCK_TAGS = frozenset(
     {"p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "th",
@@ -108,9 +113,18 @@ class _FastBlockParser:
     tests/test_html_parity.py), ~8x faster than stdlib html.parser, which
     dominated the ContentParser stage profile (char-wise goahead loop)."""
 
-    # name charset mirrors stdlib tagfind_tolerant; endtag two-step mirrors
-    # endtagfind + the tolerant discarded-tag path of html.parser
-    _TAG = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>")
+    # Start tags are parsed with stdlib html.parser's OWN tolerant regexes
+    # (tagfind_tolerant / attrfind_tolerant / locatestarttagend_tolerant) so
+    # extent, name, and junk-tag handling are structurally identical to
+    # _BlockParser. The previous hand-rolled single regex
+    # r"<(name)((?:[^>\"']|\"...\"|'...')*)>" had (a) quadratic backtracking
+    # across the ambiguous name/attrs split on failure (a 100 KB unterminated
+    # tag hung the scanner) and (b) divergent tokenization from stdlib on
+    # quote-in-name tags like <a"b c">. Stdlib's regexes are verified linear
+    # on the adversarial shapes (see test_gate_linear_on_pathological).
+    _TAGFIND = _stdlib_tagfind_tolerant
+    _ATTRFIND = _stdlib_attrfind_tolerant
+    _LOCATE_START = _stdlib_locatestarttagend_tolerant
     _END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
     _NAME_TOLERANT = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)")
     _CLOSE = {
@@ -128,6 +142,26 @@ class _FastBlockParser:
     handle_starttag = _BlockParser.handle_starttag
     handle_endtag = _BlockParser.handle_endtag
     handle_data = _BlockParser.handle_data
+
+    def _check_whole_start(self, html: str, i: int) -> int:
+        """stdlib check_for_whole_start_tag, one-shot (feed+close) semantics:
+        -1 means the tag is incomplete at end of input (stdlib would wait for
+        more data; with end=1 the caller emits via the k<0 data branch)."""
+        m = self._LOCATE_START.match(html, i)
+        j = m.end()
+        nxt = html[j:j + 1]
+        if nxt == ">":
+            return j + 1
+        if nxt == "/":
+            if html.startswith("/>", j):
+                return j + 2
+            return -1  # stdlib: buffer boundary -> incomplete
+        if nxt == "":
+            return -1  # end of input
+        if "a" <= nxt <= "z" or "A" <= nxt <= "Z" or nxt == "=" or nxt == "/":
+            # end of input in or before attribute value (stdlib comment)
+            return -1
+        return j if j > i else i + 1
 
     def _unterminated(self, html: str, lt: int) -> int:
         """stdlib fallback for a construct with no closing '>': emit data up
@@ -156,7 +190,9 @@ class _FastBlockParser:
         # edit here must keep that suite green.
         pos, n = 0, len(html)
         find = html.find
-        tag_match = self._TAG.match
+        check_start = self._check_whole_start
+        tagfind = self._TAGFIND.match
+        attrfind = self._ATTRFIND.match
         end_match = self._END.match
         blocks = self.blocks
         cur = self._cur
@@ -183,66 +219,86 @@ class _FastBlockParser:
                 break
             nxt = html[lt + 1] if lt + 1 < n else ""
             if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
-                m = tag_match(html, lt)
-                if m:
-                    tag = m.group(1).lower()
-                    selfclosing = m.group(2).endswith("/")
-                    # inline handle_starttag
-                    if tag in CHROME_TAGS:
-                        chrome += 1
-                        if cur is not None and cur.parts:
-                            blocks.append(cur)
-                        cur = None
-                        if selfclosing:
-                            chrome = chrome - 1 if chrome > 0 else 0
-                        pos = m.end()
-                        # script/style (both chrome) are CDATA: their body is
-                        # suppressed (chrome > 0) but pos must jump past the
-                        # FULL close tag — or to end-of-input when unclosed,
-                        # leaving chrome incremented exactly as _BlockParser
-                        # does (close tag never fires).
-                        if not selfclosing and tag in ("script", "style"):
-                            cm = self._CLOSE[tag].search(html, pos)
-                            if cm:
-                                chrome = chrome - 1 if chrome > 0 else 0
-                                pos = cm.end()
-                            else:
-                                pos = n
-                        continue
-                    if tag == "a":
-                        link += 1
-                    if tag in BLOCK_TAGS:
-                        if cur is not None and cur.parts:
-                            blocks.append(cur)
-                        cur = _Block(nblk)
-                        nblk += 1
-                    elif tag == "br" and cur is not None:
-                        cur.parts.append(" ")
-                    if selfclosing:
-                        # inline handle_endtag
-                        if tag == "a":
-                            link = link - 1 if link > 0 else 0
-                        if tag in BLOCK_TAGS:
-                            if cur is not None and cur.parts:
-                                blocks.append(cur)
-                            cur = None
-                    pos = m.end()
-                    # (script/style CDATA is handled in the chrome branch
-                    # above — both tags are CHROME_TAGS. stdlib's
-                    # set_cdata_mode pattern is r'</\s*tag\s*>'
-                    # (html/parser.py:122-124) — a prefix like '</scriptx>'
-                    # or '</script foo>' does NOT end CDATA and stays data;
-                    # with no close tag at all, goahead breaks and the
-                    # remaining payload is never emitted, verified vs 3.11.)
-                else:
+                endpos = check_start(html, lt)
+                if endpos < 0:
+                    # incomplete start tag at EOF: stdlib goahead(end=1)
+                    # k<0 branch — emit data to next '>'/'<'/one char
+                    self._sync(cur, chrome, link, nblk)
+                    pos = self._unterminated(html, lt)
+                    cur, chrome, link, nblk = (
+                        self._cur, self._chrome_depth, self._link_depth, self._n
+                    )
+                    continue
+                tm = tagfind(html, lt + 1)
+                tag = tm.group(1).lower()
+                j = tm.end()
+                while j < endpos:
+                    am = attrfind(html, j)
+                    if not am:
+                        break
+                    j = am.end()
+                tag_end = html[j:endpos].strip()
+                if tag_end != ">" and tag_end != "/>":
+                    # junk start tag: stdlib parse_starttag emits the whole
+                    # span as data, RAW (its bad-end branch skips unescape)
                     if chrome == 0:
                         if cur is None:
                             cur = _Block(nblk)
                             nblk += 1
-                        cur.parts.append("<")
+                        data = html[lt:endpos]
+                        cur.parts.append(data)
                         if link > 0:
-                            cur.link_chars += 1
-                    pos = lt + 1
+                            cur.link_chars += len(data.strip())
+                    pos = endpos
+                    continue
+                selfclosing = tag_end == "/>"
+                # inline handle_starttag
+                if tag in CHROME_TAGS:
+                    chrome += 1
+                    if cur is not None and cur.parts:
+                        blocks.append(cur)
+                    cur = None
+                    if selfclosing:
+                        chrome = chrome - 1 if chrome > 0 else 0
+                    pos = endpos
+                    # script/style (both chrome) are CDATA: their body is
+                    # suppressed (chrome > 0) but pos must jump past the
+                    # FULL close tag — or to end-of-input when unclosed,
+                    # leaving chrome incremented exactly as _BlockParser
+                    # does (close tag never fires).
+                    if not selfclosing and tag in ("script", "style"):
+                        cm = self._CLOSE[tag].search(html, pos)
+                        if cm:
+                            chrome = chrome - 1 if chrome > 0 else 0
+                            pos = cm.end()
+                        else:
+                            pos = n
+                    continue
+                if tag == "a":
+                    link += 1
+                if tag in BLOCK_TAGS:
+                    if cur is not None and cur.parts:
+                        blocks.append(cur)
+                    cur = _Block(nblk)
+                    nblk += 1
+                elif tag == "br" and cur is not None:
+                    cur.parts.append(" ")
+                if selfclosing:
+                    # inline handle_endtag
+                    if tag == "a":
+                        link = link - 1 if link > 0 else 0
+                    if tag in BLOCK_TAGS:
+                        if cur is not None and cur.parts:
+                            blocks.append(cur)
+                        cur = None
+                pos = endpos
+                # (script/style CDATA is handled in the chrome branch
+                # above — both tags are CHROME_TAGS. stdlib's
+                # set_cdata_mode pattern is r'</\s*tag\s*>'
+                # (html/parser.py:122-124) — a prefix like '</scriptx>'
+                # or '</script foo>' does NOT end CDATA and stays data;
+                # with no close tag at all, goahead breaks and the
+                # remaining payload is never emitted, verified vs 3.11.)
             elif nxt == "/":
                 gt = find(">", lt + 1)
                 if gt < 0:
@@ -334,9 +390,18 @@ class _FastBlockParser:
 # eligible docs ONE re.split tokenizes the whole document in C and the
 # state machine walks the parts without any per-tag regex calls.
 _SIMPLE_ATTRS = r"(?:[^<>\"']|\"[^\"<>]*\"|'[^'<>]*')*"
+# The eligibility gate is fully POSSESSIVE (*+ / ++, Python 3.11): the old
+# backtracking form (?:[^<]+|<tag>|...)* was exponential on ineligible docs
+# (one '<!--' after a text run hung the parser pool). Tag extent is
+# deterministic (no alternative can consume '>'), so possessiveness only
+# drops docs whose tags need name/attr re-splitting (e.g. <a"b c">) — those
+# fall back to the exact general scanner, preserving semantics. A gate
+# match is therefore always the leftmost-greedy parse, which is exactly
+# the tokenization _SIMPLE_SPLIT produces.
+_SIMPLE_ATTRS_POSS = r"(?:[^<>\"']++|\"[^\"<>]*+\"|'[^'<>]*+')*+"
 _SIMPLE_DOC = re.compile(
-    rf"(?:[^<]+|<[a-zA-Z][^\t\n\r\f />\x00]*{_SIMPLE_ATTRS}>"
-    rf"|</[a-zA-Z][-.a-zA-Z0-9:_]*>)*\Z"
+    rf"(?:[^<]++|<[a-zA-Z][^\t\n\r\f />\x00]*+{_SIMPLE_ATTRS_POSS}>"
+    rf"|</[a-zA-Z][-.a-zA-Z0-9:_]*+>)*+\Z"
 )
 _SIMPLE_SPLIT = re.compile(
     rf"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)({_SIMPLE_ATTRS})>"

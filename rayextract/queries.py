@@ -1777,9 +1777,14 @@ def resume_manifest_audit(sf_dir: str):
     from .config import ExtractConfig
     from .pipeline import load_manifest, run_sharded
 
+    # key by abspath hash + pid: two concurrent runs (or two corpora sharing
+    # a basename, e.g. different .../sf0.1 dirs) must not rmtree each other
+    corpus_key = hashlib.sha1(
+        os.path.abspath(os.path.normpath(sf_dir)).encode()
+    ).hexdigest()[:12]
     scratch = os.path.join(
         "/tmp", "rayextract_resume_audit",
-        os.path.basename(os.path.normpath(sf_dir)),
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{corpus_key}-{os.getpid()}",
     )
     in_dir, out_dir = os.path.join(scratch, "in"), os.path.join(scratch, "out")
     shutil.rmtree(scratch, ignore_errors=True)

@@ -65,6 +65,16 @@ EDGE_CASES = [
     "<script>a<!--</script>--><p>comment-lookalike inside script body ok</p>",
     "<p>before</p><script>tail with no close tag is dropped entirely",
     "<STYLE>S</STYLE><p>uppercase style close with enough padding text here</p>",
+    # quote-in-tag-name / junk start tags: stdlib parse_starttag semantics
+    # (the old hand-rolled _TAG regex diverged on these — r4 fix)
+    '<a"b c">linked text here</a> plus more content after the link end',
+    '<a"b c=">x</a> trailing text that is long enough to matter here',
+    '<div "just quotes">content here long enough to keep around ok</div>',
+    '<aaa"x y">text</aaa>',
+    "<a",
+    '<a href="x',
+    "<p/",
+    "<p a=b",
 ]
 
 
@@ -93,3 +103,108 @@ def test_extract_main_content_smoke():
     out = extract_main_content(html)
     assert "main content" in out
     assert "menu" not in out and "copyright" not in out
+
+
+# --- fast-path (bulk-split) parity: goes THROUGH extract_blocks -------------
+# The _simple_blocks fast path was previously untested end-to-end (r3 ADVICE):
+# these tests pin (a) byte-identical output vs the general scanner for every
+# eligible doc, (b) linear-time eligibility rejection (the old backtracking
+# gate was exponential on ineligible docs), (c) that the corpus actually
+# exercises the fast path.
+
+import random
+import time
+
+from rayextract.html_extract import (
+    MAX_LINK_DENSITY,
+    _simple_blocks,
+    extract_blocks,
+)
+
+
+def _general_extract(html: str):
+    """extract_blocks' general-scanner branch, verbatim (the semantics)."""
+    p = _FastBlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        txt = _WS.sub(" ", re.sub(r"<[^>]+>", " ", html)).strip()
+        return [(txt, 0.0, len(txt) >= MIN_BLOCK_CHARS)]
+    out = []
+    for b in p.blocks:
+        t = b.text()
+        if not t:
+            continue
+        ld = b.link_chars / max(1, len(t))
+        out.append((t, ld, len(t) >= MIN_BLOCK_CHARS and ld <= MAX_LINK_DENSITY))
+    return out
+
+
+@pytest.mark.parametrize("html", EDGE_CASES)
+def test_fast_path_parity_edge_cases(html):
+    # end-to-end: whatever path extract_blocks picks must equal the scanner
+    assert extract_blocks(html) == _general_extract(html)
+
+
+def test_fast_path_parity_corpus():
+    from rayextract.html_extract import looks_like_html
+
+    rows = [r for c in range(300) for r in conversation_rows(11, c)]
+    n_html = n_fast = 0
+    for r in rows:
+        t = r["text"]
+        if not t.lstrip().startswith("<"):
+            continue
+        # parity holds for anything '<'-leading (incl. <<x:..>> pdf payloads)
+        assert extract_blocks(t) == _general_extract(t), t[:200]
+        if looks_like_html(t):  # the pipeline's actual HTML routing gate
+            n_html += 1
+            if _simple_blocks(t) is not None:
+                n_fast += 1
+    assert n_html > 50
+    # the fast path must actually fire on the corpus, else the gate regressed
+    assert n_fast / n_html > 0.9, (n_fast, n_html)
+
+
+_FUZZ_ATOMS = [
+    "plain text ", "with & entity &amp; ", "<p>", "</p>", "<div class='x'>",
+    "</div>", "<a href=\"y\">", "</a>", "<br/>", "<nav>", "</nav>",
+    "<li >", "</li>", "<span data-k=\"v w\">", "</span>",
+    # ineligible constructs — must route to the general scanner, fast:
+    "<!-- comment <p>no</p> -->", "<!DOCTYPE html>", "<?xml version='1.0'?>",
+    "< notatag", "<p", "<script>var x='<p>';</script>", "<style>p{}</style>",
+    "stray > bracket ", "<a\"b c\">", "</p junk>", "<1bad>", "\x00",
+    "unterminated <a href='", "<p\t\nwrapped='attr'>",
+]
+
+
+def test_fast_path_parity_fuzz():
+    rng = random.Random(0xE11)
+    t0 = time.monotonic()
+    for _ in range(800):
+        doc = "".join(rng.choices(_FUZZ_ATOMS, k=rng.randint(1, 30)))
+        # fast-path vs general scanner (extract_blocks picks the path)
+        assert extract_blocks(doc) == _general_extract(doc), doc[:200]
+        # general scanner vs stdlib html.parser (the semantics reference)
+        assert _blocks_via(_FastBlockParser, doc) == _blocks_via(
+            _BlockParser, doc
+        ), doc[:200]
+    # wall bound: 800 fuzz docs (many ineligible) must not hit backtracking
+    assert time.monotonic() - t0 < 20.0
+
+
+def test_gate_linear_on_pathological():
+    # each of these hung (exponential) under the old backtracking gate
+    pathological = [
+        "a" * 100_000 + "<!",
+        "x" * 50_000 + "<!-- comment -->" + "y" * 50_000,
+        "<p>" + "a" * 100_000 + "<!DOCTYPE html>",
+        "<a" + "x" * 100_000,
+        "word " * 20_000 + "<? pi",
+    ]
+    for doc in pathological:
+        t0 = time.monotonic()
+        out = extract_blocks(doc)
+        assert time.monotonic() - t0 < 2.0, doc[:40]
+        assert out == _general_extract(doc)
