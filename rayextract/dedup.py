@@ -426,12 +426,15 @@ class MinHasher:
     # docs collide at est_sim~0.9; observed at sf0.1 before this fix.)
     P31 = (1 << 31) - 1
 
+    _CACHE_MAX = 1 << 20  # bound the per-actor shingle-hash memo
+
     def __init__(self, num_perm: int = 128, ngram: int = 3, seed: int = 7):
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, self.P31, size=num_perm, dtype=np.uint64)
         self.b = rng.randint(0, self.P31, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.ngram = ngram
+        self._cache: dict = {}
 
     def signature(self, text: str) -> np.ndarray:
         shingles = _token_set(text, self.ngram)
@@ -450,17 +453,73 @@ class MinHasher:
         return prod.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        # signatures as packed little-endian uint64 bytes: binary columns
+        # Batched signature path, bit-identical to signature() per doc (same
+        # md5 -> same (a*h + b) % p mins; pinned by test_minhash_quality).
+        # Per-shingle Python md5 was the dominant cost of the whole minhash
+        # query: unique shingles are now hashed once per batch (bounded
+        # per-actor memo across batches), digests decoded in one frombuffer,
+        # and the Carter-Wegman mins computed as chunked (num_perm x
+        # total_shingles) matrix ops with per-doc minimum.reduceat instead of
+        # one small matmul per doc.
+        #
+        # Signatures are packed little-endian uint64 bytes: binary columns
         # survive Arrow hash joins (list columns don't). Docs with NO
         # shingles (< ngram tokens) are excluded: they would all share the
         # sentinel signature and pair up pairwise at est_sim=1.0 (observed:
         # most of the reported pairs at sf0.1 were such phantom matches).
-        sigs = [self.signature(s) for s in df["text"]]
-        keep = np.array([s[0] != _SENTINEL for s in sigs], dtype=bool)
+        doc_ids = df["doc_id"].to_numpy()
+        cache = self._cache
+        pending: dict = {}  # insertion-ordered set of new unique shingles
+        nonempty: list[tuple[int, list]] = []
+        for did, text in zip(doc_ids, df["text"]):
+            sl = list(_token_set(text if isinstance(text, str) else "", self.ngram))
+            if not sl:
+                continue
+            nonempty.append((did, sl))
+            for s in sl:
+                if s not in cache and s not in pending:
+                    pending[s] = None
+        if pending:
+            # one md5 per NEW unique shingle; all 4-byte values decoded in a
+            # single frombuffer pass (digest bytes [:4], little-endian)
+            buf = b"".join(hashlib.md5(s.encode()).digest() for s in pending)
+            vals = np.frombuffer(buf, dtype="<u4")[::4] & np.uint32(0x7FFFFFFF)
+            if len(cache) + len(pending) > self._CACHE_MAX:
+                cache.clear()  # cheap epoch reset; recompute is ~1us/shingle
+            for s, v in zip(pending, vals.tolist()):
+                cache[s] = v
+        out_ids: list = []
+        out_sigs: list = []
+        a_col, b_col = self.a[:, None], self.b[:, None]
+        P = np.uint64(self.P31)
+        CHUNK = 1 << 16  # shingle budget per matrix: 128*65536*8B = 64 MB
+        i, n = 0, len(nonempty)
+        while i < n:
+            j, total = i, 0
+            while j < n and (j == i or total + len(nonempty[j][1]) <= CHUNK):
+                total += len(nonempty[j][1])
+                j += 1
+            lens = np.array([len(sl) for _, sl in nonempty[i:j]], dtype=np.intp)
+            hv = np.fromiter(
+                (cache[s] for _, sl in nonempty[i:j] for s in sl),
+                dtype=np.uint64,
+                count=total,
+            )
+            starts = np.zeros(len(lens), dtype=np.intp)
+            np.cumsum(lens[:-1], out=starts[1:])
+            # (a*h + b) mod p: a,h < 2^31 so a*h+b < 2^62 — exact in uint64
+            prod = (a_col * hv[None, :] + b_col) % P
+            sig_mat = np.ascontiguousarray(
+                np.minimum.reduceat(prod, starts, axis=1).T
+            )
+            for k in range(j - i):
+                out_ids.append(nonempty[i + k][0])
+                out_sigs.append(sig_mat[k].tobytes())
+            i = j
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"].to_numpy()[keep],
-                "sig": [s.tobytes() for s, k in zip(sigs, keep) if k],
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "sig": pd.Series(out_sigs, dtype="object"),
             }
         )
 
@@ -497,6 +556,8 @@ def minhash_lsh_pairs(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
         batch_format="pandas",
+        batch_size=2048,  # parquet reads emit tiny blocks; fat batches
+        # amortize the per-batch unique-shingle pass and the matrix setup
         concurrency=concurrency,
         num_cpus=1,
     ).materialize()
@@ -546,11 +607,15 @@ def minhash_lsh_pairs(
         return pd.DataFrame({"pair": np.unique(np.concatenate(out))})
 
     cand = bucketed_group_reduce(
-        sigs.map_batches(explode_bands, batch_format="pandas"),
+        sigs.map_batches(explode_bands, batch_format="pandas", batch_size=4096),
         ["band_id", "band_hash"],
         lambda df: df,
         band_pairs,
         n_buckets=n_buckets,
+        # band rows are pure int64 (type-stable): Arrow exchange ships ~7x
+        # fewer bytes than pickled pandas blocks on the highest-traffic
+        # shuffle of this operator (24 B/row payload)
+        arrow_exchange=True,
     )
     # no standalone global pair-dedup exchange: a pair found in k bands
     # emerges once per band bucket, but every copy shares doc_a = pair>>32,
@@ -586,12 +651,15 @@ def minhash_lsh_pairs(
 
         return key_pairs, key_sigs, merge
 
+    # both attach exchanges are type-stable (int64 pair/key, binary sig /
+    # carry columns — placeholders are b"", never None): Arrow exchange
     kp_a, ks_a, merge_a = _attach("a", "sig_a", [])
     with_a = bucketed_group_reduce(
         cand.map_batches(kp_a, batch_format="pandas").union(
             sigs.map_batches(ks_a, batch_format="pandas")
         ),
         ["key"], lambda df: df, merge_a, n_buckets=32,
+        arrow_exchange=True,
     )
 
     kp_b, ks_b, merge_b = _attach("b", "sig_b", ["sig_a"])
@@ -600,6 +668,7 @@ def minhash_lsh_pairs(
             sigs.map_batches(ks_b, batch_format="pandas")
         ),
         ["key"], lambda df: df, merge_b, n_buckets=32,
+        arrow_exchange=True,
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:

@@ -236,11 +236,13 @@ def embedding_neardup_pairs(
         return pd.DataFrame({"ids": [ids.tobytes()], "mat": [mat.tobytes()]})
 
     packed = emb.map_batches(pack_subset, batch_format="pandas").materialize()
-    # block refs only — the chunk payloads never leave the object store
+    # broadcast the packed chunks via public APIs: each chunk batch crosses
+    # the driver ONCE into ray.put (this path is the small-subset verifier —
+    # the banded LSH path above is the scale default and never does this)
     chunk_refs = [
-        bref
-        for bundle in packed.iter_internal_ref_bundles()
-        for bref in bundle.block_refs
+        ray.put(batch)
+        for batch in packed.iter_batches(batch_format="pandas", batch_size=None)
+        if len(batch)
     ]
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -254,9 +256,7 @@ def embedding_neardup_pairs(
         dim = m.shape[1]
         out_a, out_b, out_s = [], [], []
         for bref in chunk_refs:
-            blk = ray.get(bref)
-            if hasattr(blk, "to_pandas"):  # arrow block
-                blk = blk.to_pandas()
+            blk = ray.get(bref)  # pandas chunk frame (ray.put above)
             for ids_b, mat_b in zip(blk["ids"], blk["mat"]):
                 other_ids = np.frombuffer(ids_b, dtype=np.int64)
                 other = np.frombuffer(mat_b, dtype=np.float64).reshape(-1, dim)

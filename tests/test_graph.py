@@ -146,3 +146,49 @@ def test_pagerank_distributed_dedups_edges_globally():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(loc, dist)
+
+
+def test_vectorized_unionfind_matches_bfs_reference():
+    """_unionfind_components (vectorized hooking+compression, r4) vs a
+    brute-force BFS reference on random graphs, including dense multi-edge
+    and self-loop-free shapes."""
+    import numpy as np
+
+    from rayextract.graph import _unionfind_components
+
+    rng = np.random.RandomState(11)
+    for trial in range(20):
+        n_nodes = rng.randint(2, 120)
+        n_edges = rng.randint(1, 250)
+        ids = rng.choice(np.arange(0, 4 * n_nodes), size=n_nodes, replace=False)
+        u = ids[rng.randint(0, n_nodes, size=n_edges)]
+        v = ids[rng.randint(0, n_nodes, size=n_edges)]
+        keep = u != v
+        if not keep.any():
+            continue
+        df = pd.DataFrame({"node": u[keep], "peer": v[keep]})
+        got = _unionfind_components(df)
+        # BFS reference
+        adj: dict = {}
+        for a, b in zip(df["node"], df["peer"]):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        seen: set = set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp, stack = [], [start]
+            seen.add(start)
+            while stack:
+                x = stack.pop()
+                comp.append(x)
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            lab = min(comp)
+            for x in comp:
+                want[x] = lab
+        got_map = dict(zip(got["doc_id"], got["cluster_id"]))
+        assert got_map == want, trial

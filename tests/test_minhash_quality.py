@@ -56,3 +56,34 @@ def test_shingleless_docs_excluded_from_pairing():
     mh = MinHasher(ngram=3)
     out = mh(pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b", "x", "one two three four"]}))
     assert out["doc_id"].tolist() == [3]
+
+
+def test_batched_call_matches_signature():
+    # __call__'s batched unique-shingle/reduceat path must be bit-identical
+    # to the per-doc signature() reference (same md5, same CW mins)
+    import numpy as np
+    import pandas as pd
+
+    from rayextract.synth import conversation_rows
+
+    mh = MinHasher(num_perm=128, ngram=3)
+    rows = [r for c in range(40) for r in conversation_rows(7, c)]
+    df = pd.DataFrame(
+        {"doc_id": range(len(rows)), "text": [r["text"] for r in rows]}
+    )
+    # include empties and shingle-less docs
+    df.loc[len(df)] = {"doc_id": len(df), "text": ""}
+    df.loc[len(df)] = {"doc_id": len(df), "text": "one two"}  # < 3 tokens
+    out = mh(df)
+    ref = MinHasher(num_perm=128, ngram=3)
+    expected = {}
+    for did, text in zip(df["doc_id"], df["text"]):
+        sig = ref.signature(text)
+        if sig[0] != np.uint64((1 << 31) - 1):
+            expected[did] = sig.tobytes()
+    assert list(out["doc_id"]) == list(expected.keys())
+    for did, sig in zip(out["doc_id"], out["sig"]):
+        assert sig == expected[did], did
+    # second batch exercises the warm cache path
+    out2 = mh(df)
+    assert list(out2["sig"]) == list(out["sig"])
