@@ -7,17 +7,24 @@ travel as an Arrow ``binary`` column with a typed ``meta`` struct, and every
 media transform is an actor-pool ``map_batches`` stage (codec/model state
 built once per actor, the D4 pattern from Worker.cs:61-95).
 
-Image/video codecs (PIL / PyAV) are NOT in this container, so that decode
-path is a clearly-marked stub (``NotImplementedError`` behind an import-try)
-and the default path is a DETERMINISTIC FAKE decoder that derives
-pixel/sample arrays from the payload bytes with numpy. The Ray-side plumbing
-— schema, batch sizing, actor signatures, flat-map frame explosion, output
-layout — is real and tested (tests/test_multimodal.py).
+General image/video codecs (PIL / PyAV) are NOT in this container, so the
+MediaDecoder path is a clearly-marked stub (``NotImplementedError`` behind
+an import-try) and its default path is a DETERMINISTIC FAKE decoder that
+derives pixel/sample arrays from the payload bytes with numpy. The Ray-side
+plumbing — schema, batch sizing, actor signatures, flat-map frame explosion,
+output layout — is real and tested (tests/test_multimodal.py).
 
 AUDIO has a REAL codec path (round 3): ``WavPcmDecoder`` parses genuine
 RIFF/WAV containers with the stdlib ``wave`` module (header fields + PCM16
 little-endian frames), run as an actor-pool stage; ``wav_encode`` produces
 the real container bytes. Under the driver gate as ``audio_wav_decode``.
+
+IMAGE has a REAL codec path too (round 4): ``BmpDecoder`` parses genuine
+uncompressed 24-bit BMP containers (file header, DIB header, bottom-up or
+top-down row order, 4-byte stride padding, BGR bytes) with pure numpy;
+``bmp_encode`` produces the real container bytes. Under the driver gate as
+``image_bmp_decode``. Only VIDEO remains a stub (no pure-python container
+format is practical there).
 
 Scale notes: payload rows are large, so media stages run with SMALL
 ``batch_size`` (default 64) and the binary column is dropped as soon as the
@@ -427,6 +434,125 @@ def wav_dsp_features(
     real stdlib codec and numpy FFT in an actor pool."""
     return media.map_batches(
         WavDspDecoder,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec: uncompressed 24-bit BMP via struct + numpy (round 4)
+# ---------------------------------------------------------------------------
+# Same playbook as the WAV codec above: the container is REAL (BITMAPFILE-
+# HEADER + BITMAPINFOHEADER, bottom-up rows, 4-byte row padding, BGR byte
+# order) and the parser is pure stdlib/numpy, so the reference's Tesseract-
+# input raster path (Pdf-To-ImageStream/Convert.cs:9-35 produces page
+# rasters) has a genuine decode analog without PIL in the container.
+
+
+def bmp_encode(pix: "np.ndarray") -> bytes:
+    """(h, w) uint8 grayscale -> real uncompressed 24-bit BMP bytes
+    (bottom-up rows, 4-byte-aligned strides, gray replicated into BGR)."""
+    import struct
+
+    h, w = pix.shape
+    row = w * 3
+    pad = (-row) % 4
+    stride = row + pad
+    img_size = stride * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    bgr = np.repeat(pix[:, :, None].astype(np.uint8), 3, axis=2)
+    padb = b"\x00" * pad
+    body = b"".join(bgr[y].tobytes() + padb for y in range(h - 1, -1, -1))
+    return header + info + body
+
+
+def synth_bmp_batch(t: pa.Table) -> pa.Table:
+    """Deterministic BMP fixture per document: a (8 + doc_id % 5) x
+    (8 + doc_id % 9) grayscale image with pixel(idx) = (doc_id*31 + idx*13)
+    % 256 in row-major top-down order — pure integer arithmetic a SQL oracle
+    can regenerate, wrapped in a REAL BMP container (width range 8..16
+    exercises every 4-byte row-padding case)."""
+    ids = t.column("doc_id").to_numpy()
+    payloads = []
+    for d in ids:
+        d = int(d)
+        w, h = 8 + d % 9, 8 + d % 5
+        idx = np.arange(h * w, dtype=np.int64)
+        pix = ((d * 31 + idx * 13) % 256).astype(np.uint8).reshape(h, w)
+        payloads.append(bmp_encode(pix))
+    return pa.table(
+        {
+            "media_id": pa.array(ids.astype("int64"), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class BmpDecoder:
+    """Actor-pool REAL image decode stage: parses the BMP container (file
+    header, DIB header, bottom-up or top-down row order, row padding, 24-bit
+    BGR) with numpy and emits integer-exact per-image stats. Malformed
+    payloads become quarantine rows (width = -1) rather than poisoning the
+    batch (Worker.cs:117-125 per-item try/catch analog)."""
+
+    def _decode(self, payload: bytes) -> "np.ndarray":
+        """payload -> (h, w, 3) uint8 BGR pixel array (top-down row order)."""
+        if len(payload) < 54 or payload[:2] != b"BM":
+            raise ValueError("not a BMP")
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            raise ValueError("unsupported BMP variant")
+        top_down = h < 0
+        h = abs(h)
+        stride = ((w * 3 + 3) // 4) * 4
+        if off + stride * h > len(payload):
+            raise ValueError("truncated pixel data")
+        raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        return rows if top_down else rows[::-1]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, sums, maxs = [], [], [], []
+        for payload in t.column("payload").to_pylist():
+            try:
+                px = self._decode(payload)
+                h, w = px.shape[:2]
+                s = int(px.sum(dtype=np.int64))
+                mx = int(px.max())
+            except Exception:
+                w, h, s, mx = -1, -1, 0, 0
+            ws.append(w)
+            hs.append(h)
+            sums.append(s)
+            maxs.append(mx)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "px_sum": pa.array(sums, pa.int64()),
+                "px_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+
+def bmp_features(
+    media: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4)
+) -> "ray.data.Dataset":
+    """(media_id, payload) BMP table -> integer-exact image stats via the
+    real numpy codec in an actor pool."""
+    return media.map_batches(
+        BmpDecoder,
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,

@@ -1558,6 +1558,25 @@ def audio_wav_decode(sf_dir: str):
     return wav_features(media)
 
 
+def image_bmp_decode(sf_dir: str):
+    """REAL image codec under the driver gate (round 4 — retires the last
+    honest codec stub, same playbook as audio_wav_decode): per document a
+    genuine uncompressed 24-bit BMP container is synthesized from integer
+    arithmetic on doc_id (``synth_bmp_batch`` — widths 8..16 cover every
+    4-byte row-padding case), then DECODED by the pure-numpy BMP parser in
+    an actor pool (``BmpDecoder``: file header, DIB header, row order,
+    stride padding, BGR bytes -> pixels), emitting integer-exact image
+    stats. The oracle regenerates the same pixel values arithmetically —
+    any container bug (offset, stride, row order, channel replication)
+    breaks the value hash."""
+    from .multimodal import bmp_features, synth_bmp_batch
+
+    media = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_bmp_batch, batch_format="pyarrow"
+    )
+    return bmp_features(media)
+
+
 def dedup_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs via 16-bit band blocking (rows-only)."""
     from .dedup import simhash_neardup_pairs
@@ -5108,6 +5127,7 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "multimodal_decode": multimodal_decode,
     "audio_wav_decode": audio_wav_decode,
+    "image_bmp_decode": image_bmp_decode,
     "multimodal_frame_features": multimodal_frame_features,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "k2_annotation_quads": k2_annotation_quads,
@@ -6405,6 +6425,19 @@ SQL: dict[str, str] = {
                CAST(max(abs(v)) AS BIGINT) AS peak,
                CAST(sum(v * v) AS BIGINT) AS energy
         FROM s GROUP BY doc_id
+    """,
+    "image_bmp_decode": """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+                   FROM documents),
+        px AS (SELECT doc_id, w, h,
+                      (doc_id * 31 + i * 13) % 256 AS v
+               FROM d, unnest(range(0, w * h)) AS t(i))
+        SELECT doc_id AS media_id,
+               CAST(any_value(w) AS BIGINT) AS width,
+               CAST(any_value(h) AS BIGINT) AS height,
+               CAST(3 * sum(v) AS BIGINT) AS px_sum,
+               CAST(max(v) AS BIGINT) AS px_max
+        FROM px GROUP BY doc_id
     """,
     "multimodal_decode": """
         SELECT doc_id AS media_id,

@@ -137,3 +137,93 @@ def test_wav_codec_roundtrip_and_container():
     assert good["energy"] == int((samples.astype(np.int64) ** 2).sum())
     bad = out.to_pylist()[1]
     assert bad["n_samples"] == -1 and bad["sample_rate"] == 0
+
+
+# --- REAL BMP codec (round 4) ----------------------------------------------
+
+
+def test_bmp_roundtrip_all_padding_cases():
+    import numpy as np
+
+    from rayextract.multimodal import BmpDecoder, bmp_encode
+
+    rng = np.random.RandomState(1)
+    dec = BmpDecoder()
+    for w in range(1, 18):  # 3w % 4 cycles through every padding width
+        pix = rng.randint(0, 256, size=(5, w)).astype(np.uint8)
+        out = dec._decode(bmp_encode(pix))
+        assert out.shape == (5, w, 3)
+        assert (out == pix[:, :, None]).all(), w
+
+
+def test_bmp_container_is_real():
+    import numpy as np
+
+    from rayextract.multimodal import bmp_encode
+
+    pix = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    b = bmp_encode(pix)
+    assert b[:2] == b"BM"
+    assert int.from_bytes(b[2:6], "little") == len(b)  # declared file size
+    assert int.from_bytes(b[10:14], "little") == 54  # pixel offset
+    assert int.from_bytes(b[14:18], "little") == 40  # BITMAPINFOHEADER
+    assert int.from_bytes(b[28:30], "little") == 24  # bpp
+
+
+def test_bmp_decoder_handles_topdown_rows():
+    import struct
+
+    import numpy as np
+
+    from rayextract.multimodal import BmpDecoder
+
+    # hand-build a top-down (negative height) 2x2 24-bit BMP
+    w, h = 2, 2
+    stride = 8  # 2*3 rounded up to 4
+    px = np.array(
+        [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8
+    )
+    body = b"".join(px[y].tobytes() + b"\x00\x00" for y in range(h))
+    header = struct.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    out = BmpDecoder()._decode(header + info + body)
+    assert (out == px).all()  # rows NOT flipped for top-down
+
+
+def test_bmp_decoder_quarantines_malformed():
+    import pyarrow as pa
+
+    from rayextract.multimodal import BmpDecoder, bmp_encode
+    import numpy as np
+
+    good = bmp_encode(np.full((2, 2), 9, dtype=np.uint8))
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "payload": pa.array(
+                [good, b"not a bmp", good[:30], b""], pa.binary()
+            ),
+        }
+    )
+    out = BmpDecoder()(t).to_pydict()
+    assert out["width"] == [2, -1, -1, -1]
+    assert out["px_sum"] == [9 * 3 * 4, 0, 0, 0]
+
+
+def test_synth_bmp_matches_arithmetic_contract():
+    import numpy as np
+    import pyarrow as pa
+
+    from rayextract.multimodal import BmpDecoder, synth_bmp_batch
+
+    ids = [0, 1, 7, 12, 123]
+    media = synth_bmp_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = BmpDecoder()(media).to_pydict()
+    for k, d in enumerate(ids):
+        w, h = 8 + d % 9, 8 + d % 5
+        v = (d * 31 + np.arange(w * h, dtype=np.int64) * 13) % 256
+        assert out["width"][k] == w and out["height"][k] == h
+        assert out["px_sum"][k] == 3 * int(v.sum())
+        assert out["px_max"][k] == int(v.max())
