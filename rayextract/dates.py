@@ -17,14 +17,30 @@ _MONTH = (
     "JUL(?:Y)?|AUG(?:UST)?|SEP(?:T(?:EMBER)?)?|OCT(?:OBER)?|NOV(?:EMBER)?|DEC(?:EMBER)?"
 )
 
+_WEEKDAY = "MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY"
+_UNIT = r"DAYS?|WEEKS?|MONTHS?|YEARS?"
+_NUMWORD = r"ONE|TWO|THREE|FOUR|FIVE|SIX|SEVEN|EIGHT|NINE|TEN|AN?|\d{1,3}"
+
 # Alternation ordered longest-form-first; overall winner is the EARLIEST start
 # offset (single combined regex search), matching "FirstOrDefault" semantics.
+# Round 4 widened the grammar toward Microsoft.Recognizers.Text coverage
+# (EntityRecognizer.cs:12-27 delegates to it, which also matches relative
+# and colloquial forms): relative-day words, NEXT/LAST/THIS + weekday/unit,
+# "<n> weeks ago" / "in <n> days" (digit or number-word), ordinal-of-month,
+# and bare weekday names. Still RE2-expressible (no lookaround) so the
+# DuckDB oracles mirror it verbatim via duckdb_pattern().
 DATE_PATTERN = (
     r"\b(?:"
     r"\d{4}-\d{1,2}-\d{1,2}"                                   # ISO 2020-09-23
     r"|\d{1,2}[/\-.]\d{1,2}[/\-.]\d{2,4}"                       # 09/23/2020, 1-2-99
     r"|(?:" + _MONTH + r")\.? \d{1,2}(?:ST|ND|RD|TH)?,? \d{4}"  # March 5, 1999
     r"|\d{1,2} (?:" + _MONTH + r")\.?,? \d{4}"                  # 5 March 1999
+    r"|THE \d{1,2}(?:ST|ND|RD|TH) OF (?:" + _MONTH + r")(?:,? \d{4})?"
+    r"|(?:NEXT|LAST|THIS) (?:" + _WEEKDAY + r"|WEEK|MONTH|YEAR)"
+    r"|(?:" + _NUMWORD + r") (?:" + _UNIT + r") AGO"            # two weeks ago
+    r"|IN (?:" + _NUMWORD + r") (?:" + _UNIT + r")"             # in 3 days
+    r"|TODAY|TOMORROW|YESTERDAY"
+    r"|(?:" + _WEEKDAY + r")"
     r")\b"
 )
 
