@@ -159,6 +159,8 @@ def run_queries() -> dict[str, float]:
         "semdedup_embeddings",
         "dedup_containment",
         "doc_token_entropy",
+        "image_bmp_decode",
+        "audio_wav_decode",
     ]
     out = {}
     for name in picks:

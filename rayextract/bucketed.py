@@ -43,7 +43,7 @@ def bucketed_group_reduce(
     stage1_batch_size: int | None = 32768,
     reduce_format: str = "pandas",
     stage1_format: str = "pandas",
-    arrow_exchange: bool = False,
+    arrow_exchange: bool = True,
 ) -> "ray.data.Dataset":
     """partial-per-batch -> hash-bucket shuffle -> vectorized per-bucket reduce.
 
@@ -57,14 +57,17 @@ def bucketed_group_reduce(
     (explicit partition count, no sort barrier; the multi-node setting where
     per-exchange aggregator actors amortize).
 
-    ``arrow_exchange=True`` converts each stage-1 partial frame to an Arrow
-    table before it enters the exchange: a pandas frame with object-dtype
-    string columns ships as a PICKLED pandas block (~7x the bytes of the
-    Arrow encoding measured on the fold partials — 548 vs 79 B/row) and
-    sorts on the slower pandas path. Opt-in because an all-None object
-    column in one batch infers Arrow ``null`` type and conflicts with a
-    typed batch at concat — callers must guarantee type-stable partials
-    (the fold's partials pin every column dtype explicitly).
+    ``arrow_exchange=True`` (the DEFAULT since round 4) converts each
+    stage-1 partial frame to an Arrow table before it enters the exchange:
+    a pandas frame with object-dtype string columns ships as a PICKLED
+    pandas block (~7x the bytes of the Arrow encoding measured on the fold
+    partials — 548 vs 79 B/row) and sorts on the slower pandas path. At
+    100 TB the exchange bytes are the bill, so Arrow is the default;
+    callers whose partials are NOT type-stable (an all-None object column
+    in one batch infers Arrow ``null`` type and conflicts with a typed
+    batch at concat) must either pin partial dtypes or opt out with
+    ``arrow_exchange=False``. The full 131-query selfcheck runs green under
+    both settings and both shuffle strategies.
     """
     keys = list(keys)
     if reduce_format not in ("pandas", "pyarrow"):

@@ -532,6 +532,7 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     n_buckets: int = 64,
     concurrency: tuple[int, int] = (1, 8),
+    checkpoint_dir: "str | None" = None,
 ) -> "ray.data.Dataset":
     """Unblocked near-dup pairs via MinHash LSH, verified with signature-
     estimated Jaccard >= threshold. Returns (doc_a, doc_b, est_sim).
@@ -552,15 +553,34 @@ def minhash_lsh_pairs(
 
     rows_per_band = num_perm // bands
 
-    sigs = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
-        batch_format="pandas",
-        batch_size=2048,  # parquet reads emit tiny blocks; fat batches
-        # amortize the per-batch unique-shingle pass and the matrix setup
-        concurrency=concurrency,
-        num_cpus=1,
-    ).materialize()
+    def _sig_stage() -> "ray.data.Dataset":
+        return docs.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
+            batch_format="pandas",
+            batch_size=2048,  # parquet reads emit tiny blocks; fat batches
+            # amortize the per-batch unique-shingle pass and the matrix setup
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    if checkpoint_dir is not None:
+        # cluster-scale shape: the signature table is persisted ONCE as
+        # partitioned parquet and re-read, instead of pinning it in the
+        # object store with materialize(). A completed run leaves a sibling
+        # marker so a resumed/repeated job skips the whole signature
+        # recompute (the most expensive stage of this operator).
+        import os
+
+        marker = checkpoint_dir.rstrip("/") + "._SUCCESS"
+        if not os.path.exists(marker):
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            _sig_stage().write_parquet(checkpoint_dir)
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        sigs = ray.data.read_parquet(checkpoint_dir)
+    else:
+        sigs = _sig_stage().materialize()
 
     mult = (
         np.arange(rows_per_band, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)

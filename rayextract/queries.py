@@ -1722,6 +1722,75 @@ def _docs_to_transcripts(sf_dir: str):
     )
 
 
+def conv_dedup_exact(sf_dir: str):
+    """Conversation-level EXACT dedup over the transcript payload (round 4 —
+    dedup on the north-rule table itself, not just documents): every turn
+    contributes a 63-bit term hash ``md5_number(f"{turn_idx}:{text}") >> 1``;
+    a conversation's fingerprint is the XOR of its term hashes — order-FREE
+    to combine (partition/batch invariant, no sort-by-turn exchange needed)
+    yet order-SENSITIVE in value because turn_idx is baked into each term.
+    Two narrow bucketed exchanges: XOR-combine per conv_id, then group by
+    fingerprint -> (fp, conv_id=min, n_copies). Turn texts cross the wire
+    only as 8-byte terms; no conversation is ever materialized whole."""
+    return _conv_fingerprint_dedup(_docs_to_transcripts(sf_dir))
+
+
+def _conv_fingerprint_dedup(turns) -> "object":
+    """Core of conv_dedup_exact over any (conv_id, turn_idx, text) dataset
+    (separated so tests can plant duplicate/reordered conversations)."""
+    import hashlib as _hl
+
+    from .bucketed import bucketed_group_reduce
+
+    def _xor_by_conv(conv: pd.Series, fp: np.ndarray) -> pd.DataFrame:
+        codes, uniq = pd.factorize(conv)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        out = np.bitwise_xor.reduceat(fp[order], starts)
+        return pd.DataFrame(
+            {"conv_id": uniq[sc[starts]], "fp": out.astype("int64")}
+        )
+
+    def term_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    _hl.md5(f"{i}:{t}".encode()).digest()[:8], "little"
+                ) >> 1
+                for i, t in zip(df["turn_idx"], df["text"])
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return _xor_by_conv(df["conv_id"], h)
+
+    def term_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return _xor_by_conv(g["conv_id"], g["fp"].to_numpy())
+
+    fps = bucketed_group_reduce(
+        turns, ["conv_id"], term_partial, term_reduce, n_buckets=64
+    )
+
+    def grp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("fp", sort=False)
+            .agg(conv_id=("conv_id", "min"), n_copies=("conv_id", "count"))
+            .reset_index()
+        )
+
+    def grp_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("fp", sort=False)
+            .agg(conv_id=("conv_id", "min"), n_copies=("n_copies", "sum"))
+            .reset_index()
+        )
+
+    return bucketed_group_reduce(
+        fps, ["fp"], grp_partial, grp_reduce, n_buckets=64
+    )
+
+
 def k2_annotation_quads(sf_dir: str):
     """K2 — highlight-annotation rendering (Worker.cs:459-528 quad emitter)
     over the flagship transcript turns: every extracted span becomes one
@@ -5128,6 +5197,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "audio_wav_decode": audio_wav_decode,
     "image_bmp_decode": image_bmp_decode,
+    "conv_dedup_exact": conv_dedup_exact,
     "multimodal_frame_features": multimodal_frame_features,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "k2_annotation_quads": k2_annotation_quads,
@@ -5765,6 +5835,41 @@ SQL: dict[str, str] = {
                     + greatest(1, CAST(ceil(ntok / 12.0) AS BIGINT)) AS BIGINT) AS n_turns
         FROM d
     """.replace("%%DATE%%", _DATE_SQL),
+    "conv_dedup_exact": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                 'INVOICE 1' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || ' DATE ' ||
+                   printf('%02d/%02d/%d', doc_id % 12 + 1, doc_id % 28 + 1, 1990 + doc_id % 30) ||
+                   ' REFERENCE AB' || CAST(doc_id AS VARCHAR) || 'X TOTAL $' ||
+                   CAST(doc_id % 900 + 100 AS VARCHAR) || '.25' AS header,
+                 CASE WHEN doc_id % 3 = 0 THEN
+                   'PATIENT NAME ' ||
+                   (['MARY','JOHN','ALICE','ROBERT','LINDA'])[CAST(doc_id // 3 AS INT) % 5 + 1] || ' ' ||
+                   (['SMITH','JONES','TAYLOR','BROWN','WILSON'])[CAST(doc_id // 7 AS INT) % 5 + 1] ||
+                   ' DOB ' || printf('%02d/%02d/%d', doc_id % 12 + 1, doc_id % 25 + 1, 1975 + doc_id % 40)
+                 END AS pline,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        turns AS (
+          SELECT conv_id, 0 AS turn_idx, header AS text FROM d
+          UNION ALL
+          SELECT conv_id, 1, pline FROM d WHERE pline IS NOT NULL
+          UNION ALL
+          SELECT conv_id, CAST(i + 2 AS INT),
+                 array_to_string(toks[CAST(i*12+1 AS INT) : CAST(i*12+12 AS INT)], ' ')
+          FROM d, unnest(range(0, greatest(1, CAST(ceil(len(toks) / 12.0) AS BIGINT)))) t(i)
+        ),
+        fps AS (
+          SELECT conv_id,
+                 bit_xor(md5_number_upper(CAST(turn_idx AS VARCHAR) || ':' || text) >> 1) AS fp
+          FROM turns GROUP BY conv_id
+        )
+        SELECT CAST(fp AS BIGINT) AS fp, min(conv_id) AS conv_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM fps GROUP BY fp
+    """,
     "f7_annotations": f"""
         WITH {_NER_FEAT_CTE},
         runs AS (

@@ -181,3 +181,45 @@ def test_event_deltas_values(edge_dir, ray_session):
     # singleton users: zero gaps
     assert out.loc[2, "n_events"] == 1 and out.loc[2, "max_gap_us"] == 0
     assert out.loc[2, "mean_gap_us"] == 0
+
+
+def test_conv_fingerprint_dedup_planted():
+    """conv_dedup_exact core: identical conversations share a fingerprint
+    (n_copies counts them, min conv_id wins); reordering the SAME turn texts
+    across turn_idx values changes the fingerprint; fingerprints are
+    partition-invariant (single block vs one-row blocks)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from rayextract.queries import _conv_fingerprint_dedup
+
+    rows = []
+
+    def conv(cid, texts):
+        for i, t in enumerate(texts):
+            rows.append({"conv_id": cid, "turn_idx": i, "text": t})
+
+    conv("conv-a", ["hello", "world", "bye"])
+    conv("conv-b", ["hello", "world", "bye"])      # exact dup of a
+    conv("conv-c", ["world", "hello", "bye"])      # same texts, new order
+    conv("conv-d", ["solo"])
+    df = pd.DataFrame(rows)
+
+    out = (
+        _conv_fingerprint_dedup(rd.from_pandas(df))
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    by_conv = dict(zip(out["conv_id"], out["n_copies"]))
+    assert by_conv == {"conv-a": 2, "conv-c": 1, "conv-d": 1}
+    fps = dict(zip(out["conv_id"], out["fp"]))
+    assert fps["conv-a"] != fps["conv-c"]  # order-sensitive
+    assert (out["fp"] >= 0).all()  # 63-bit: survives BIGINT casts
+
+    # partition invariance: one row per block must give identical output
+    blocks = [df.iloc[[i]] for i in range(len(df))]
+    out2 = (
+        _conv_fingerprint_dedup(rd.from_pandas(blocks))
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)

@@ -87,3 +87,45 @@ def test_batched_call_matches_signature():
     # second batch exercises the warm cache path
     out2 = mh(df)
     assert list(out2["sig"]) == list(out["sig"])
+
+
+def test_checkpointed_signatures_resume(tmp_path, monkeypatch, ray_session):
+    """checkpoint_dir: sigs persist as parquet + marker; a resumed run must
+    NOT recompute signatures (MinHasher never instantiated) and must return
+    identical pairs."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    import rayextract.dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    texts = [base, base + "tail", "completely different words here " * 6]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    ckpt = str(tmp_path / "sigs")
+
+    plain = (
+        dd.minhash_lsh_pairs(docs, threshold=0.5, bands=16)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    first = (
+        dd.minhash_lsh_pairs(docs, threshold=0.5, bands=16, checkpoint_dir=ckpt)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, first)
+    import os
+
+    assert os.path.exists(ckpt + "._SUCCESS")
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise AssertionError("signature stage recomputed on resume")
+
+    monkeypatch.setattr(dd, "MinHasher", Boom)
+    resumed = (
+        dd.minhash_lsh_pairs(docs, threshold=0.5, bands=16, checkpoint_dir=ckpt)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, resumed)
