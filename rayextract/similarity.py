@@ -43,36 +43,91 @@ def _global_topk_fn(k: int):
     return global_topk
 
 
+def _arrow_matrix(t) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (ids, normalized embedding matrix) from a pyarrow batch:
+    the list column's value buffer is viewed flat and reshaped — no per-row
+    Python, no vstack."""
+    n = t.num_rows
+    col = t.column("embedding").combine_chunks()
+    if hasattr(col, "flatten"):  # plain list<float> column
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        mat = flat.reshape(n, -1)
+    else:  # Ray tensor extension array (a prior stage emitted ndarrays)
+        mat = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
+    return t.column("vec_id").to_numpy(), _normalize(mat)
+
+
+def _topk_rows(
+    qids: np.ndarray, sims: np.ndarray, ids: np.ndarray, k: int,
+    eligible: "np.ndarray | None" = None,
+) -> pd.DataFrame:
+    """Per-query tie-safe top-k over one batch: threshold at the k-th
+    largest sim, keep every candidate >= it (so boundary ties can never be
+    cut by id-order luck), then exact (-sim, id) lexsort of that small set.
+    ``eligible``: optional (nq, nb) bool mask of allowed candidates (IVF
+    probe lists); self-matches are always excluded."""
+    out_q: list = []
+    out_n: list = []
+    out_s: list = []
+    nb = ids.size
+    for qi in range(len(qids)):
+        s = sims[qi]
+        bad = ids == qids[qi]
+        if eligible is not None:
+            bad = bad | ~eligible[qi]
+        if bad.any():
+            s = np.where(bad, -np.inf, s)
+        kk = min(k, nb)
+        thresh = np.partition(s, nb - kk)[nb - kk]
+        cand = np.flatnonzero(s >= thresh) if thresh > -np.inf else np.flatnonzero(
+            s > -np.inf
+        )
+        if cand.size == 0:
+            continue
+        order = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
+        out_q.append(np.full(order.size, qids[qi], dtype=np.int64))
+        out_n.append(ids[order].astype(np.int64, copy=False))
+        out_s.append(s[order])
+    if not out_q:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "sim": np.concatenate(out_s).astype(np.float64, copy=False),
+        }
+    )
+
+
 def knn_bruteforce(
-    emb: "ray.data.Dataset", queries: pd.DataFrame, k: int = 5
+    emb: "ray.data.Dataset", queries: pd.DataFrame, k: int = 5,
+    batch_size: int = 8192,
 ) -> "ray.data.Dataset":
     """(query_id, rank, neighbor_id) exact cosine top-k, self excluded.
 
     ``queries``: DataFrame(vec_id, embedding) — small; broadcast via ray.put.
+    ``batch_size`` coalesces the read's blocks (parquet scans of narrow
+    tables emit tiny blocks; per-task fixed cost dominated the wall before
+    the matmul did — 64 blocks of ~31 rows at sf0.1).
     """
     qids = queries["vec_id"].to_numpy()
     qmat_ref = ray.put(_stack(queries["embedding"]))
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_topk(t) -> pd.DataFrame:
         qmat = ray.get(qmat_ref)
-        cmat = _stack(df["embedding"])
-        ids = df["vec_id"].to_numpy()
+        ids, cmat = _arrow_matrix(t)
         sims = qmat @ cmat.T  # (nq, nb)
-        rows = []
-        for qi in range(len(qids)):
-            s = sims[qi]
-            mask = ids != qids[qi]
-            cand_idx = np.flatnonzero(mask)
-            if cand_idx.size == 0:
-                continue
-            order = cand_idx[np.lexsort((ids[cand_idx], -s[cand_idx]))][:k]
-            for n_id, sim in zip(ids[order], s[order]):
-                rows.append((int(qids[qi]), int(n_id), float(sim)))
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"]).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "sim": "float64"}
-        )
+        return _topk_rows(qids, sims, ids, k)
 
-    partials = emb.map_batches(partial_topk, batch_format="pandas")
+    partials = emb.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=batch_size
+    )
     from .relational import join_partitions
 
     return partials.groupby("query_id", num_partitions=join_partitions(cap=16)).map_groups(
@@ -120,40 +175,30 @@ def knn_ivf(
         order = np.lexsort((all_lists, d))
         probe[int(queries["vec_id"].iloc[qi])] = set(all_lists[order][:n_probe].tolist())
 
-    binned = emb.map_batches(
-        IVFIndexer,
-        fn_constructor_kwargs={"dim": dim, "n_lists": n_lists},
-        batch_format="pandas",
-        concurrency=(1, 4),
-        num_cpus=1,
-    )
     qids = queries["vec_id"].to_numpy()
     qmat_ref = ray.put(qmat)
     probe_ref = ray.put(probe)
+    proj_ref = ray.put(indexer.proj)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    # assignment + probe-filtered partial top-k FUSED in one task-pool stage:
+    # the quantizer is a stateless deterministic projection (signs are
+    # normalization-invariant), so a separate actor-pool binning stage only
+    # paid actor spin-up per execution. A persisted-index IVF would write the
+    # binned table once instead (the minhash checkpoint_dir shape).
+    def partial(t) -> pd.DataFrame:
         qm = ray.get(qmat_ref)
         pr = ray.get(probe_ref)
-        cmat = _stack(df["embedding"])
-        ids = df["vec_id"].to_numpy()
-        lists = df["ivf_list"].to_numpy()
+        proj = ray.get(proj_ref)
+        ids, cmat = _arrow_matrix(t)
+        bits = (cmat @ proj) > 0
+        lists = bits @ (1 << np.arange(bits.shape[1]))
         sims = qm @ cmat.T
-        rows = []
-        for qi in range(len(qids)):
-            qid = int(qids[qi])
-            mask = (ids != qid) & np.isin(lists, list(pr[qid]))
-            cand = np.flatnonzero(mask)
-            if cand.size == 0:
-                continue
-            s = sims[qi]
-            order = cand[np.lexsort((ids[cand], -s[cand]))][:k]
-            for n_id, sim in zip(ids[order], s[order]):
-                rows.append((qid, int(n_id), float(sim)))
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"]).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+        eligible = np.stack(
+            [np.isin(lists, list(pr[int(qid)])) for qid in qids]
         )
+        return _topk_rows(qids, sims, ids, k, eligible=eligible)
 
-    partials = binned.map_batches(partial, batch_format="pandas")
+    partials = emb.map_batches(partial, batch_format="pyarrow", batch_size=8192)
     from .relational import join_partitions
 
     return partials.groupby("query_id", num_partitions=join_partitions(cap=16)).map_groups(
