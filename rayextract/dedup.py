@@ -469,59 +469,79 @@ class MinHasher:
         # most of the reported pairs at sf0.1 were such phantom matches).
         doc_ids = df["doc_id"].to_numpy()
         cache = self._cache
-        pending: dict = {}  # insertion-ordered set of new unique shingles
-        nonempty: list[tuple[int, list]] = []
+        out_ids: list = []
+        occ: list = []  # every shingle occurrence, doc-contiguous
+        lens: list = []
         for did, text in zip(doc_ids, df["text"]):
             sl = list(_token_set(text if isinstance(text, str) else "", self.ngram))
             if not sl:
                 continue
-            nonempty.append((did, sl))
-            for s in sl:
-                if s not in cache and s not in pending:
-                    pending[s] = None
-        if pending:
+            out_ids.append(did)
+            occ.extend(sl)
+            lens.append(len(sl))
+        if not out_ids:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "sig": pd.Series(dtype="object"),
+                }
+            )
+        # factorize occurrences (C-speed hash pass): the Carter-Wegman matrix
+        # is computed over the ~10x-smaller UNIQUE shingle set and expanded
+        # back by an index gather — the expand-first (num_perm x occurrences)
+        # uint64 matrix was memory-bound (4.2s vs 0.3s at sf0.1).
+        inv, uniq = pd.factorize(np.asarray(occ, dtype=object))
+        new = [s for s in uniq if s not in cache]
+        if new:
             # one md5 per NEW unique shingle; all 4-byte values decoded in a
             # single frombuffer pass (digest bytes [:4], little-endian)
-            buf = b"".join(hashlib.md5(s.encode()).digest() for s in pending)
+            buf = b"".join(hashlib.md5(s.encode()).digest() for s in new)
             vals = np.frombuffer(buf, dtype="<u4")[::4] & np.uint32(0x7FFFFFFF)
-            if len(cache) + len(pending) > self._CACHE_MAX:
+            if len(cache) + len(new) > self._CACHE_MAX:
                 cache.clear()  # cheap epoch reset; recompute is ~1us/shingle
-            for s, v in zip(pending, vals.tolist()):
+            for s, v in zip(new, vals.tolist()):
                 cache[s] = v
-        out_ids: list = []
-        out_sigs: list = []
-        a_col, b_col = self.a[:, None], self.b[:, None]
-        P = np.uint64(self.P31)
-        CHUNK = 1 << 16  # shingle budget per matrix: 128*65536*8B = 64 MB
-        i, n = 0, len(nonempty)
-        while i < n:
-            j, total = i, 0
-            while j < n and (j == i or total + len(nonempty[j][1]) <= CHUNK):
-                total += len(nonempty[j][1])
-                j += 1
-            lens = np.array([len(sl) for _, sl in nonempty[i:j]], dtype=np.intp)
-            hv = np.fromiter(
-                (cache[s] for _, sl in nonempty[i:j] for s in sl),
-                dtype=np.uint64,
-                count=total,
+        uniq_vals = np.fromiter(
+            (cache[s] for s in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        starts = np.zeros(len(lens), dtype=np.intp)
+        np.cumsum(np.asarray(lens[:-1], dtype=np.intp), out=starts[1:])
+        # (a*h + b) mod p: a,h < 2^31 so a*h+b < 2^62 — exact in uint64;
+        # results < 2^31 so the occurrence gather + per-doc min run in uint32
+        # (half the memory traffic), widened back to uint64 only for the
+        # packed signature bytes.
+        up32 = (
+            (self.a[:, None] * uniq_vals[None, :] + self.b[:, None])
+            % np.uint64(self.P31)
+        ).astype(np.uint32)
+        sig32 = np.empty((self.num_perm, len(lens)), dtype=np.uint32)
+        PCHUNK = 32  # perms per gather: 32 * occurrences * 4B stays cache-warm
+        for s in range(0, self.num_perm, PCHUNK):
+            sig32[s : s + PCHUNK] = np.minimum.reduceat(
+                up32[s : s + PCHUNK][:, inv], starts, axis=1
             )
-            starts = np.zeros(len(lens), dtype=np.intp)
-            np.cumsum(lens[:-1], out=starts[1:])
-            # (a*h + b) mod p: a,h < 2^31 so a*h+b < 2^62 — exact in uint64
-            prod = (a_col * hv[None, :] + b_col) % P
-            sig_mat = np.ascontiguousarray(
-                np.minimum.reduceat(prod, starts, axis=1).T
-            )
-            for k in range(j - i):
-                out_ids.append(nonempty[i + k][0])
-                out_sigs.append(sig_mat[k].tobytes())
-            i = j
+        sig_mat = np.ascontiguousarray(sig32.T.astype("<u8"))
         return pd.DataFrame(
             {
                 "doc_id": pd.Series(out_ids, dtype="int64"),
-                "sig": pd.Series(out_sigs, dtype="object"),
+                "sig": pd.Series(
+                    [sig_mat[k].tobytes() for k in range(len(out_ids))],
+                    dtype="object",
+                ),
             }
         )
+
+
+_MH_PROC_CACHE: dict = {}
+
+
+def _minhash_signatures_batch(df, cls, num_perm: int, ngram: int):
+    """Per-worker-process memoized signature batch fn (see _sig_stage)."""
+    key = (cls.__module__, cls.__qualname__, num_perm, ngram)
+    mh = _MH_PROC_CACHE.get(key)
+    if mh is None:
+        mh = _MH_PROC_CACHE[key] = cls(num_perm=num_perm, ngram=ngram)
+    return mh(df)
 
 
 def minhash_lsh_pairs(
@@ -531,7 +551,6 @@ def minhash_lsh_pairs(
     bands: int = 32,
     ngram: int = 3,
     n_buckets: int = 64,
-    concurrency: tuple[int, int] = (1, 8),
     checkpoint_dir: "str | None" = None,
 ) -> "ray.data.Dataset":
     """Unblocked near-dup pairs via MinHash LSH, verified with signature-
@@ -539,8 +558,9 @@ def minhash_lsh_pairs(
 
     Join-free scale shape — every exchange is a bucketed hash shuffle and no
     per-group Python UDF touches high-cardinality keys:
-      1. signature actor stage (materialized once; at cluster scale this
-         would be a checkpointed parquet intermediate),
+      1. signature task stage, hasher memoized per worker process
+         (materialized once; pass checkpoint_dir for the cluster-scale
+         parquet-checkpointed intermediate),
       2. numpy band explosion -> (band_id, band_hash, doc_id) rows (24 B/row
          — signatures do NOT ride the band shuffle),
       3. bucketed reduce per band bucket -> packed candidate pairs,
@@ -554,14 +574,17 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
 
     def _sig_stage() -> "ray.data.Dataset":
+        # task pool, not actor pool: the hasher state (a/b arrays + shingle
+        # memo) is rebuilt lazily ONCE PER WORKER PROCESS (Ray reuses worker
+        # processes across tasks), so tasks keep the warm memo without paying
+        # autoscaling actor spin-up — at sf0.1 the (1,8) actor pool spent
+        # more wall on spin-up than on hashing. cls is captured at graph
+        # build so tests can substitute it to prove resume skips this stage.
         return docs.map_batches(
-            MinHasher,
-            fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
+            _minhash_signatures_batch,
+            fn_kwargs={"cls": MinHasher, "num_perm": num_perm, "ngram": ngram},
             batch_format="pandas",
-            batch_size=2048,  # parquet reads emit tiny blocks; fat batches
-            # amortize the per-batch unique-shingle pass and the matrix setup
-            concurrency=concurrency,
-            num_cpus=1,
+            batch_size=512,
         )
 
     if checkpoint_dir is not None:
