@@ -1484,6 +1484,25 @@ def f5_person_ner(sf_dir: str):
     )
 
 
+def ner_model_extract(sf_dir: str):
+    """Model-backed NER (round 4 — the Stanford-CRF accuracy-class analog,
+    EntityRecognizer.cs:50-65): an averaged structured perceptron with
+    Viterbi BIO decode, trained deterministically once per actor (D4), tags
+    every document's normalized text and emits the first PERSON and ORG
+    surface. Rows-only oracle: learned-weight inference is model scoring,
+    not SQL-expressible; weight determinism + span accuracy are pinned by
+    tests/test_ner_model.py instead."""
+    from .ner_model import PerceptronNerTagger
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        PerceptronNerTagger,
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 def f6_org_ner(sf_dir: str):
     """F6 — first organization span (EntityRecognizer.cs:72-91 analog)."""
     from .ner import get_organization_name
@@ -5191,6 +5210,7 @@ QUERIES = {
     "union_clicks_purchases": union_clicks_purchases,
     "f5_person_ner": f5_person_ner,
     "f6_org_ner": f6_org_ner,
+    "ner_model_extract": ner_model_extract,
     "f7_annotations": f7_annotations,
     "sample_hash_split": sample_hash_split,
     "kmeans_embeddings": kmeans_embeddings,
