@@ -199,6 +199,7 @@ class PerceptronNER:
         self.w: dict[str, np.ndarray] = {}
         self.trans = np.zeros((_NTAGS + 1, _NTAGS), dtype=np.float32)  # [-1]=start
         self._train(training_corpus(train_n, seed), epochs)
+        self._freeze()
 
     # -- decoding ----------------------------------------------------------
 
@@ -225,11 +226,57 @@ class PerceptronNER:
             path.append(int(back[i][path[-1]]))
         return path[::-1]
 
+    def _freeze(self) -> None:
+        """Python-native weight tables for inference: at 5 tags the numpy
+        per-op overhead (broadcast add, argmax, fancy index — each on 5 or
+        25 elements) is ~3x the arithmetic; the per-document decode cost IS
+        the at-scale bill for this stage. Values are float64 copies of the
+        averaged float32 weights — identical on every worker."""
+        self._wpy = {f: tuple(float(x) for x in v) for f, v in self.w.items()}
+        self._tpy = [[float(x) for x in row] for row in self.trans]
+
     def tag(self, toks: list[str]) -> list[str]:
         if not toks:
             return []
-        feats = [_tok_features(toks, i) for i in range(len(toks))]
-        return [TAGS[t] for t in self._viterbi(self._emissions(feats))]
+        wpy = self._wpy
+        trans = self._tpy
+        rng_t = range(_NTAGS)
+        # emissions: plain float adds over the sparse features
+        emis = []
+        for i in range(len(toks)):
+            e = [0.0] * _NTAGS
+            for f in _tok_features(toks, i):
+                v = wpy.get(f)
+                if v is not None:
+                    for t in rng_t:
+                        e[t] += v[t]
+            emis.append(e)
+        # Viterbi, first-index tie-breaking (same convention as np.argmax)
+        start = trans[_NTAGS]
+        score = [start[t] + emis[0][t] for t in rng_t]
+        back: list[list[int]] = []
+        for i in range(1, len(toks)):
+            e = emis[i]
+            nscore = [0.0] * _NTAGS
+            nback = [0] * _NTAGS
+            for cur in rng_t:
+                best, barg = score[0] + trans[0][cur], 0
+                for prev in range(1, _NTAGS):
+                    s = score[prev] + trans[prev][cur]
+                    if s > best:
+                        best, barg = s, prev
+                nscore[cur] = best + e[cur]
+                nback[cur] = barg
+            score = nscore
+            back.append(nback)
+        last, barg = score[0], 0
+        for t in range(1, _NTAGS):
+            if score[t] > last:
+                last, barg = score[t], t
+        path = [barg]
+        for nback in reversed(back):
+            path.append(nback[path[-1]])
+        return [TAGS[t] for t in path[::-1]]
 
     # -- training ----------------------------------------------------------
 
@@ -289,24 +336,30 @@ class PerceptronNER:
 
     # -- reference call semantics (first span, else None) ------------------
 
-    def _first_span(self, text: str, kind: str) -> "str | None":
+    def first_spans(self, text: str) -> "tuple[str | None, str | None]":
+        """(first PERSON surface, first ORG surface) from ONE tagging pass —
+        the batch stage calls this; two separate get_* calls would featurize
+        and Viterbi-decode the same document twice."""
         ms = list(_TOKEN.finditer(text))
         toks = [m.group(0) for m in ms]
         tags = self.tag(toks)
-        b, i_ = "B-" + kind, "I-" + kind
+        out: dict[str, "str | None"] = {"PER": None, "ORG": None}
         for i, t in enumerate(tags):
-            if t == b:
+            kind = t[2:]
+            if t.startswith("B-") and out[kind] is None:
                 j = i
-                while j + 1 < len(tags) and tags[j + 1] == i_:
+                while j + 1 < len(tags) and tags[j + 1] == "I-" + kind:
                     j += 1
-                return text[ms[i].start() : ms[j].end()]
-        return None
+                out[kind] = text[ms[i].start() : ms[j].end()]
+                if out["PER"] is not None and out["ORG"] is not None:
+                    break
+        return out["PER"], out["ORG"]
 
     def get_person_name(self, text: str) -> "str | None":
-        return self._first_span(text, "PER")
+        return self.first_spans(text)[0]
 
     def get_organization_name(self, text: str) -> "str | None":
-        return self._first_span(text, "ORG")
+        return self.first_spans(text)[1]
 
     def weight_digest(self) -> str:
         """Stable hash of all weights — the determinism contract."""
@@ -359,11 +412,11 @@ class PerceptronNerTagger:
         self.model = PerceptronNER()
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        up = df["text"].str.upper()
+        spans = [self.model.first_spans(t) for t in df["text"].str.upper()]
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
-                "person": up.map(self.model.get_person_name),
-                "org": up.map(self.model.get_organization_name),
+                "person": pd.Series([s[0] for s in spans], dtype="object"),
+                "org": pd.Series([s[1] for s in spans], dtype="object"),
             }
         )

@@ -1497,8 +1497,8 @@ def ner_model_extract(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         PerceptronNerTagger,
         batch_format="pandas",
-        batch_size=2048,
-        concurrency=(1, 4),
+        batch_size=512,
+        concurrency=(1, 8),
         num_cpus=1,
     )
 
