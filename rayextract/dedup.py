@@ -497,13 +497,20 @@ class MinHasher:
             # single frombuffer pass (digest bytes [:4], little-endian)
             buf = b"".join(hashlib.md5(s.encode()).digest() for s in new)
             vals = np.frombuffer(buf, dtype="<u4")[::4] & np.uint32(0x7FFFFFFF)
-            if len(cache) + len(new) > self._CACHE_MAX:
-                cache.clear()  # cheap epoch reset; recompute is ~1us/shingle
             for s, v in zip(new, vals.tolist()):
                 cache[s] = v
         uniq_vals = np.fromiter(
             (cache[s] for s in uniq), dtype=np.uint64, count=len(uniq)
         )
+        if len(cache) > self._CACHE_MAX:
+            # Epoch reset AFTER the gather — evicting before it would drop
+            # previously-cached shingles that the current batch still needs
+            # (cache[s] KeyError, guaranteed past 1M unique shingles).
+            # Re-seed with the current batch's uniq so consecutive similar
+            # batches stay warm; memory stays bounded by max(cap, one batch).
+            cache.clear()
+            for i, s in enumerate(uniq):
+                cache[s] = uniq_vals[i]
         starts = np.zeros(len(lens), dtype=np.intp)
         np.cumsum(np.asarray(lens[:-1], dtype=np.intp), out=starts[1:])
         # (a*h + b) mod p: a,h < 2^31 so a*h+b < 2^62 — exact in uint64;
@@ -552,9 +559,14 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     n_buckets: int = 64,
     checkpoint_dir: "str | None" = None,
+    checkpoint_token: "str | None" = None,
 ) -> "ray.data.Dataset":
     """Unblocked near-dup pairs via MinHash LSH, verified with signature-
     estimated Jaccard >= threshold. Returns (doc_a, doc_b, est_sim).
+
+    checkpoint_token: corpus identity for the checkpoint fingerprint when
+    the input dataset has no file lineage (e.g. from_items); file-backed
+    datasets are fingerprinted by their input file list automatically.
 
     Join-free scale shape — every exchange is a bucketed hash shuffle and no
     per-group Python UDF touches high-cardinality keys:
@@ -590,18 +602,27 @@ def minhash_lsh_pairs(
     if checkpoint_dir is not None:
         # cluster-scale shape: the signature table is persisted ONCE as
         # partitioned parquet and re-read, instead of pinning it in the
-        # object store with materialize(). A completed run leaves a sibling
-        # marker so a resumed/repeated job skips the whole signature
-        # recompute (the most expensive stage of this operator).
-        import os
+        # object store with materialize(). The marker is keyed to the stage
+        # params + input lineage (or a caller token) and the publish is
+        # atomic (tmp dir + os.replace), so a crashed write never leaves a
+        # half-checkpoint a retry would double-read, and a reused dir never
+        # serves signatures computed with different params or inputs.
+        from .checkpoint import (
+            checkpointed_parquet,
+            dataset_input_files,
+            stage_fingerprint,
+        )
 
-        marker = checkpoint_dir.rstrip("/") + "._SUCCESS"
-        if not os.path.exists(marker):
-            os.makedirs(checkpoint_dir, exist_ok=True)
-            _sig_stage().write_parquet(checkpoint_dir)
-            with open(marker, "w") as f:
-                f.write("ok\n")
-        sigs = ray.data.read_parquet(checkpoint_dir)
+        fp = stage_fingerprint(
+            {
+                "stage": "minhash_sigs",
+                "num_perm": num_perm,
+                "ngram": ngram,
+                "token": checkpoint_token,
+            },
+            None if checkpoint_token else dataset_input_files(docs),
+        )
+        sigs = checkpointed_parquet(_sig_stage, checkpoint_dir, fp)
     else:
         sigs = _sig_stage().materialize()
 

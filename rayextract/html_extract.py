@@ -17,11 +17,41 @@ from __future__ import annotations
 import re
 from html import unescape as _unescape
 from html.parser import HTMLParser
-from html.parser import attrfind_tolerant as _stdlib_attrfind_tolerant
-from html.parser import (
-    locatestarttagend_tolerant as _stdlib_locatestarttagend_tolerant,
-)
-from html.parser import tagfind_tolerant as _stdlib_tagfind_tolerant
+
+try:
+    # CPython-private names — present in every 3.x to date but undocumented,
+    # so a rename must not take this module down with an ImportError.
+    from html.parser import attrfind_tolerant as _stdlib_attrfind_tolerant
+    from html.parser import (
+        locatestarttagend_tolerant as _stdlib_locatestarttagend_tolerant,
+    )
+    from html.parser import tagfind_tolerant as _stdlib_tagfind_tolerant
+except ImportError:  # pragma: no cover - vendored copies of the 3.12 regexes
+    _stdlib_tagfind_tolerant = re.compile(
+        r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*"
+    )
+    _stdlib_attrfind_tolerant = re.compile(
+        r'((?<=[\'"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*'
+        r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*'
+    )
+    _stdlib_locatestarttagend_tolerant = re.compile(
+        r"""
+      <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+      (?:[\s/]*                          # optional whitespace before attribute name
+        (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+          (?:\s*=+\s*                    # value indicator
+            (?:'[^']*'                   # LITA-enclosed value
+              |"[^"]*"                   # LIT-enclosed value
+              |(?!['"])[^>\s]*           # bare value
+            )
+            (?:\s*,)*                    # possibly followed by a comma
+          )?(?:\s|/(?!>))*
+        )*
+      )?
+      \s*                                # trailing whitespace
+    """,
+        re.VERBOSE,
+    )
 
 BLOCK_TAGS = frozenset(
     {"p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "th",

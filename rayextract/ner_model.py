@@ -406,17 +406,40 @@ def span_f1(model: "PerceptronNER", corpus) -> float:
 
 
 class PerceptronNerTagger:
-    """Actor-pool batch stage: (doc_id, text) -> (doc_id, person, org)."""
+    """Actor-pool batch stage: (doc_id, text) -> (doc_id, person, org).
+
+    Emits a pinned pyarrow schema: pandas object columns that happen to be
+    all-None in a batch infer as null-type blocks, which defeats Ray's
+    schema dedup (per-batch "Failed to hash the schemas" warnings) and can
+    poison downstream unions; a fixed pa.schema keeps every block
+    bit-identical in type regardless of batch content."""
+
+    OUT_SCHEMA = None  # built lazily so module import stays pyarrow-free
 
     def __init__(self) -> None:
-        self.model = PerceptronNER()
+        import pyarrow as pa
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        spans = [self.model.first_spans(t) for t in df["text"].str.upper()]
-        return pd.DataFrame(
+        self.model = PerceptronNER()
+        if PerceptronNerTagger.OUT_SCHEMA is None:
+            PerceptronNerTagger.OUT_SCHEMA = pa.schema(
+                [("doc_id", pa.int64()), ("person", pa.string()),
+                 ("org", pa.string())]
+            )
+
+    def __call__(self, df: pd.DataFrame):
+        import pyarrow as pa
+
+        # null/NaN text guard (matches the MinHasher path): str.upper() on a
+        # null yields NaN and _TOKEN.finditer(NaN) raises TypeError.
+        texts = df["text"].fillna("").astype(str).str.upper()
+        spans = [self.model.first_spans(t) for t in texts]
+        return pa.table(
             {
-                "doc_id": df["doc_id"].astype("int64"),
-                "person": pd.Series([s[0] for s in spans], dtype="object"),
-                "org": pd.Series([s[1] for s in spans], dtype="object"),
-            }
+                "doc_id": pa.array(
+                    df["doc_id"].to_numpy(dtype="int64"), type=pa.int64()
+                ),
+                "person": pa.array([s[0] for s in spans], type=pa.string()),
+                "org": pa.array([s[1] for s in spans], type=pa.string()),
+            },
+            schema=self.OUT_SCHEMA,
         )

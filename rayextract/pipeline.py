@@ -39,7 +39,11 @@ def read_transcripts(path: str | list[str], columns: list[str] | None = PARSE_CO
         path = sorted(glob.glob(pattern))
         if not path:
             raise FileNotFoundError(f"no input files match {pattern!r}")
-    return rd.read_parquet(path, columns=columns)
+    # metadata-stripped read (pqio.py): pandas-written inputs otherwise make
+    # every block schema unhashable and defeat Ray's schema dedup
+    from .pqio import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns)
 
 
 def read_transcripts_jsonl(path: str | list[str],

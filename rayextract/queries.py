@@ -49,7 +49,14 @@ NEARDUP_COS = 0.4
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    # metadata-stripped read: the driver's pandas-written parquet embeds a
+    # b'pandas' schema blob that makes pa.Schema unhashable and spams
+    # "Failed to hash the schemas" from every worker (see pqio.py)
+    from .pqio import read_parquet_clean
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
 
 
 def _cluster_cfg():
@@ -1412,15 +1419,39 @@ def sample_hash_split(sf_dir: str):
     )
 
 
-def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
+def kmeans_embeddings(
+    sf_dir: str, k: int = 8, iters: int = 5,
+    checkpoint_dir: "str | None" = None,
+):
     """Mini k-means over the embedding column: centroids broadcast per
-    iteration, assignment + per-cluster partial sums inside map_batches, tiny
-    driver-side centroid update. Deterministic init (first k by vec_id)."""
+    iteration (ray.put once, read per batch), assignment + per-cluster
+    partial sums inside pyarrow map_batches (zero-copy list-buffer reshape,
+    no per-row Python), tiny k-row driver-side centroid update per round.
+    Deterministic init (first k by vec_id).
+
+    The iteration loop re-executes the lazy 2-column pruned read each pass —
+    streaming, nothing corpus-sized is pinned in the object store. Pass
+    checkpoint_dir to persist that pruned projection once as partitioned
+    parquet (crash-safe, input-keyed — see checkpoint.py) so every pass of a
+    resumed or repeated run re-reads the cheap intermediate instead of
+    re-running upstream compute."""
     import ray
 
-    # materialize: the loop re-scans the table each iteration; at cluster
-    # scale this would be a checkpointed parquet intermediate instead.
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    from .similarity import _arrow_raw_matrix
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    if checkpoint_dir is not None:
+        from .checkpoint import (
+            checkpointed_parquet,
+            dataset_input_files,
+            stage_fingerprint,
+        )
+
+        fp = stage_fingerprint(
+            {"stage": "kmeans_emb_projection"}, dataset_input_files(emb)
+        )
+        src = emb  # bind before rebinding emb
+        emb = checkpointed_parquet(lambda: src, checkpoint_dir, fp)
 
     def pick_init(t):
         import pyarrow.compute as pc
@@ -1437,9 +1468,9 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     for _ in range(iters):
         ref = ray.put(centroids)
 
-        def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+        def partial_sums(t) -> pd.DataFrame:
             c = ray.get(ref)
-            m = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+            _, m = _arrow_raw_matrix(t)
             d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             assign = d.argmin(axis=1)
             out = []
@@ -1449,7 +1480,8 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
                     out.append((ci, int(mask.sum()), m[mask].sum(axis=0).tobytes()))
             return pd.DataFrame(out, columns=["cluster", "n", "vec_sum"])
 
-        parts = emb.map_batches(partial_sums, batch_format="pandas").to_pandas()
+        # k rows per batch cross the wire; the driver folds a few KB.
+        parts = emb.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
         new = centroids.copy()
         for ci, g in parts.groupby("cluster"):
             tot = np.sum(
@@ -1460,16 +1492,16 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
 
     ref = ray.put(centroids)
 
-    def assign_fn(df: pd.DataFrame) -> pd.DataFrame:
+    def assign_fn(t) -> pd.DataFrame:
         c = ray.get(ref)
-        m = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        ids, m = _arrow_raw_matrix(t)
         d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         return pd.DataFrame(
-            {"vec_id": df["vec_id"].astype("int64"),
+            {"vec_id": ids.astype("int64"),
              "cluster": d.argmin(axis=1).astype("int64")}
         )
 
-    return emb.map_batches(assign_fn, batch_format="pandas")
+    return emb.map_batches(assign_fn, batch_format="pyarrow")
 
 
 def f5_person_ner(sf_dir: str):
@@ -1494,11 +1526,17 @@ def ner_model_extract(sf_dir: str):
     tests/test_ner_model.py instead."""
     from .ner_model import PerceptronNerTagger
 
+    # pool ceiling raised past 8: per-actor model training is ~0.4s while
+    # the stage dominates the query wall, so extra actors pay for themselves
+    # within one batch; ceiling 24 leaves headroom for the read + sink on a
+    # 32-cpu node. The FLOOR stays 1 — a fixed min of k actors on a k-CPU
+    # cluster starves the read operator and deadlocks the streaming executor
+    # (observed: 4-CPU bench hung in this exact stage with floor 4).
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         PerceptronNerTagger,
         batch_format="pandas",
         batch_size=512,
-        concurrency=(1, 8),
+        concurrency=(1, 24),
         num_cpus=1,
     )
 
@@ -1889,10 +1927,22 @@ def resume_manifest_audit(sf_dir: str):
     corpus_key = hashlib.sha1(
         os.path.abspath(os.path.normpath(sf_dir)).encode()
     ).hexdigest()[:12]
-    scratch = os.path.join(
-        "/tmp", "rayextract_resume_audit",
-        f"{os.path.basename(os.path.normpath(sf_dir))}-{corpus_key}-{os.getpid()}",
-    )
+    parent = os.path.join("/tmp", "rayextract_resume_audit")
+    prefix = f"{os.path.basename(os.path.normpath(sf_dir))}-{corpus_key}-"
+    scratch = os.path.join(parent, prefix + str(os.getpid()))
+    # reap DEAD prior runs of the same corpus (per-pid dirs otherwise leak
+    # a scratch corpus per benchmark invocation); live pids keep their
+    # isolation, other corpora have a different hash prefix and are untouched
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            pid_s = d[len(prefix):]
+            if d.startswith(prefix) and pid_s.isdigit():
+                try:
+                    os.kill(int(pid_s), 0)
+                except (ProcessLookupError, ValueError):
+                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+                except PermissionError:
+                    pass  # pid alive under another uid: leave it
     in_dir, out_dir = os.path.join(scratch, "in"), os.path.join(scratch, "out")
     shutil.rmtree(scratch, ignore_errors=True)
     os.makedirs(in_dir, exist_ok=True)

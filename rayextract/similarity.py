@@ -43,10 +43,10 @@ def _global_topk_fn(k: int):
     return global_topk
 
 
-def _arrow_matrix(t) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-copy (ids, normalized embedding matrix) from a pyarrow batch:
-    the list column's value buffer is viewed flat and reshaped — no per-row
-    Python, no vstack."""
+def _arrow_raw_matrix(t) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (ids, embedding matrix) from a pyarrow batch: the list
+    column's value buffer is viewed flat and reshaped — no per-row Python,
+    no vstack. Un-normalized (k-means needs raw vectors)."""
     n = t.num_rows
     col = t.column("embedding").combine_chunks()
     if hasattr(col, "flatten"):  # plain list<float> column
@@ -54,7 +54,13 @@ def _arrow_matrix(t) -> tuple[np.ndarray, np.ndarray]:
         mat = flat.reshape(n, -1)
     else:  # Ray tensor extension array (a prior stage emitted ndarrays)
         mat = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
-    return t.column("vec_id").to_numpy(), _normalize(mat)
+    return t.column("vec_id").to_numpy(), mat
+
+
+def _arrow_matrix(t) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, L2-normalized embedding matrix) — cosine-similarity variant."""
+    ids, mat = _arrow_raw_matrix(t)
+    return ids, _normalize(mat)
 
 
 def _topk_rows(

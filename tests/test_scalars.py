@@ -148,3 +148,30 @@ def test_recognize_date_widened_grammar_r4():
     ]
     for text, want in vectors:
         assert recognize_date(text) == want, text
+
+
+def test_recognize_date_r5_tail():
+    # VERDICT r4 missing #2: month-year, time-of-day, NEXT/LAST <n> <unit>.
+    # Mirrored by the DuckDB oracle via duckdb_pattern() like the r4 set.
+    vectors = [
+        ("sometime in June 2020 maybe", "June 2020"),
+        ("JUNE, 2020 was wet", "JUNE, 2020"),
+        ("due by 3:30 PM sharp", "3:30 PM"),
+        ("at 15:45:10 precisely", "15:45:10"),
+        ("see you at 7PM tonight", "7PM"),
+        ("around 11 am works", "11 am"),
+        ("within the next 3 days please", "next 3 days"),
+        ("over the last two weeks", "last two weeks"),
+        # no trailing-space capture on bare times before a word
+        ("3:30 sharp", "3:30"),
+        # full date still beats month-year at the same start
+        ("March 5, 1999 it rained", "March 5, 1999"),
+        # earliest-offset priority is unchanged
+        ("tomorrow at 3:30 PM", "tomorrow"),
+        ("3:30 PM tomorrow", "3:30 PM"),
+        # false-positive guards
+        ("ratio was 1234:56", ""),     # hour must be 1-2 digits
+        ("the AMIGOS arrived", ""),    # AM needs a preceding number
+    ]
+    for text, want in vectors:
+        assert recognize_date(text) == want, text
