@@ -161,6 +161,8 @@ def run_queries() -> dict[str, float]:
         "doc_token_entropy",
         "image_bmp_decode",
         "audio_wav_decode",
+        "image_ocr_extract",
+        "video_y4m_decode",
         "conv_dedup_exact",
         "ner_model_extract",
     ]

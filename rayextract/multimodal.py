@@ -23,8 +23,15 @@ IMAGE has a REAL codec path too (round 4): ``BmpDecoder`` parses genuine
 uncompressed 24-bit BMP containers (file header, DIB header, bottom-up or
 top-down row order, 4-byte stride padding, BGR bytes) with pure numpy;
 ``bmp_encode`` produces the real container bytes. Under the driver gate as
-``image_bmp_decode``. Only VIDEO remains a stub (no pure-python container
-format is practical there).
+``image_bmp_decode``.
+
+VIDEO has a REAL codec path too (round 5, retiring the last stub):
+``Y4mDecoder`` / ``Y4mFrameSampler`` parse genuine YUV4MPEG2 (Y4M) streams
+(ASCII stream header, per-frame FRAME markers, mono luma planes);
+``y4m_encode`` produces the real container bytes. Under the driver gate as
+``video_y4m_decode`` and the upgraded ``multimodal_frame_features``. The
+generic MediaDecoder's fake-decode path remains only as the PIL/PyAV
+import-gated placeholder for compressed formats.
 
 Scale notes: payload rows are large, so media stages run with SMALL
 ``batch_size`` (default 64) and the binary column is dropped as soon as the
@@ -553,6 +560,197 @@ def bmp_features(
     real numpy codec in an actor pool."""
     return media.map_batches(
         BmpDecoder,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL video codec: YUV4MPEG2 (Y4M) containers via struct-free parsing (r5)
+# ---------------------------------------------------------------------------
+# Retires the last codec stub. Y4M is the classic uncompressed video
+# interchange format (mjpegtools lineage): an ASCII stream header
+# "YUV4MPEG2 W<w> H<h> F<n>:<d> Ip A1:1 C<fmt>\n" followed by frames, each
+# "FRAME\n" + raw planar pixel data. We encode/decode the Cmono variant
+# (a single Y plane per frame, w*h bytes) — pure python/numpy, same
+# playbook as the WAV/BMP codecs above.
+
+
+def y4m_encode(frames: "np.ndarray", fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n_frames, h, w) uint8 luma -> real YUV4MPEG2 Cmono container bytes."""
+    n, h, w = frames.shape
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n"
+    parts = [header.encode("ascii")]
+    for f in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(frames[f].astype(np.uint8).tobytes())
+    return b"".join(parts)
+
+
+def synth_y4m_batch(t: pa.Table) -> pa.Table:
+    """Deterministic Y4M fixture per document: nf = 2 + doc_id % 3 frames of
+    (4 + doc_id % 3) x (8 + doc_id % 5) luma with pixel(f, i) =
+    (doc_id*31 + f*101 + i*13) % 256 in row-major order — pure integer
+    arithmetic a SQL oracle can regenerate, wrapped in a REAL Y4M container."""
+    ids = t.column("doc_id").to_numpy()
+    payloads = []
+    for d in ids:
+        d = int(d)
+        w, h, nf = 8 + d % 5, 4 + d % 3, 2 + d % 3
+        i = np.arange(h * w, dtype=np.int64)
+        frames = np.stack(
+            [((d * 31 + f * 101 + i * 13) % 256).astype(np.uint8).reshape(h, w)
+             for f in range(nf)]
+        )
+        payloads.append(y4m_encode(frames))
+    return pa.table(
+        {
+            "media_id": pa.array(ids.astype("int64"), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def _y4m_parse(payload: bytes) -> "tuple[int, int, np.ndarray]":
+    """Y4M bytes -> (width, height, (n, h, w) uint8 frames). Validates the
+    magic, the parameter tokens, Cmono sampling, and every FRAME marker."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    w = h = None
+    fmt = "420"  # Y4M default when no C tag is present
+    for tok in payload[:nl].decode("ascii").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C":
+            fmt = tok[1:]
+    if not w or not h:
+        raise ValueError("missing W/H header tokens")
+    if fmt != "mono":
+        raise ValueError(f"unsupported sampling C{fmt} (Cmono only)")
+    fsize = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad FRAME marker")
+        start = fnl + 1
+        if start + fsize > len(payload):
+            raise ValueError("truncated frame data")
+        frames.append(
+            np.frombuffer(payload, np.uint8, count=fsize, offset=start)
+            .reshape(h, w)
+        )
+        pos = start + fsize
+    return w, h, np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
+
+
+class Y4mDecoder:
+    """Actor-pool REAL video decode stage: parses the YUV4MPEG2 container
+    (stream header tokens, per-frame FRAME markers, mono luma planes) and
+    emits integer-exact per-clip stats. Malformed payloads quarantine as
+    n_frames = -1 (Worker.cs:117-125 per-item try/catch analog)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, nfs, sums, maxs = [], [], [], [], []
+        for payload in t.column("payload").to_pylist():
+            try:
+                w, h, frames = _y4m_parse(payload)
+                nf = int(frames.shape[0])
+                s = int(frames.sum(dtype=np.int64))
+                mx = int(frames.max()) if nf else 0
+            except Exception:
+                w, h, nf, s, mx = -1, -1, -1, 0, 0
+            ws.append(w)
+            hs.append(h)
+            nfs.append(nf)
+            sums.append(s)
+            maxs.append(mx)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "px_sum": pa.array(sums, pa.int64()),
+                "px_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+
+class Y4mFrameSampler:
+    """REAL-codec frame sampling flat-map: parses the Y4M container and
+    emits every ``stride``-th frame as a row with integer-exact per-frame
+    stats (the D1 "1 doc -> N pages" cardinality change over a genuine
+    parser instead of byte-chunk slicing). Payload bytes never leave the
+    stage. Malformed payloads quarantine as a single frame_idx = -1 row."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = max(1, stride)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_idx": [], "width": [], "height": [],
+               "fr_sum": [], "fr_max": []}
+        for mid, payload in zip(
+            t.column("media_id").to_pylist(), t.column("payload").to_pylist()
+        ):
+            try:
+                w, h, frames = _y4m_parse(payload)
+            except Exception:
+                out["media_id"].append(mid)
+                out["frame_idx"].append(-1)
+                out["width"].append(-1)
+                out["height"].append(-1)
+                out["fr_sum"].append(0)
+                out["fr_max"].append(0)
+                continue
+            for fi in range(0, frames.shape[0], self.stride):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(fi)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fr_sum"].append(int(frames[fi].sum(dtype=np.int64)))
+                out["fr_max"].append(int(frames[fi].max()))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+                "width": pa.array(out["width"], pa.int64()),
+                "height": pa.array(out["height"], pa.int64()),
+                "fr_sum": pa.array(out["fr_sum"], pa.int64()),
+                "fr_max": pa.array(out["fr_max"], pa.int64()),
+            }
+        )
+
+
+def y4m_features(
+    media: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4)
+) -> "ray.data.Dataset":
+    """(media_id, payload) Y4M table -> integer-exact clip stats via the
+    real parser in an actor pool."""
+    return media.map_batches(
+        Y4mDecoder,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def y4m_sample_frames(
+    media: "ray.data.Dataset", stride: int = 2,
+    concurrency: tuple[int, int] = (1, 4),
+) -> "ray.data.Dataset":
+    """(media_id, payload) Y4M table -> one row per sampled frame with
+    integer-exact per-frame stats (real-codec FrameSampler)."""
+    return media.map_batches(
+        Y4mFrameSampler,
+        fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,

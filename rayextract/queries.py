@@ -1591,11 +1591,39 @@ def multimodal_decode(sf_dir: str):
 
 
 def multimodal_frame_features(sf_dir: str):
-    """Video rows -> sampled frames (flat-map) -> per-frame features."""
-    from .multimodal import docs_to_media, frame_features, sample_frames
+    """Video rows -> sampled frames (flat-map) -> per-frame features,
+    UPGRADED to the real codec in round 5: per document a genuine YUV4MPEG2
+    container is synthesized from integer arithmetic on doc_id
+    (``synth_y4m_batch``), then the ``Y4mFrameSampler`` actor stage parses
+    the stream (header tokens, FRAME markers, mono luma planes) and emits
+    every 2nd frame as a row with integer-exact per-frame stats — the same
+    flat-map cardinality semantics as before (1 clip -> N frame rows,
+    Convert.cs:9-35 analog) but over a real parser, which also upgrades the
+    oracle from rows-only to a full value hash."""
+    from .multimodal import synth_y4m_batch, y4m_sample_frames
 
-    media = docs_to_media(_read(sf_dir, "documents", ["doc_id", "text"]))
-    return frame_features(sample_frames(media, stride=2))
+    media = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_y4m_batch, batch_format="pyarrow"
+    )
+    return y4m_sample_frames(media, stride=2)
+
+
+def video_y4m_decode(sf_dir: str):
+    """REAL video codec under the driver gate (round 5 — retires the last
+    codec stub, same playbook as audio_wav_decode / image_bmp_decode): per
+    document a genuine YUV4MPEG2 Cmono container is synthesized from integer
+    arithmetic on doc_id (``synth_y4m_batch``), then DECODED by the pure-
+    python Y4M parser in an actor pool (``Y4mDecoder``: stream header,
+    FRAME markers, luma planes -> pixels), emitting integer-exact clip
+    stats. The oracle regenerates the same pixel values arithmetically —
+    any container bug (header tokens, frame boundaries, plane size) breaks
+    the value hash."""
+    from .multimodal import synth_y4m_batch, y4m_features
+
+    media = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_y4m_batch, batch_format="pyarrow"
+    )
+    return y4m_features(media)
 
 
 def audio_wav_decode(sf_dir: str):
@@ -1632,6 +1660,26 @@ def image_bmp_decode(sf_dir: str):
         synth_bmp_batch, batch_format="pyarrow"
     )
     return bmp_features(media)
+
+
+def image_ocr_extract(sf_dir: str):
+    """OCR analog under the full value-hash gate (round 5 — closes the
+    reference's core-competency gap: Tesseract reading text out of pixels,
+    OCR/Image.cs:20-66, Worker.cs:144-200). Per document a deterministic
+    invoice-ish string is RENDERED into a genuine 24-bit BMP with an
+    original 5x7 bitmap font plus one deterministic noise pixel per glyph,
+    then an actor-pool decoder reads the text back OUT of the pixels
+    (container parse -> binarize -> row-band + blank-column segmentation ->
+    nearest-template Hamming match; the noise makes exact equality fail, so
+    the argmin is load-bearing). The oracle regenerates the expected string
+    arithmetically — any font, layout, segmentation, or matcher bug breaks
+    the value hash."""
+    from .ocr import ocr_extract, synth_ocr_batch
+
+    media = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_ocr_batch, batch_format="pyarrow"
+    )
+    return ocr_extract(media)
 
 
 def dedup_simhash_pairs(sf_dir: str):
@@ -5267,6 +5315,8 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "audio_wav_decode": audio_wav_decode,
     "image_bmp_decode": image_bmp_decode,
+    "image_ocr_extract": image_ocr_extract,
+    "video_y4m_decode": video_y4m_decode,
     "conv_dedup_exact": conv_dedup_exact,
     "multimodal_frame_features": multimodal_frame_features,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -6621,6 +6671,53 @@ SQL: dict[str, str] = {
                octet_length(encode(text)) AS n_bytes
         FROM documents
     """,
+    "video_y4m_decode": """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+                          2 + doc_id % 3 AS nf
+                   FROM documents),
+        px AS (SELECT doc_id, w, h, nf,
+                      (doc_id * 31 + f * 101 + i * 13) % 256 AS v
+               FROM d, unnest(range(0, nf)) AS tf(f),
+                       unnest(range(0, w * h)) AS ti(i))
+        SELECT doc_id AS media_id,
+               CAST(any_value(w) AS BIGINT) AS width,
+               CAST(any_value(h) AS BIGINT) AS height,
+               CAST(any_value(nf) AS BIGINT) AS n_frames,
+               CAST(sum(v) AS BIGINT) AS px_sum,
+               CAST(max(v) AS BIGINT) AS px_max
+        FROM px GROUP BY doc_id
+    """,
+    "multimodal_frame_features": """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+                          2 + doc_id % 3 AS nf
+                   FROM documents),
+        fr AS (SELECT doc_id, w, h, f
+               FROM d, unnest(range(0, nf)) AS tf(f)
+               WHERE f % 2 = 0),
+        px AS (SELECT doc_id, w, h, f,
+                      (doc_id * 31 + f * 101 + i * 13) % 256 AS v
+               FROM fr, unnest(range(0, w * h)) AS ti(i))
+        SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(any_value(w) AS BIGINT) AS width,
+               CAST(any_value(h) AS BIGINT) AS height,
+               CAST(sum(v) AS BIGINT) AS fr_sum,
+               CAST(max(v) AS BIGINT) AS fr_max
+        FROM px GROUP BY doc_id, f
+    """,
+    "image_ocr_extract": """
+        WITH d AS (
+          SELECT doc_id,
+                 (['TOTAL','AMOUNT','INVOICE','PAID',
+                   'DUE','BALANCE','REFUND','CREDIT'])[CAST(doc_id % 8 AS INT) + 1]
+                 || ' ' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+                 || ' $' || CAST((doc_id * 37) % 1000 AS VARCHAR)
+                 || '.' || lpad(CAST((doc_id * 7) % 100 AS VARCHAR), 2, '0')
+                 AS txt
+          FROM documents)
+        SELECT doc_id AS media_id, txt AS ocr_text,
+               CAST(length(replace(txt, ' ', '')) AS BIGINT) AS n_glyphs
+        FROM d
+    """,
     "k2_annotation_quads": r"""
         WITH d AS (
           SELECT doc_id,
@@ -6990,9 +7087,10 @@ SQL: dict[str, str] = {
         FROM cells GROUP BY row, col
     """,
     # rows-only (legitimately non-SQL): kmeans_embeddings (iterative,
-    # float-accumulation order), multimodal_frame_features (fake-decode
-    # feature values). Everything else is value-hash-checked —
-    # f10_encrypt_pii got a pinned-VALUES ciphertext oracle in round 3.
+    # float-accumulation order). Everything else is value-hash-checked —
+    # f10_encrypt_pii got a pinned-VALUES ciphertext oracle in round 3;
+    # multimodal_frame_features got a full oracle in round 5 when its
+    # fake-decode was replaced by the real Y4M codec.
 }
 
 

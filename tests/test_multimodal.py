@@ -227,3 +227,97 @@ def test_synth_bmp_matches_arithmetic_contract():
         assert out["width"][k] == w and out["height"][k] == h
         assert out["px_sum"][k] == 3 * int(v.sum())
         assert out["px_max"][k] == int(v.max())
+
+
+# ---- REAL Y4M video codec (round 5) -----------------------------------------
+
+def test_y4m_roundtrip():
+    import numpy as np
+
+    from rayextract.multimodal import _y4m_parse, y4m_encode
+
+    frames = np.arange(3 * 4 * 6, dtype=np.uint8).reshape(3, 4, 6)
+    w, h, got = _y4m_parse(y4m_encode(frames))
+    assert (w, h) == (6, 4)
+    assert (got == frames).all()
+
+
+def test_y4m_parser_rejects_bad_streams():
+    import numpy as np
+    import pytest
+
+    from rayextract.multimodal import _y4m_parse, y4m_encode
+
+    ok = y4m_encode(np.zeros((2, 2, 2), dtype=np.uint8))
+    for bad in (
+        b"not y4m",
+        ok.replace(b"Cmono", b"C420"),    # chroma-subsampled: unsupported
+        ok[:-2],                          # truncated frame data
+        ok.replace(b"FRAME", b"FRAMX", 1),
+        b"YUV4MPEG2 W2 F25:1\n",          # missing H token
+    ):
+        with pytest.raises(ValueError):
+            _y4m_parse(bad)
+
+
+def test_y4m_decoder_stats_and_quarantine():
+    import numpy as np
+    import pyarrow as pa
+
+    from rayextract.multimodal import Y4mDecoder, y4m_encode
+
+    frames = np.array(
+        [[[1, 2], [3, 4]], [[5, 6], [7, 250]]], dtype=np.uint8
+    )
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([y4m_encode(frames), b"junk"], pa.binary()),
+        }
+    )
+    out = Y4mDecoder()(t).to_pydict()
+    assert out["width"] == [2, -1]
+    assert out["n_frames"] == [2, -1]
+    assert out["px_sum"] == [1 + 2 + 3 + 4 + 5 + 6 + 7 + 250, 0]
+    assert out["px_max"] == [250, 0]
+
+
+def test_y4m_frame_sampler_stride_and_quarantine():
+    import numpy as np
+    import pyarrow as pa
+
+    from rayextract.multimodal import Y4mFrameSampler, y4m_encode
+
+    frames = np.stack(
+        [np.full((2, 3), 10 * (f + 1), dtype=np.uint8) for f in range(5)]
+    )
+    t = pa.table(
+        {
+            "media_id": pa.array([7, 8], pa.int64()),
+            "payload": pa.array([y4m_encode(frames), b"junk"], pa.binary()),
+        }
+    )
+    out = Y4mFrameSampler(stride=2)(t).to_pydict()
+    # media 7: frames 0, 2, 4 sampled; media 8: one quarantine row
+    assert out["media_id"] == [7, 7, 7, 8]
+    assert out["frame_idx"] == [0, 2, 4, -1]
+    assert out["fr_sum"] == [60, 180, 300, 0]
+    assert out["fr_max"] == [10, 30, 50, 0]
+
+
+def test_synth_y4m_matches_arithmetic_contract():
+    import numpy as np
+    import pyarrow as pa
+
+    from rayextract.multimodal import _y4m_parse, synth_y4m_batch
+
+    ids = [0, 1, 2, 5, 99]
+    media = synth_y4m_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    for k, d in enumerate(ids):
+        w, h, frames = _y4m_parse(media.column("payload")[k].as_py())
+        assert (w, h) == (8 + d % 5, 4 + d % 3)
+        assert frames.shape[0] == 2 + d % 3
+        i = np.arange(h * w, dtype=np.int64)
+        for f in range(frames.shape[0]):
+            want = ((d * 31 + f * 101 + i * 13) % 256).reshape(h, w)
+            assert (frames[f] == want).all()
