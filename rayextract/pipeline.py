@@ -210,13 +210,20 @@ def _shard_metrics(conv_dir: str) -> dict:
 
 
 def load_manifest(out_dir: str) -> dict[int, dict]:
+    """Completed-shard records. A SIGKILL mid-append can tear the trailing
+    line; a torn record just means that shard re-runs (its dirs are cleared
+    before recompute), so skip unparseable lines instead of bricking resume.
+    """
     done = {}
     mp = _manifest_path(out_dir)
     if os.path.exists(mp):
         with open(mp) as f:
             for line in f:
                 if line.strip():
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue  # torn by a crash mid-append: recompute
                     done[rec["shard"]] = rec
     return done
 
