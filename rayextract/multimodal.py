@@ -70,6 +70,55 @@ KINDS = ("image", "audio", "video")
 FEATURE_DIM = 8
 MEDIA_BATCH_SIZE = 64  # payload rows are big: keep batch x concurrency in heap
 
+# Per-worker-process decoder instances, keyed by (class, ctor kwargs).
+# Built lazily on first batch in each Ray worker process and reused for the
+# process lifetime — across batches, tasks, AND Dataset executions.
+_WORKER_DECODERS: dict = {}
+
+
+def decode_stage(
+    media: "ray.data.Dataset",
+    cls: type,
+    concurrency: "tuple[int, int] | None" = None,
+    batch_size: "int | None" = MEDIA_BATCH_SIZE,
+    batch_format: str = "pyarrow",
+    **ctor,
+) -> "ray.data.Dataset":
+    """Host a decoder class as a Ray Data stage.
+
+    Default (concurrency=None): a TASK-pool map whose UDF pulls the decoder
+    from a per-worker-process cache — the same engine-loaded-once semantics
+    as an actor pool (one construction per worker process, reused across
+    batches and runs), but tasks launch at the pool's full width immediately
+    instead of paying an actor-pool ramp-from-one on EVERY Dataset
+    execution (measured at sf0.1: image_ocr_extract 3.0s -> 0.6s warm; the
+    per-run ramp dominated each decode query's wall).
+
+    Pass concurrency=(lo, hi) to host in a dedicated actor pool instead —
+    the right shape when the engine is too heavy to replicate into every
+    worker process (multi-GB weights, a GPU context) or must NOT share a
+    process with other stages.
+    """
+    if concurrency is not None:
+        return media.map_batches(
+            cls,
+            fn_constructor_kwargs=ctor,
+            batch_format=batch_format,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    key = (cls.__module__, cls.__qualname__, tuple(sorted(ctor.items())))
+
+    def fn(t):
+        dec = _WORKER_DECODERS.get(key)
+        if dec is None:
+            dec = _WORKER_DECODERS.setdefault(key, cls(**ctor))
+        return dec(t)
+
+    fn.__name__ = f"decode_{cls.__name__}"
+    return media.map_batches(fn, batch_format=batch_format, batch_size=batch_size)
+
 
 def _try_import_codecs():
     """Real codecs, gated behind import-try (not in this container)."""
@@ -239,31 +288,19 @@ class FrameSampler:
 
 
 def media_features(
-    media: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4)
+    media: "ray.data.Dataset", concurrency: "tuple[int, int] | None" = None
 ) -> "ray.data.Dataset":
-    """media table -> (media_id, kind, n_bytes, feature) via the decoder pool."""
-    return media.map_batches(
-        MediaDecoder,
-        batch_format="pyarrow",
-        batch_size=MEDIA_BATCH_SIZE,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    """media table -> (media_id, kind, n_bytes, feature) via the decoder
+    stage (per-worker cached by default; see decode_stage)."""
+    return decode_stage(media, MediaDecoder, concurrency=concurrency)
 
 
 def sample_frames(
     media: "ray.data.Dataset", stride: int = 2,
-    concurrency: tuple[int, int] = (1, 4),
+    concurrency: "tuple[int, int] | None" = None,
 ) -> "ray.data.Dataset":
     """media table -> one row per sampled video frame."""
-    return media.map_batches(
-        FrameSampler,
-        fn_constructor_kwargs={"stride": stride},
-        batch_format="pyarrow",
-        batch_size=MEDIA_BATCH_SIZE,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    return decode_stage(media, FrameSampler, concurrency=concurrency, stride=stride)
 
 
 def frame_features(frames: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -374,17 +411,11 @@ class WavPcmDecoder:
 
 
 def wav_features(
-    media: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4)
+    media: "ray.data.Dataset", concurrency: "tuple[int, int] | None" = None
 ) -> "ray.data.Dataset":
     """(media_id, payload) WAV table -> integer-exact audio stats via the
-    real stdlib codec in an actor pool."""
-    return media.map_batches(
-        WavPcmDecoder,
-        batch_format="pyarrow",
-        batch_size=MEDIA_BATCH_SIZE,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    real stdlib codec (per-worker cached decoder)."""
+    return decode_stage(media, WavPcmDecoder, concurrency=concurrency)
 
 
 class WavDspDecoder(WavPcmDecoder):
@@ -435,17 +466,11 @@ class WavDspDecoder(WavPcmDecoder):
 
 
 def wav_dsp_features(
-    media: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4)
+    media: "ray.data.Dataset", concurrency: "tuple[int, int] | None" = None
 ) -> "ray.data.Dataset":
     """(media_id, payload) WAV table -> waveform + spectral features via the
-    real stdlib codec and numpy FFT in an actor pool."""
-    return media.map_batches(
-        WavDspDecoder,
-        batch_format="pyarrow",
-        batch_size=MEDIA_BATCH_SIZE,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    real stdlib codec and numpy FFT (per-worker cached decoder)."""
+    return decode_stage(media, WavDspDecoder, concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------
@@ -554,17 +579,11 @@ class BmpDecoder:
 
 
 def bmp_features(
-    media: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4)
+    media: "ray.data.Dataset", concurrency: "tuple[int, int] | None" = None
 ) -> "ray.data.Dataset":
     """(media_id, payload) BMP table -> integer-exact image stats via the
-    real numpy codec in an actor pool."""
-    return media.map_batches(
-        BmpDecoder,
-        batch_format="pyarrow",
-        batch_size=MEDIA_BATCH_SIZE,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    real numpy codec (per-worker cached decoder)."""
+    return decode_stage(media, BmpDecoder, concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------
@@ -729,30 +748,19 @@ class Y4mFrameSampler:
 
 
 def y4m_features(
-    media: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4)
+    media: "ray.data.Dataset", concurrency: "tuple[int, int] | None" = None
 ) -> "ray.data.Dataset":
     """(media_id, payload) Y4M table -> integer-exact clip stats via the
-    real parser in an actor pool."""
-    return media.map_batches(
-        Y4mDecoder,
-        batch_format="pyarrow",
-        batch_size=MEDIA_BATCH_SIZE,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    real parser (per-worker cached decoder)."""
+    return decode_stage(media, Y4mDecoder, concurrency=concurrency)
 
 
 def y4m_sample_frames(
     media: "ray.data.Dataset", stride: int = 2,
-    concurrency: tuple[int, int] = (1, 4),
+    concurrency: "tuple[int, int] | None" = None,
 ) -> "ray.data.Dataset":
     """(media_id, payload) Y4M table -> one row per sampled frame with
     integer-exact per-frame stats (real-codec FrameSampler)."""
-    return media.map_batches(
-        Y4mFrameSampler,
-        fn_constructor_kwargs={"stride": stride},
-        batch_format="pyarrow",
-        batch_size=MEDIA_BATCH_SIZE,
-        concurrency=concurrency,
-        num_cpus=1,
+    return decode_stage(
+        media, Y4mFrameSampler, concurrency=concurrency, stride=stride
     )
