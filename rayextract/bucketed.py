@@ -92,7 +92,13 @@ def bucketed_group_reduce(
         if arrow_exchange:
             import pyarrow as pa
 
-            return pa.Table.from_pandas(out, preserve_index=False)
+            # strip the b'pandas' schema blob: a schema carrying metadata is
+            # unhashable in this pyarrow build, which defeats Ray's schema
+            # dedup and logs "Failed to hash the schemas" per batch per
+            # worker on the exchange (see pqio.py for the read-side twin)
+            return pa.Table.from_pandas(
+                out, preserve_index=False
+            ).replace_schema_metadata(None)
         return out
 
     # big stage1 batches: the per-batch partial combine collapses more

@@ -8,7 +8,8 @@ plus a per-shard manifest of lineage + metrics (SURVEY.md §4).
 
 Scale notes:
 - the transcript read prunes to the needed columns;
-- the parse stage is an actor pool (models built once per actor);
+- the parse stage is a task pool with per-worker-process cached parser
+  instances (models built once per worker, reused across batches and runs);
 - the only shuffle is the conv fold (pre-combined partials, optional salt);
 - nothing materializes the corpus; both sinks stream.
 """
@@ -81,54 +82,57 @@ def read_transcripts_csv(path: str | list[str],
     return ds.select_columns(columns) if columns else ds
 
 
+# Per-worker-process parser instances keyed by (cfg, sink_dir): built once
+# per worker process and reused across batches, tasks, and runs — the same
+# models-loaded-once semantics as an actor pool (D4, Worker.cs:61-95) without
+# paying an actor-pool start/ramp on every Dataset execution. A/B at
+# sf0.1/32cpu: task pool 3.7-4.1s vs actor pool 5.1-8.0s for the identical
+# fused parse+sink+fold run (fresh actor processes re-import the package per
+# run; task workers stay warm). Task pools also cannot deadlock the
+# streaming executor the way a fixed actor floor on a small cluster did.
+_WORKER_PARSERS: dict = {}
+
+
+def _parser_task_fn(cfg: ExtractConfig, sink_dir: str | None):
+    key = (repr(cfg), sink_dir)
+
+    def parse(batch):
+        p = _WORKER_PARSERS.get(key)
+        if p is None:
+            if sink_dir is None:
+                p = _WORKER_PARSERS.setdefault(key, ContentParser(cfg))
+            else:
+                from .stages import ContentParserSink
+
+                p = _WORKER_PARSERS.setdefault(
+                    key, ContentParserSink(cfg, sink_dir)
+                )
+        return p(batch)
+
+    return parse
+
+
 def build_turns(ds, cfg: ExtractConfig | None = None):
     """turns_out dataset: decode + normalize + span/candidate emission."""
     cfg = cfg or ExtractConfig()
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:  # pragma: no cover - ray not initialised yet
-        cpus = 4
-    # autoscaling pool, but with a substantial floor: scaling up from min=1
-    # measured 2.3x slower at sf0.1/32cpu (the autoscaler lags the work).
-    # The floor stays below cpu count so read/write/shuffle tasks never
-    # starve — a fixed pool sized to the whole node deadlocks the streaming
-    # executor (observed on 4 CPUs).
-    max_c = cfg.tagger_concurrency
-    min_c = max(1, min(max_c, cpus - 2) * 2 // 3)
     return ds.map_batches(
-        ContentParser,
-        fn_constructor_kwargs={"cfg": cfg},
+        _parser_task_fn(cfg, None),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(min_c, max_c),
-        num_cpus=1,
     )
 
 
 def build_turns_fused(ds, cfg: ExtractConfig, turns_dir: str):
-    """Parse stage with the turns sink fused into the actors: full turn rows
-    are written to ``turns_dir`` as a side effect and only the narrow fold
-    columns flow downstream. No materialize barrier, wide bytes never enter
-    the object store — see stages.ContentParserSink."""
-    from .stages import ContentParserSink
-
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:  # pragma: no cover - ray not initialised yet
-        cpus = 4
-    max_c = cfg.tagger_concurrency
-    min_c = max(1, min(max_c, cpus - 2) * 2 // 3)
+    """Parse stage with the turns sink fused into the parse workers: full
+    turn rows are written to ``turns_dir`` as a side effect and only the
+    narrow fold columns flow downstream. No materialize barrier, wide bytes
+    never enter the object store — see stages.ContentParserSink (whose
+    content-digest file names make retries idempotent regardless of which
+    worker re-runs the batch)."""
     return ds.map_batches(
-        ContentParserSink,
-        fn_constructor_kwargs={"cfg": cfg, "sink_dir": turns_dir},
+        _parser_task_fn(cfg, turns_dir),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(min_c, max_c),
-        num_cpus=1,
     )
 
 
