@@ -1475,6 +1475,9 @@ def kmeans_embeddings(
         )
         src = emb  # bind before rebinding emb
         emb = checkpointed_parquet(lambda: src, checkpoint_dir, fp)
+    # split a single-row-group read so the per-pass assignment/partial-sum
+    # maps use the whole pool (guarded no-op when input blocks abound)
+    emb = _fan_out(emb)
 
     def pick_init(t):
         import pyarrow.compute as pc
