@@ -672,21 +672,20 @@ def minhash_lsh_pairs(
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """All pairs within each (band_id, band_hash) group of one coarse
-        bucket — numpy pair expansion per group. A pathologically hot band
-        value is quadratic HERE (bounded by band selectivity); salt upstream
+        bucket — one fully vectorized segment-pair expansion over the whole
+        bucket (no per-group Python: the groupby/triu loop was the dominant
+        serial cost of the reduce). A pathologically hot band value is
+        quadratic HERE (bounded by band selectivity); salt upstream
         shingling if the corpus has giant exact-duplicate families."""
         g = g.sort_values(["band_id", "band_hash", "doc_id"]).drop_duplicates()
-        out: list[np.ndarray] = []
-        for _, gg in g.groupby(["band_id", "band_hash"], sort=False):
-            m = len(gg)
-            if m < 2:
-                continue
-            ids = gg["doc_id"].to_numpy(np.int64)
-            iu, ju = np.triu_indices(m, 1)
-            out.append(pack_pairs(ids[iu], ids[ju], "minhash"))
-        if not out:
+        i_idx, j_idx = segment_pair_indices(
+            g["band_id"].to_numpy(np.int64), g["band_hash"].to_numpy(np.int64)
+        )
+        if len(i_idx) == 0:
             return pd.DataFrame({"pair": pd.Series(dtype="int64")})
-        return pd.DataFrame({"pair": np.unique(np.concatenate(out))})
+        ids = g["doc_id"].to_numpy(np.int64)
+        pairs = pack_pairs(ids[i_idx], ids[j_idx], "minhash")
+        return pd.DataFrame({"pair": np.unique(pairs)})
 
     cand = bucketed_group_reduce(
         sigs.map_batches(explode_bands, batch_format="pandas", batch_size=4096),
@@ -813,6 +812,35 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     )
 
 
+def segment_pair_indices(*seg_cols: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """(i_idx, j_idx) of every within-segment pair (i<j) over rows ALREADY
+    SORTED so equal-keyed rows are consecutive runs. Fully vectorized —
+    replaces the per-group groupby/triu_indices Python loop that dominated
+    the band-bucket reduces (each row j at intra-segment position p pairs
+    with the p rows above it; index arithmetic via repeat/cumsum)."""
+    n = len(seg_cols[0])
+    if n < 2:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    new_seg = np.zeros(n, dtype=bool)
+    new_seg[0] = True
+    for c in seg_cols:
+        new_seg[1:] |= c[1:] != c[:-1]
+    seg_start = np.flatnonzero(new_seg)
+    starts_per_row = np.repeat(seg_start, np.diff(np.r_[seg_start, n]))
+    pos = np.arange(n) - starts_per_row
+    total = int(pos.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    j_idx = np.repeat(np.arange(n), pos)
+    csum = np.cumsum(pos) - pos
+    i_idx = np.arange(total) - np.repeat(csum, pos) + np.repeat(
+        starts_per_row, pos
+    )
+    return i_idx, j_idx
+
+
 def pack_pairs(a: np.ndarray, b: np.ndarray, what: str) -> np.ndarray:
     """(a, b) -> single int64 key (a<<32 | b). Both ids must fit 31 bits —
     fail loudly instead of silently colliding pairs."""
@@ -866,28 +894,25 @@ def simhash_neardup_pairs(
         g = g.sort_values(["band_id", "band_val", "doc_id"]).drop_duplicates(
             ["band_id", "band_val", "doc_id"]
         )
-        pair_keys: list[np.ndarray] = []
-        hams: list[np.ndarray] = []
-        for _, gg in g.groupby(["band_id", "band_val"], sort=False):
-            m = len(gg)
-            if m < 2:
-                continue
-            ids = gg["doc_id"].to_numpy(np.int64)
-            hs = gg["simhash"].to_numpy(np.uint64)
-            d = _popcount64(hs[:, None] ^ hs[None, :])
-            iu, ju = np.triu_indices(m, 1)
-            keep = d[iu, ju] <= max_hamming
-            if not keep.any():
-                continue
-            ia, jb = iu[keep], ju[keep]
-            pair_keys.append(pack_pairs(ids[ia], ids[jb], "simhash"))
-            hams.append(d[ia, jb])
-        if not pair_keys:
+        i_idx, j_idx = segment_pair_indices(
+            g["band_id"].to_numpy(np.int64), g["band_val"].to_numpy(np.int64)
+        )
+        if len(i_idx) == 0:
             return pd.DataFrame(
                 {"pair": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
             )
+        ids = g["doc_id"].to_numpy(np.int64)
+        hs = g["simhash"].to_numpy(np.uint64)
+        # popcount only on candidate pairs (no per-group m x m matrices)
+        d = _popcount64(hs[i_idx] ^ hs[j_idx])
+        keep = d <= max_hamming
+        if not keep.any():
+            return pd.DataFrame(
+                {"pair": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
+            )
+        pairs = pack_pairs(ids[i_idx[keep]], ids[j_idx[keep]], "simhash")
         return pd.DataFrame(
-            {"pair": np.concatenate(pair_keys), "hamming": np.concatenate(hams)}
+            {"pair": pairs, "hamming": d[keep].astype("int64")}
         ).drop_duplicates("pair")
 
     band_rows = sh.map_batches(explode, batch_format="pandas")
