@@ -79,7 +79,14 @@ def _fan_out(ds, per_cpu: int = 2):
             return ds
     except Exception:
         return ds
-    return ds.repartition(target)
+
+    def _strip_meta(t):
+        # pandas-written parquet carries dict schema metadata that Ray's
+        # shuffle reduce can't hash (disables schema dedup and logs a
+        # warning per reduce task); the exchange only needs the bare schema
+        return t.replace_schema_metadata(None)
+
+    return ds.map_batches(_strip_meta, batch_format="pyarrow").repartition(target)
 
 
 def _cluster_cfg():
@@ -1444,40 +1451,62 @@ def sample_hash_split(sf_dir: str):
 
 def kmeans_embeddings(
     sf_dir: str, k: int = 8, iters: int = 5,
-    checkpoint_dir: "str | None" = None,
+    checkpoint_dir: "str | None" = "auto",
 ):
     """Mini k-means over the embedding column: centroids broadcast per
     iteration (ray.put once, read per batch), assignment + per-cluster
     partial sums inside pyarrow map_batches (zero-copy list-buffer reshape,
-    no per-row Python), tiny k-row driver-side centroid update per round.
-    Deterministic init (first k by vec_id).
+    single BLAS matmul per batch, no per-row Python), tiny k-row driver-side
+    centroid update per round. Deterministic init (first k by vec_id).
 
-    The iteration loop re-executes the lazy 2-column pruned read each pass —
-    streaming, nothing corpus-sized is pinned in the object store. Pass
-    checkpoint_dir to persist that pruned projection once as partitioned
-    parquet (crash-safe, input-keyed — see checkpoint.py) so every pass of a
-    resumed or repeated run re-reads the cheap intermediate instead of
-    re-running upstream compute."""
+    An iterative operator re-reads its input once per pass (init + iters +
+    assign), so by default the pruned 2-column projection is persisted ONCE
+    to scratch as partitioned parquet (crash-safe, keyed to the input files'
+    path+size+mtime — see checkpoint.py) and every pass streams the
+    pre-split intermediate: no per-pass shuffle, no corpus-sized
+    materialize. This is the streaming-safe equivalent of Spark's .cache()
+    for the 100-TB shape — scratch disk holds the projection, the object
+    store holds only in-flight blocks. checkpoint_dir="auto" uses the
+    system temp dir; pass an explicit path for cluster scratch, or None to
+    force re-reading the source every pass."""
     import ray
 
     from .similarity import _arrow_raw_matrix
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     if checkpoint_dir is not None:
+        import tempfile
+
         from .checkpoint import (
             checkpointed_parquet,
             dataset_input_files,
             stage_fingerprint,
         )
 
+        if checkpoint_dir == "auto":
+            checkpoint_dir = os.path.join(
+                tempfile.gettempdir(), "rayextract_ckpt", "kmeans_emb"
+            )
+        files = dataset_input_files(emb)
+        stat = []
+        for f in files:  # same-path rewrites must invalidate the checkpoint
+            try:
+                st = os.stat(f)
+                stat.append((f, st.st_size, st.st_mtime_ns))
+            except OSError:
+                stat.append((f, -1, -1))
         fp = stage_fingerprint(
-            {"stage": "kmeans_emb_projection"}, dataset_input_files(emb)
+            {"stage": "kmeans_emb_projection", "files_stat": stat}, files
         )
-        src = emb  # bind before rebinding emb
+        # checkpoint the FANNED-OUT projection: the published dir then has
+        # one file per block, so every later pass reads pre-split with no
+        # repartition exchange at all
+        src = _fan_out(emb)  # bind before rebinding emb
         emb = checkpointed_parquet(lambda: src, checkpoint_dir, fp)
-    # split a single-row-group read so the per-pass assignment/partial-sum
-    # maps use the whole pool (guarded no-op when input blocks abound)
-    emb = _fan_out(emb)
+    else:
+        # split a single-row-group read so the per-pass maps use the whole
+        # pool (guarded no-op when input blocks abound)
+        emb = _fan_out(emb)
 
     def pick_init(t):
         import pyarrow.compute as pc
@@ -1491,20 +1520,27 @@ def kmeans_embeddings(
     )
     centroids = np.vstack([np.asarray(v, dtype=np.float64) for v in init["embedding"]])
 
+    def _nearest(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # argmin |x-c|^2 == argmin (|c|^2 - 2 x.c): one BLAS matmul, no
+        # n x k x d broadcast temp
+        return ((c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)).argmin(axis=1)
+
     for _ in range(iters):
         ref = ray.put(centroids)
 
         def partial_sums(t) -> pd.DataFrame:
             c = ray.get(ref)
             _, m = _arrow_raw_matrix(t)
-            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            out = []
-            for ci in range(len(c)):
-                mask = assign == ci
-                if mask.any():
-                    out.append((ci, int(mask.sum()), m[mask].sum(axis=0).tobytes()))
-            return pd.DataFrame(out, columns=["cluster", "n", "vec_sum"])
+            assign = _nearest(m, c)
+            counts = np.bincount(assign, minlength=len(c))
+            sums = np.zeros((len(c), m.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, m)  # vectorized scatter-add per cluster
+            nz = np.flatnonzero(counts)
+            return pd.DataFrame(
+                {"cluster": nz.astype("int64"),
+                 "n": counts[nz].astype("int64"),
+                 "vec_sum": [sums[i].tobytes() for i in nz]}
+            )
 
         # k rows per batch cross the wire; the driver folds a few KB.
         parts = emb.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
@@ -1521,10 +1557,9 @@ def kmeans_embeddings(
     def assign_fn(t) -> pd.DataFrame:
         c = ray.get(ref)
         ids, m = _arrow_raw_matrix(t)
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         return pd.DataFrame(
             {"vec_id": ids.astype("int64"),
-             "cluster": d.argmin(axis=1).astype("int64")}
+             "cluster": _nearest(m, c).astype("int64")}
         )
 
     return emb.map_batches(assign_fn, batch_format="pyarrow")
