@@ -69,6 +69,14 @@ class ExtractConfig:
     # bucket's partial rows (~n_convs/fold_buckets wide rows) must fit a
     # task's heap; target ~total_cores*4 buckets on a cluster. None → 128.
     fold_buckets: int | None = None
+    # parse-stage hosting: "actor" = dedicated actor pool (floor keeps the
+    # stage hot, pool size reserves cores for it), "task" = task-pool map
+    # with per-worker-process cached parser instances. Interleaved A/B on the
+    # 7M-turn corpus (flat cpu controls): actor wins 47-56s vs task 66-75s at
+    # 8 cpus and ties-or-wins at 32 — the task pool's fused read+parse tasks
+    # contend with the fold exchange at narrow widths. RAYEXTRACT_PARSE_POOL
+    # overrides for A/B.
+    parse_pool: str = "actor"
 
     def patient_keys_upper(self) -> tuple[str, ...]:
         return tuple(k.upper() for k in self.patient_keys)

@@ -85,11 +85,11 @@ def read_transcripts_csv(path: str | list[str],
 # Per-worker-process parser instances keyed by (cfg, sink_dir): built once
 # per worker process and reused across batches, tasks, and runs — the same
 # models-loaded-once semantics as an actor pool (D4, Worker.cs:61-95) without
-# paying an actor-pool start/ramp on every Dataset execution. A/B at
-# sf0.1/32cpu: task pool 3.7-4.1s vs actor pool 5.1-8.0s for the identical
-# fused parse+sink+fold run (fresh actor processes re-import the package per
-# run; task workers stay warm). Task pools also cannot deadlock the
-# streaming executor the way a fixed actor floor on a small cluster did.
+# paying an actor-pool start/ramp on every Dataset execution. Offered as
+# cfg.parse_pool="task"; the default is the actor pool: interleaved
+# flat-control A/Bs on the 7M-turn corpus measured the actor pool 47-56s vs
+# the task pool 66-75s at 8 cpus (the fused read+parse tasks contend with
+# the fold exchange at narrow widths) and tied-or-won at 32.
 _WORKER_PARSERS: dict = {}
 
 
@@ -112,14 +112,55 @@ def _parser_task_fn(cfg: ExtractConfig, sink_dir: str | None):
     return parse
 
 
-def build_turns(ds, cfg: ExtractConfig | None = None):
-    """turns_out dataset: decode + normalize + span/candidate emission."""
-    cfg = cfg or ExtractConfig()
+def _parse_pool_mode(cfg: ExtractConfig) -> str:
+    return os.environ.get("RAYEXTRACT_PARSE_POOL", cfg.parse_pool)
+
+
+def _actor_pool_bounds(cfg: ExtractConfig) -> tuple[int, int]:
+    """Autoscaling bounds for the parse actor pool.
+
+    Substantial floor: scaling up from min=1 measured 2.3x slower at
+    sf0.1/32cpu (the autoscaler lags the work). The floor stays below cpu
+    count so read/write/shuffle tasks never starve — a fixed pool sized to
+    the whole node deadlocks the streaming executor (observed on 4 CPUs).
+    """
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # pragma: no cover - ray not initialised yet
+        cpus = 4
+    max_c = cfg.tagger_concurrency
+    min_c = max(1, min(max_c, cpus - 2) * 2 // 3)
+    return min_c, max_c
+
+
+def _parse_stage(ds, cfg: ExtractConfig, sink_dir: str | None):
+    if _parse_pool_mode(cfg) == "task":
+        return ds.map_batches(
+            _parser_task_fn(cfg, sink_dir),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+    if sink_dir is None:
+        cls, kwargs = ContentParser, {"cfg": cfg}
+    else:
+        from .stages import ContentParserSink
+
+        cls, kwargs = ContentParserSink, {"cfg": cfg, "sink_dir": sink_dir}
     return ds.map_batches(
-        _parser_task_fn(cfg, None),
+        cls,
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
+        concurrency=_actor_pool_bounds(cfg),
+        num_cpus=1,
     )
+
+
+def build_turns(ds, cfg: ExtractConfig | None = None):
+    """turns_out dataset: decode + normalize + span/candidate emission."""
+    return _parse_stage(ds, cfg or ExtractConfig(), None)
 
 
 def build_turns_fused(ds, cfg: ExtractConfig, turns_dir: str):
@@ -129,11 +170,7 @@ def build_turns_fused(ds, cfg: ExtractConfig, turns_dir: str):
     never enter the object store — see stages.ContentParserSink (whose
     content-digest file names make retries idempotent regardless of which
     worker re-runs the batch)."""
-    return ds.map_batches(
-        _parser_task_fn(cfg, turns_dir),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    )
+    return _parse_stage(ds, cfg, turns_dir)
 
 
 def build_conv_fields(turns_ds, cfg: ExtractConfig | None = None):
