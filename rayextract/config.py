@@ -71,12 +71,14 @@ class ExtractConfig:
     fold_buckets: int | None = None
     # parse-stage hosting: "actor" = dedicated actor pool (floor keeps the
     # stage hot, pool size reserves cores for it), "task" = task-pool map
-    # with per-worker-process cached parser instances. Interleaved A/B on the
-    # 7M-turn corpus (flat cpu controls): actor wins 47-56s vs task 66-75s at
-    # 8 cpus and ties-or-wins at 32 — the task pool's fused read+parse tasks
-    # contend with the fold exchange at narrow widths. RAYEXTRACT_PARSE_POOL
-    # overrides for A/B.
-    parse_pool: str = "actor"
+    # with per-worker-process cached parser instances, "auto" = task on wide
+    # workers (>=16 cpus), actor on narrow ones. Interleaved A/Bs: at 8 cpus
+    # the actor pool wins (7M-turn corpus: 47-56s vs 66-75s — the fused
+    # read+parse tasks contend with the fold exchange when cores are scarce);
+    # at 32 cpus the task pool ties on the 7M corpus (18.6/20.2 vs 18.7/22.6)
+    # and wins on the 1.2M-turn bench corpus (no actor ramp on short jobs).
+    # RAYEXTRACT_PARSE_POOL overrides for A/B.
+    parse_pool: str = "auto"
 
     def patient_keys_upper(self) -> tuple[str, ...]:
         return tuple(k.upper() for k in self.patient_keys)

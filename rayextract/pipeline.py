@@ -85,11 +85,9 @@ def read_transcripts_csv(path: str | list[str],
 # Per-worker-process parser instances keyed by (cfg, sink_dir): built once
 # per worker process and reused across batches, tasks, and runs — the same
 # models-loaded-once semantics as an actor pool (D4, Worker.cs:61-95) without
-# paying an actor-pool start/ramp on every Dataset execution. Offered as
-# cfg.parse_pool="task"; the default is the actor pool: interleaved
-# flat-control A/Bs on the 7M-turn corpus measured the actor pool 47-56s vs
-# the task pool 66-75s at 8 cpus (the fused read+parse tasks contend with
-# the fold exchange at narrow widths) and tied-or-won at 32.
+# paying an actor-pool start/ramp on every Dataset execution. The default
+# cfg.parse_pool="auto" hosts the stage here on >=16-cpu workers and on the
+# actor pool below — see config.parse_pool for the A/B record.
 _WORKER_PARSERS: dict = {}
 
 
@@ -112,8 +110,24 @@ def _parser_task_fn(cfg: ExtractConfig, sink_dir: str | None):
     return parse
 
 
+def _cluster_cpus(default: int = 4) -> int:
+    try:
+        import ray
+
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:  # pragma: no cover - ray not initialised yet
+        return default
+
+
 def _parse_pool_mode(cfg: ExtractConfig) -> str:
-    return os.environ.get("RAYEXTRACT_PARSE_POOL", cfg.parse_pool)
+    mode = os.environ.get("RAYEXTRACT_PARSE_POOL", cfg.parse_pool)
+    if mode != "auto":
+        return mode
+    # "auto": task pool on wide workers (the per-worker-cached task pool has
+    # no ramp and ties-or-wins every >=16-cpu A/B), actor pool on narrow ones
+    # (at 8 cpus the fused read+parse tasks contend with the fold exchange:
+    # 7M-turn corpus 47-56s actor vs 66-75s task) — see config.parse_pool.
+    return "task" if _cluster_cpus() >= 16 else "actor"
 
 
 def _actor_pool_bounds(cfg: ExtractConfig) -> tuple[int, int]:
@@ -124,12 +138,7 @@ def _actor_pool_bounds(cfg: ExtractConfig) -> tuple[int, int]:
     count so read/write/shuffle tasks never starve — a fixed pool sized to
     the whole node deadlocks the streaming executor (observed on 4 CPUs).
     """
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:  # pragma: no cover - ray not initialised yet
-        cpus = 4
+    cpus = _cluster_cpus()
     max_c = cfg.tagger_concurrency
     min_c = max(1, min(max_c, cpus - 2) * 2 // 3)
     return min_c, max_c
