@@ -969,6 +969,127 @@ def doc_bigram_logprob(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+_DSIR_B = 4096
+_DSIR_MEMO: dict = {}
+
+
+def _dsir_bucket(term: str) -> int:
+    """Hashed-n-gram feature bucket: md5 low-8-bytes little-endian mod 4096
+    — the same DuckDB-recomputable contract as the HLL/count sketches
+    (``md5_number_upper(term) % 4096``). Memoized per worker (bounded)."""
+    import hashlib
+
+    b = _DSIR_MEMO.get(term)
+    if b is None:
+        if len(_DSIR_MEMO) >= 1_000_000:
+            _DSIR_MEMO.clear()
+        b = int.from_bytes(hashlib.md5(term.encode("utf-8")).digest()[:8],
+                           "little") % _DSIR_B
+        _DSIR_MEMO[term] = b
+    return b
+
+
+def _dsir_term_buckets(text: str) -> "np.ndarray":
+    """Unigram + bigram hashed-feature buckets for one doc (with
+    multiplicity), as int64 bucket ids."""
+    from .textstats import _tokens
+
+    t = _tokens(text if isinstance(text, str) else "")
+    terms = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+    if not terms:
+        return np.empty(0, dtype=np.int64)
+    return np.fromiter((_dsir_bucket(x) for x in terms), dtype=np.int64,
+                       count=len(terms))
+
+
+def dsir_importance_select(sf_dir: str):
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling",
+    public NeurIPS paper): estimate a target feature distribution p from
+    the corpus's own ``lang = 'en'`` slice and a raw distribution q from
+    the complement (disjoint estimators, as in the paper: p comes from
+    the trusted sample, q from the pool being filtered), then score
+    EVERY document by its hashed-n-gram log importance ratio log p/q
+    and flag docs where the ratio is positive — the selection step a
+    pretraining pipeline runs to up-weight target-domain-like text
+    before mixing a crawl source in.
+
+    Ray shape (scales to 10^12 docs):
+    1. ONE bucketed count pass builds the 4096-bucket hashed
+       unigram+bigram histograms for target and raw simultaneously —
+       the output is a <=4096-row aggregate, tiny regardless of corpus
+       size, so no second scan and no wide shuffle.
+    2. The per-bucket integer micro-nat log-ratio table is computed
+       ONCE on the driver with scalar ``math.log`` (bit-stable vs the
+       DuckDB oracle's ``ln``; the table has only 4096 entries so float
+       kernel choice never touches the corpus path) and broadcast via
+       ``ray.put``.
+    3. Per-doc scoring inside ``map_batches`` is a pure integer
+       table-lookup sum — no floats cross workers, so the result is
+       bit-identical at any parallelism / cluster size.
+
+    Output (doc_id, n_terms, logratio_e6, selected)."""
+    import math
+
+    import ray
+
+    from .bucketed import bucketed_group_reduce
+
+    B = _DSIR_B
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nq = np.zeros(B, dtype=np.int64)
+        nt = np.zeros(B, dtype=np.int64)
+        for text, lang in zip(df["text"], df["lang"]):
+            bs = _dsir_term_buckets(text)
+            if not len(bs):
+                continue
+            cb = np.bincount(bs, minlength=B)
+            if lang == "en":
+                nt += cb
+            else:
+                nq += cb
+        nz = np.nonzero(nq | nt)[0]
+        return pd.DataFrame({"b": nz, "n_raw": nq[nz], "n_tgt": nt[nz]})
+
+    def cnt_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("b", sort=False)[["n_raw", "n_tgt"]].sum().reset_index()
+
+    counts = bucketed_group_reduce(docs, ["b"], cnt_partial, cnt_reduce, 16).to_pandas()
+    nq = np.zeros(B, dtype=np.int64)
+    nt = np.zeros(B, dtype=np.int64)
+    idx = counts["b"].to_numpy(dtype=np.int64)
+    nq[idx] = counts["n_raw"].to_numpy(dtype=np.int64)
+    nt[idx] = counts["n_tgt"].to_numpy(dtype=np.int64)
+    q_total = int(nq.sum())
+    t_total = int(nt.sum())
+
+    lp = np.zeros(B, dtype=np.int64)
+    for b in range(B):
+        x = (math.log((int(nt[b]) + 1) / (t_total + B))
+             - math.log((int(nq[b]) + 1) / (q_total + B))) * 1e6
+        lp[b] = int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+    lp_ref = ray.put(lp)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lp_ref)
+        n_out = np.zeros(len(df), dtype=np.int64)
+        s_out = np.zeros(len(df), dtype=np.int64)
+        for i, text in enumerate(df["text"]):
+            bs = _dsir_term_buckets(text)
+            if not len(bs):
+                continue
+            n_out[i] = len(bs)
+            s_out[i] = int(table[bs].sum())
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "n_terms": n_out,
+             "logratio_e6": s_out, "selected": (s_out > 0).astype("int64")}
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def range_join_value_bands(sf_dir: str):
     """Range (interval) join: classify every event's value into fixed
     [lo, hi) bands — the banded-dimension join a pricing/latency pipeline
@@ -5348,6 +5469,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_bigram_logprob": doc_bigram_logprob,
+    "dsir_importance_select": dsir_importance_select,
     "range_join_value_bands": range_join_value_bands,
     "stratified_sample_per_source": stratified_sample_per_source,
     "dedup_minhash_clusters": dedup_minhash_clusters,
@@ -6400,6 +6522,50 @@ SQL: dict[str, str] = {
         SELECT t.doc_id,
                CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CAST(coalesce(agg.sum_logprob_e6, 0) AS BIGINT) AS sum_logprob_e6
+        FROM t LEFT JOIN agg USING (doc_id)
+    """,
+    "dsir_importance_select": r"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        terms AS (
+          SELECT doc_id, lang, tok AS term
+          FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)
+          UNION ALL
+          SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS term
+          FROM t, unnest(range(1, len(toks))) AS r(i)
+        ),
+        tb AS (
+          SELECT doc_id, lang,
+                 CAST(md5_number_upper(term) % 4096 AS BIGINT) AS b
+          FROM terms
+        ),
+        nq AS (SELECT b, count(*) AS n FROM tb WHERE lang <> 'en' GROUP BY b),
+        nt AS (SELECT b, count(*) AS n FROM tb WHERE lang = 'en' GROUP BY b),
+        tot AS (SELECT (SELECT count(*) FROM tb WHERE lang <> 'en') AS q_total,
+                       (SELECT count(*) FROM tb WHERE lang = 'en') AS t_total),
+        scored AS (
+          -- integer micro-nats per term BEFORE the sum (order-free int
+          -- sums => bit-stable across engines, same contract as
+          -- doc_bigram_logprob)
+          SELECT tb.doc_id,
+                 CAST(round((ln((coalesce(nt.n, 0) + 1.0) / (tot.t_total + 4096))
+                           - ln((coalesce(nq.n, 0) + 1.0) / (tot.q_total + 4096))) * 1e6) AS BIGINT) AS lp
+          FROM tb
+          LEFT JOIN nq USING (b)
+          LEFT JOIN nt USING (b)
+          CROSS JOIN tot
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_terms, CAST(sum(lp) AS BIGINT) AS s
+          FROM scored GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(coalesce(agg.n_terms, 0) AS BIGINT) AS n_terms,
+               CAST(coalesce(agg.s, 0) AS BIGINT) AS logratio_e6,
+               CAST(CASE WHEN coalesce(agg.s, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
         FROM t LEFT JOIN agg USING (doc_id)
     """,
     "range_join_value_bands": """
