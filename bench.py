@@ -165,6 +165,7 @@ def run_queries() -> dict[str, float]:
         "video_y4m_decode",
         "conv_dedup_exact",
         "ner_model_extract",
+        "dsir_importance_select",
     ]
     out = {}
     for name in picks:
@@ -206,6 +207,13 @@ def main() -> None:
         heads = [run_headline(NUM_CPUS)]
     else:
         heads = [run_headline(NUM_CPUS), run_headline(NUM_CPUS)]
+        # a >30% spread between the two runs is co-tenant noise by
+        # construction (identical code + input); take one more sample so a
+        # single pressured run can't become the round's number of record.
+        # Quiet windows (spread ~5-15%) never pay for the third run.
+        walls = [h["sec"] for h in heads]
+        if max(walls) / max(min(walls), 1e-9) > 1.3:
+            heads.append(run_headline(NUM_CPUS))
     c1 = _cpu_control_sec(NUM_CPUS)
     head = min(heads, key=lambda h: h["sec"])
     queries = {} if os.environ.get("RAYEXTRACT_SKIP_QUERIES") else run_queries()
@@ -213,7 +221,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "transcript extraction pipeline wall sec (headline, "
-                "best of 2) + operator query timings",
+                "best of 2; a 3rd run when the first two disagree >30%) "
+                "+ operator query timings",
                 "value": round(head["sec"], 3),
                 "unit": "sec",
                 "headline_runs_sec": [round(h["sec"], 3) for h in heads],
