@@ -1249,6 +1249,26 @@ def knn_ivf_topk(sf_dir: str):
     )
 
 
+def knn_pq_topk(sf_dir: str):
+    """Product-quantization ANN (Jegou et al. 2011): corpus vectors become
+    m=16 uint8 codes (32x smaller than the float64 rows), queries stay exact,
+    similarity is the ADC table-lookup sum — the memory-compression scale
+    path beside IVF's work-pruning one. Codebooks train on a deterministic
+    driver-side sample (vec_id < 2048); rows-only oracle (k-means codebook
+    training is not SQL-expressible, same class as kmeans_embeddings), with
+    recall-vs-exact and determinism pinned in tests/test_pq.py."""
+    from .similarity import knn_pq
+
+    train = _read_small(
+        sf_dir, "embeddings", ["vec_id", "embedding"],
+        filters=[("vec_id", "<", 2048)],
+    ).reset_index(drop=True)
+    return knn_pq(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _queries_df(sf_dir), train, k=5,
+    )
+
+
 def embed_neardup(sf_dir: str):
     """Embedding near-dup pairs via the banded-LSH candidate route (8 bands x
     8 md5 hyperplane bits, integer-exact signatures) with exact float64
@@ -5485,6 +5505,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "knn_cosine_topk": knn_cosine_topk,
     "knn_ivf_topk": knn_ivf_topk,
+    "knn_pq_topk": knn_pq_topk,
     "embed_neardup": embed_neardup,
     "e7_vendor_lookup": e7_vendor_lookup,
     "asof_purchase_view": asof_purchase_view,

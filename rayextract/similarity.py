@@ -456,3 +456,101 @@ def _banded_neardup_pairs(
         )
     )
     return verified.map_batches(unpack, batch_format="pandas").union(typed_empty)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze, Schmid 2011, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI — public) — the memory-compression
+# scale path: 64-dim float64 vectors (512 B) become m=16 uint8 codes (16 B,
+# 32x), so a 100 TB embedding table's codes fit in cluster RAM while the
+# raw vectors stay in parquet. Complements IVF (which prunes WORK, not
+# memory).
+
+
+def train_pq_codebooks(
+    sample: np.ndarray, m: int = 16, ksub: int = 256, n_iter: int = 10,
+    seed: int = 29,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means codebooks, (m, ksub, dsub), deterministic:
+    seeded RandomState init, argmin ties -> lowest centroid index, empty
+    cells keep their previous centroid. The training sample is driver-sized
+    (a few thousand vectors); the corpus is never scanned for training."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    ksub = min(ksub, n)  # tiny corpora can't seat 256 centroids; codes stay uint8
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        x = sample[:, j * dsub:(j + 1) * dsub]
+        c = x[rng.choice(n, size=ksub, replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for ci in range(ksub):
+                mask = assign == ci
+                if mask.any():
+                    c[ci] = x[mask].mean(0)
+        books[j] = c
+    return books
+
+
+def pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) -> (n, m) uint8 codes: per-subspace nearest centroid (L2,
+    argmin first-wins => deterministic)."""
+    m, ksub, dsub = books.shape
+    n = mat.shape[0]
+    codes = np.empty((n, m), dtype=np.uint8)
+    x = mat.reshape(n, m, dsub)
+    for j in range(m):
+        d2 = ((x[:, j, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        codes[:, j] = d2.argmin(1)
+    return codes
+
+
+def knn_pq(
+    emb: "ray.data.Dataset", queries: pd.DataFrame, train: pd.DataFrame,
+    k: int = 5, m: int = 16, ksub: int = 256, batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """(query_id, rank, neighbor_id) approximate cosine top-k via PQ
+    asymmetric distance (ADC): queries stay exact, corpus vectors are
+    quantized to m uint8 codes, approx dot = sum of per-subspace
+    query-centroid lookup tables.
+
+    Ray shape: codebooks are trained ONCE on the driver from a small
+    deterministic sample and broadcast with the per-query ADC tables via
+    ``ray.put``; each ``map_batches`` task encodes its batch (zero-copy
+    Arrow -> matrix) and scores it with integer code lookups — encode and
+    scan fused, one corpus pass, no shuffle before the per-query top-k
+    merge (same tie-safe merge as the exact/IVF paths). At fleet scale the
+    codes column (16 B/vector) would be written once to parquet and scanned
+    instead of the raw vectors."""
+    books = train_pq_codebooks(_stack(train["embedding"]), m=m, ksub=ksub)
+    qids = queries["vec_id"].to_numpy()
+    qmat = _stack(queries["embedding"])
+    nq, d = qmat.shape
+    dsub = d // m
+    # ADC tables: tabs[q, j, c] = <q_sub_j, centroid_jc>
+    tabs = np.einsum("qjd,jcd->qjc", qmat.reshape(nq, m, dsub), books)
+    books_ref = ray.put(books)
+    tabs_ref = ray.put(tabs)
+
+    def partial_topk(t) -> pd.DataFrame:
+        bks = ray.get(books_ref)
+        tb = ray.get(tabs_ref)
+        ids, cmat = _arrow_matrix(t)
+        codes = pq_encode(cmat, bks)
+        sims = np.zeros((tb.shape[0], len(ids)), dtype=np.float64)
+        for j in range(bks.shape[0]):
+            sims += tb[:, j, codes[:, j]]
+        return _topk_rows(qids, sims, ids, k)
+
+    partials = emb.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=batch_size
+    )
+    from .relational import join_partitions
+
+    return partials.groupby(
+        "query_id", num_partitions=join_partitions(cap=16)
+    ).map_groups(_global_topk_fn(k), batch_format="pandas")
