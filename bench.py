@@ -167,6 +167,7 @@ def run_queries() -> dict[str, float]:
         "ner_model_extract",
         "dsir_importance_select",
         "knn_pq_topk",
+        "embedding_pca_project",
     ]
     out = {}
     for name in picks:

@@ -1706,6 +1706,26 @@ def kmeans_embeddings(
     return emb.map_batches(assign_fn, batch_format="pyarrow")
 
 
+def embedding_pca_project(sf_dir: str, n_components: int = 4):
+    """Distributed PCA of the embedding table — the dimensionality-reduction
+    preprocessing step an embedding-heavy pipeline runs before clustering /
+    visualization / cheap prefilters. One streaming pass aggregates exact
+    INTEGER second moments (each batch ships one ~32 KB partial: e6-quantized
+    outer-product sums + dim sums + count; int sums are order-free, so the
+    covariance is bit-identical at any parallelism), the 64x64 eigh runs on
+    the driver, and a second pass projects per row with broadcast components.
+    Rows-only oracle (eigendecomposition is a numeric model fit, same class
+    as kmeans); orthonormality / variance-ordering / determinism /
+    reconstruction pinned in tests/test_pca.py."""
+    from .similarity import pca_fit, pca_project
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mean, w, _ = pca_fit(emb, n_components=n_components)
+    return pca_project(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), mean, w
+    )
+
+
 def f5_person_ner(sf_dir: str):
     from .ner import get_person_name
 
@@ -5506,6 +5526,7 @@ QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "knn_ivf_topk": knn_ivf_topk,
     "knn_pq_topk": knn_pq_topk,
+    "embedding_pca_project": embedding_pca_project,
     "embed_neardup": embed_neardup,
     "e7_vendor_lookup": e7_vendor_lookup,
     "asof_purchase_view": asof_purchase_view,

@@ -554,3 +554,79 @@ def knn_pq(
     return partials.groupby(
         "query_id", num_partitions=join_partitions(cap=16)
     ).map_groups(_global_topk_fn(k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (classic covariance eigendecomposition — public textbook
+# method): the covariance of a 64-dim embedding table is a 64x64 aggregate,
+# so PCA at 100 TB is one streaming pass emitting tiny integer partials plus
+# a driver-side eigh, then a projection pass. No shuffle anywhere.
+
+
+def pca_fit(
+    emb: "ray.data.Dataset", n_components: int = 4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean, components[d, n_components], eigvals desc) from one corpus pass.
+
+    Each batch quantizes its vectors to e6 micro-units (int64) and emits ONE
+    partial row: the d x d sum of outer products, the per-dim sums, and the
+    row count. Integer sums are order-free, so the covariance — and therefore
+    the components — is bit-identical at any parallelism / block layout (the
+    float non-determinism of a naive distributed float sum would otherwise
+    leak into every projected coordinate). Partials are ~32 KB regardless of
+    corpus size. Eigenvector sign is fixed deterministically (largest-|coord|
+    entry made positive, ties -> lowest index)."""
+
+    def moments(t) -> pd.DataFrame:
+        _, m = _arrow_raw_matrix(t)
+        xq = np.rint(m * 1e6).astype(np.int64)
+        s2 = xq.T @ xq  # (d, d) int64: exact, order-free
+        s1 = xq.sum(axis=0)
+        return pd.DataFrame(
+            {"s2": [s2.tobytes()], "s1": [s1.tobytes()],
+             "n": np.asarray([len(xq)], dtype="int64"),
+             "d": np.asarray([m.shape[1]], dtype="int64")}
+        )
+
+    parts = emb.map_batches(moments, batch_format="pyarrow").to_pandas()
+    d = int(parts["d"].iloc[0])
+    s2 = np.zeros((d, d), dtype=np.int64)
+    s1 = np.zeros(d, dtype=np.int64)
+    n = 0
+    for _, r in parts.iterrows():
+        s2 += np.frombuffer(r["s2"], dtype=np.int64).reshape(d, d)
+        s1 += np.frombuffer(r["s1"], dtype=np.int64)
+        n += int(r["n"])
+    mean_q = s1 / n  # micro-unit mean (float, driver-side only)
+    cov = (s2 / n - np.outer(mean_q, mean_q)) / 1e12
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:n_components]
+    w = eigvecs[:, order]
+    vals = eigvals[order]
+    for j in range(w.shape[1]):  # deterministic sign convention
+        i = int(np.abs(w[:, j]).argmax())
+        if w[i, j] < 0:
+            w[:, j] = -w[:, j]
+    return mean_q / 1e6, w, vals
+
+
+def pca_project(
+    emb: "ray.data.Dataset", mean: np.ndarray, components: np.ndarray,
+) -> "ray.data.Dataset":
+    """(vec_id, pc1_e6..pcK_e6): centered projection in integer micro-units.
+    mean/components broadcast once via ray.put; per-row dots run in fixed
+    dimension order, so outputs are deterministic at any parallelism."""
+    ref = ray.put((mean, components))
+    k = components.shape[1]
+    cols = [f"pc{j + 1}_e6" for j in range(k)]
+
+    def project(t) -> pd.DataFrame:
+        mu, w = ray.get(ref)
+        ids, m = _arrow_raw_matrix(t)
+        proj = (m - mu[None, :]) @ w
+        out = {"vec_id": ids.astype("int64")}
+        for j, c in enumerate(cols):
+            out[c] = np.rint(proj[:, j] * 1e6).astype("int64")
+        return pd.DataFrame(out)
+
+    return emb.map_batches(project, batch_format="pyarrow")
