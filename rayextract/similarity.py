@@ -486,12 +486,16 @@ def train_pq_codebooks(
         x = sample[:, j * dsub:(j + 1) * dsub]
         c = x[rng.choice(n, size=ksub, replace=False)].copy()
         for _ in range(n_iter):
-            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            # argmin |x-c|^2 == argmin (|c|^2 - 2 x.c): BLAS matmul, and a
+            # vectorized scatter-add update (the 256-centroid python loop
+            # was the driver-side wall)
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
             assign = d2.argmin(1)
-            for ci in range(ksub):
-                mask = assign == ci
-                if mask.any():
-                    c[ci] = x[mask].mean(0)
+            sums = np.zeros((ksub, dsub), dtype=np.float64)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=ksub)
+            nz = counts > 0
+            c[nz] = sums[nz] / counts[nz, None]
         books[j] = c
     return books
 
@@ -504,7 +508,11 @@ def pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
     codes = np.empty((n, m), dtype=np.uint8)
     x = mat.reshape(n, m, dsub)
     for j in range(m):
-        d2 = ((x[:, j, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        c = books[j]
+        # argmin |x-c|^2 == argmin (|c|^2 - 2 x.c): one BLAS matmul per
+        # subspace instead of an (n, ksub, dsub) broadcast temp — the
+        # encode is the corpus-pass hot loop
+        d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x[:, j, :] @ c.T)
         codes[:, j] = d2.argmin(1)
     return codes
 
