@@ -168,6 +168,7 @@ def run_queries() -> dict[str, float]:
         "dsir_importance_select",
         "knn_pq_topk",
         "embedding_pca_project",
+        "bitext_mine_pairs",
     ]
     out = {}
     for name in picks:

@@ -5111,6 +5111,93 @@ def semdedup_embeddings(sf_dir: str):
     return res[["vec_id", "bucket_id", "dup_of", "kept"]]
 
 
+def bitext_mine_pairs(sf_dir: str):
+    """Cross-lingual bitext-style pair mining (the CCMatrix/LASER curation
+    step, Artetxe & Schwenk 2019-class, simplified to mutual nearest
+    neighbors): emit an (en doc, non-en doc) pair when each is the other's
+    best cross-lingual cosine match inside their shared LSH bucket — the
+    translation-pair candidates a multilingual pretraining pipeline mines
+    before alignment verification.
+
+    Scale shape: identical to semdedup — ONE exchange on the 8-plane
+    hyperplane signature; the per-bucket cross-language scan runs on
+    e6-quantized integer rows (exact int64 dots) and neither language side
+    is ever broadcast or driver-resident (the en "index" shards with the
+    buckets). Ranking is bit-stable across engines by construction: num and
+    the two norms are EXACT ints < 2^53 (so their int->double casts are
+    exact), and the score is the fixed IEEE sequence num / sqrt(na * nb) —
+    identical in numpy and DuckDB — with ties broken on lowest vec_id.
+    The lang flag rides the exchange as a row column (at fleet scale it is
+    a co-partitioned column of the embedding table, not a broadcast).
+    Output (en_id, other_id, other_lang, score_e6)."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    signs_ref = _ray.put(_hyperplane_signs(SEMDEDUP_PLANES, EMB_DIM))
+    weights = (np.int64(1) << np.arange(SEMDEDUP_PLANES, dtype=np.int64))
+    lang_df = _read_small(sf_dir, "documents", ["doc_id", "lang"])
+    lang_arr = np.empty(int(lang_df["doc_id"].max()) + 1, dtype=object)
+    lang_arr[lang_df["doc_id"].to_numpy()] = lang_df["lang"].to_numpy()
+    lang_ref = _ray.put(lang_arr)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        la = _ray.get(lang_ref)
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        x = _round_half_away(m * 1_000_000.0)
+        dots = x @ _ray.get(signs_ref).T
+        bucket = ((dots >= 0).astype(np.int64) * weights[None, :]).sum(axis=1)
+        ids = df["vec_id"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {"bucket_id": bucket, "vec_id": ids,
+             "lang": [la[i] for i in ids],
+             "x": [row.tolist() for row in x]}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("bucket_id", sort=False):
+            grp = grp.sort_values("vec_id", kind="stable")
+            en = grp[grp["lang"] == "en"]
+            xx = grp[grp["lang"] != "en"]
+            if not len(en) or not len(xx):
+                continue
+            en_ids = en["vec_id"].to_numpy(dtype="int64")
+            xx_ids = xx["vec_id"].to_numpy(dtype="int64")
+            E = np.vstack(en["x"].to_numpy()).astype(np.int64)
+            X = np.vstack(xx["x"].to_numpy()).astype(np.int64)
+            num = E @ X.T  # exact: |xi| <= 1e6, 64 dims -> < 2^53
+            na = (E * E).sum(axis=1)
+            nb = (X * X).sum(axis=1)
+            score = num.astype(np.float64) / np.sqrt(
+                na.astype(np.float64)[:, None] * nb.astype(np.float64)[None, :]
+            )
+            # rows sorted by id -> argmax's first-wins IS the lowest-id tie-break
+            fwd = score.argmax(axis=0)   # per xx: best en row
+            rev = score.argmax(axis=1)   # per en: best xx row
+            mutual = np.flatnonzero(rev[fwd] == np.arange(len(xx_ids)))
+            if not len(mutual):
+                continue
+            ei = fwd[mutual]
+            out.append(pd.DataFrame(
+                {"en_id": en_ids[ei],
+                 "other_id": xx_ids[mutual],
+                 "other_lang": xx["lang"].to_numpy()[mutual],
+                 "score_e6": _round_half_away(score[ei, mutual] * 1e6)}
+            ))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"en_id": pd.array([], dtype="int64"),
+             "other_id": pd.array([], dtype="int64"),
+             "other_lang": pd.array([], dtype=object),
+             "score_e6": pd.array([], dtype="int64")}
+        )
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        ["bucket_id"], partial, reduce, n_buckets=16,
+    )
+
+
 def doc_token_entropy(sf_dir: str):
     """Per-document token-distribution Shannon entropy — the vocabulary-
     diversity quality signal (low entropy = repetitive/templated text, a
@@ -5610,6 +5697,7 @@ QUERIES = {
     "top_orders_per_priority_dense": top_orders_per_priority_dense,
     "doc_trigram_top20": doc_trigram_top20,
     "semdedup_embeddings": semdedup_embeddings,
+    "bitext_mine_pairs": bitext_mine_pairs,
     "doc_token_entropy": doc_token_entropy,
     "events_csv_source": events_csv_source,
     "dedup_containment": dedup_containment,
@@ -7547,6 +7635,54 @@ SQL["semdedup_embeddings"] = """
     """
 
 # ---- round-3 wave-3 oracles ----------------------------------------------
+SQL["bitext_mine_pairs"] = """
+        WITH signs AS (
+          SELECT j, i, CASE WHEN md5_number_upper(CAST(j AS VARCHAR) || ':' ||
+                                                  CAST(i AS VARCHAR)) % 2 = 1
+                            THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(range(8)) AS j), (SELECT unnest(range(64)) AS i)
+        ),
+        x AS (SELECT vec_id, unnest(range(len(embedding))) AS i,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS xi
+              FROM embeddings),
+        dots AS (SELECT x.vec_id, s.j, sum(s.s * x.xi) AS d
+                 FROM x JOIN signs s ON x.i = s.i GROUP BY 1, 2),
+        b AS (SELECT vec_id,
+                     CAST(sum(CASE WHEN d >= 0 THEN 1 << j ELSE 0 END)
+                          AS BIGINT) AS bucket_id
+              FROM dots GROUP BY 1),
+        side AS (SELECT b.vec_id, b.bucket_id, d.lang, (d.lang = 'en') AS is_en
+                 FROM b JOIN documents d ON d.doc_id = b.vec_id),
+        nrm AS (SELECT vec_id, sum(xi * xi) AS nn FROM x GROUP BY 1),
+        pair AS (SELECT e.vec_id AS en_id, o.vec_id AS other_id, o.lang
+                 FROM side e JOIN side o ON e.bucket_id = o.bucket_id
+                 WHERE e.is_en AND NOT o.is_en),
+        dt AS (SELECT p.en_id, p.other_id, p.lang, sum(xa.xi * xb.xi) AS num
+               FROM pair p
+               JOIN x xa ON xa.vec_id = p.en_id
+               JOIN x xb ON xb.vec_id = p.other_id AND xb.i = xa.i
+               GROUP BY 1, 2, 3),
+        sc AS (SELECT dt.en_id, dt.other_id, dt.lang,
+                      CAST(dt.num AS DOUBLE) /
+                      sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS score
+               FROM dt
+               JOIN nrm na ON na.vec_id = dt.en_id
+               JOIN nrm nb ON nb.vec_id = dt.other_id),
+        fwd AS (SELECT *, row_number() OVER (PARTITION BY other_id
+                                             ORDER BY score DESC, en_id ASC) AS r
+                FROM sc),
+        rev AS (SELECT en_id, other_id,
+                       row_number() OVER (PARTITION BY en_id
+                                          ORDER BY score DESC, other_id ASC) AS r
+                FROM sc)
+        SELECT f.en_id, f.other_id, f.lang AS other_lang,
+               CAST(round(f.score * 1000000) AS BIGINT) AS score_e6
+        FROM fwd f
+        JOIN rev r ON r.en_id = f.en_id AND r.other_id = f.other_id
+        WHERE f.r = 1 AND r.r = 1
+"""
+
 SQL["doc_token_entropy"] = r"""
     WITH tk AS (SELECT doc_id,
                        list_filter(string_split_regex(trim(text), '\s+'),
