@@ -4245,6 +4245,56 @@ def dedup_incremental(sf_dir: str):
                                  n_buckets=64)
 
 
+def merge_upsert_documents(sf_dir: str):
+    """MERGE INTO-style upsert: apply a change-set (updates, inserts,
+    deletes) to the documents snapshot and emit the next snapshot with
+    per-row provenance — the table-maintenance op an incremental-ingest
+    corpus runs every cycle (completes the diff / checksum / merge trio).
+    The change-set is derived deterministically from the base so the oracle
+    can reproduce it: doc_id % 7 == 0 -> DELETE (tombstone), % 5 == 0 ->
+    UPDATE (text + ' U2'), % 11 == 0 -> INSERT at doc_id + 10000000.
+
+    Scale shape: base and delta are tagged row streams into ONE
+    co-partition exchange on doc_id; each bucket resolves precedence
+    (tombstone > update > base) vectorized. Output
+    (doc_id, text, op in {kept, updated, inserted})."""
+    from .bucketed import bucketed_group_reduce
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tagged(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        texts = [t if isinstance(t, str) else "" for t in df["text"]]
+        out_id, out_t, out_side = list(ids), list(texts), [0] * len(ids)
+        for i, t in zip(ids, texts):
+            if i % 7 == 0:
+                out_id.append(int(i)); out_t.append(""); out_side.append(3)
+            elif i % 5 == 0:
+                out_id.append(int(i)); out_t.append(t + " U2"); out_side.append(2)
+            if i % 11 == 0:
+                out_id.append(int(i) + 10_000_000)
+                out_t.append(t + " NEW"); out_side.append(1)
+        return pd.DataFrame(
+            {"doc_id": np.asarray(out_id, dtype="int64"),
+             "text": pd.Series(out_t, dtype=object),
+             "side": np.asarray(out_side, dtype="int64")}
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # highest side wins per key: 3 tombstone, 2 update, 1 insert, 0 base
+        top = (g.sort_values(["doc_id", "side"], kind="stable")
+                .groupby("doc_id", sort=False).tail(1))
+        top = top[top["side"] != 3]
+        op = top["side"].map({0: "kept", 1: "inserted", 2: "updated"})
+        return pd.DataFrame(
+            {"doc_id": top["doc_id"].to_numpy(dtype="int64"),
+             "text": top["text"].to_numpy(),
+             "op": op.to_numpy()}
+        )
+
+    return bucketed_group_reduce(docs, ["doc_id"], tagged, resolve, 16)
+
+
 def table_diff_documents(sf_dir: str):
     """Snapshot diff (added / removed / changed by key) between corpus v1
     (the documents table) and a derived v2 (docs % 7 == 0 removed,
@@ -5654,6 +5704,7 @@ QUERIES = {
     "fk_integrity_audit": fk_integrity_audit,
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "dedup_incremental": dedup_incremental,
+    "merge_upsert_documents": merge_upsert_documents,
     "table_diff_documents": table_diff_documents,
     "sliding_distinct_users": sliding_distinct_users,
     "bpe_top_merges": bpe_top_merges,
@@ -6114,6 +6165,22 @@ SQL: dict[str, str] = {
         SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, h AS text_hash
         FROM newd WHERE h NOT IN (SELECT h FROM prior)
         GROUP BY h
+    """,
+    "merge_upsert_documents": """
+        WITH base AS (SELECT doc_id, text FROM documents),
+        upd AS (SELECT doc_id, text || ' U2' AS text FROM base
+                WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0),
+        del AS (SELECT doc_id FROM base WHERE doc_id % 7 = 0),
+        ins AS (SELECT doc_id + 10000000 AS doc_id, text || ' NEW' AS text
+                FROM base WHERE doc_id % 11 = 0)
+        SELECT b.doc_id, b.text, 'kept' AS op
+        FROM base b
+        WHERE b.doc_id NOT IN (SELECT doc_id FROM del)
+          AND b.doc_id NOT IN (SELECT doc_id FROM upd)
+        UNION ALL
+        SELECT doc_id, text, 'updated' AS op FROM upd
+        UNION ALL
+        SELECT doc_id, text, 'inserted' AS op FROM ins
     """,
     "table_diff_documents": """
         WITH v1 AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
