@@ -2305,6 +2305,59 @@ def transcript_turn_stats(sf_dir: str):
     )
 
 
+def conv_role_audit(sf_dir: str):
+    """SFT-data role-structure audit over the derived transcript corpus:
+    assign each turn its deterministic role (turn 0 = system; (doc_id +
+    turn_idx) % 7 == 0 = tool; odd = user, even = assistant) and count,
+    per conversation, the alternation violations a chat-SFT filter would
+    reject — consecutive non-tool turns with the same speaker (which here
+    arise exactly where a tool call interrupts the user/assistant
+    alternation). The data-quality gate a conversation-tuning pipeline
+    runs before packing chats into training sequences.
+
+    Scale shape: roles are pure arithmetic on (doc_id, turn_idx) — no
+    state; the sequence check needs a conversation's turns together, so
+    ONE bucketed exchange on conv_id carries narrow (conv, idx) rows
+    (text never ships) and the in-bucket check is a vectorized sorted
+    LAG compare. Output (conv_id, n_turns, n_tool_turns,
+    n_violations, ok)."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc = df["conv_id"].str.slice(4).astype("int64")
+        idx = df["turn_idx"].astype("int64")
+        role = np.where(
+            idx == 0, 0,
+            np.where((doc + idx) % 7 == 0, 3, np.where(idx % 2 == 1, 1, 2)),
+        ).astype("int64")  # 0 system, 1 user, 2 assistant, 3 tool
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"], "turn_idx": idx, "role": role}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for conv, grp in g.groupby("conv_id", sort=False):
+            grp = grp.sort_values("turn_idx", kind="stable")
+            roles = grp["role"].to_numpy()
+            n = len(roles)
+            n_tool = int((roles == 3).sum())
+            kept = roles[roles != 3]
+            viol = int((kept[1:] == kept[:-1]).sum()) if len(kept) > 1 else 0
+            out.append((conv, n, n_tool, viol))
+        res = pd.DataFrame(
+            out, columns=["conv_id", "n_turns", "n_tool_turns", "n_violations"]
+        )
+        for c in ("n_turns", "n_tool_turns", "n_violations"):
+            res[c] = res[c].astype("int64")
+        res["ok"] = res["n_violations"] == 0
+        return res
+
+    return bucketed_group_reduce(
+        _docs_to_transcripts(sf_dir).select_columns(["conv_id", "turn_idx"]),
+        ["conv_id"], partial, reduce, n_buckets=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-prep operators round 2b: chunking, repetition, index, tf-idf
 # ---------------------------------------------------------------------------
@@ -5690,6 +5743,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "k2_annotation_quads": k2_annotation_quads,
     "transcript_extract": transcript_extract,
+    "conv_role_audit": conv_role_audit,
     "transcript_extract_salted": transcript_extract_salted,
     "curate_transcripts": curate_transcripts,
     "transcript_turn_stats": transcript_turn_stats,
@@ -7702,6 +7756,53 @@ SQL["semdedup_embeddings"] = """
     """
 
 # ---- round-3 wave-3 oracles ----------------------------------------------
+SQL["conv_role_audit"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                 greatest(CAST(ceil(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                                    x -> x <> '')) / 12.0) AS BIGINT),
+                          1) AS nchunks
+          FROM documents
+        ),
+        turns AS (
+          SELECT doc_id, conv_id, CAST(0 AS BIGINT) AS idx FROM d
+          UNION ALL
+          SELECT doc_id, conv_id, CAST(1 AS BIGINT) FROM d WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, conv_id, CAST(i AS BIGINT)
+          FROM d, unnest(range(2, nchunks + 2)) AS r(i)
+        ),
+        roles AS (
+          SELECT doc_id, conv_id, idx,
+                 CASE WHEN idx = 0 THEN 0
+                      WHEN (doc_id + idx) % 7 = 0 THEN 3
+                      WHEN idx % 2 = 1 THEN 1 ELSE 2 END AS role
+          FROM turns
+        ),
+        agg AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                 CAST(sum(CASE WHEN role = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_tool_turns
+          FROM roles GROUP BY 1
+        ),
+        kept AS (
+          SELECT conv_id, role,
+                 lag(role) OVER (PARTITION BY conv_id ORDER BY idx) AS prev
+          FROM roles WHERE role <> 3
+        ),
+        v AS (
+          SELECT conv_id,
+                 CAST(sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violations
+          FROM kept GROUP BY 1
+        )
+        SELECT a.conv_id, a.n_turns, a.n_tool_turns,
+               CAST(coalesce(v.n_violations, 0) AS BIGINT) AS n_violations,
+               coalesce(v.n_violations, 0) = 0 AS ok
+        FROM agg a LEFT JOIN v USING (conv_id)
+"""
+
 SQL["bitext_mine_pairs"] = """
         WITH signs AS (
           SELECT j, i, CASE WHEN md5_number_upper(CAST(j AS VARCHAR) || ':' ||
