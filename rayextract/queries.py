@@ -2305,6 +2305,55 @@ def transcript_turn_stats(sf_dir: str):
     )
 
 
+def t5_span_corruption_stats(sf_dir: str):
+    """T5-style span-corruption planning stats (Raffel et al. 2020, public:
+    mask ~15% of tokens in short spans): how many tokens / spans each doc
+    would mask — the sizing pass a denoising-pretraining pipeline runs to
+    pick sequence budgets before writing corrupted examples.
+
+    Masking is deterministic and NON-OVERLAPPING by construction: tokens
+    partition into 20-token blocks, each block masks the 3-token span
+    starting at ``md5(doc_id:block) % 18`` (3/20 = the 15% T5 rate; spans
+    are block-contained so they can never collide, and doc-tail spans
+    truncate). This closed form replaces T5's sequential sampler so the
+    same integers fall out of one vectorized batch pass here AND the
+    DuckDB oracle — no greedy state, zero shuffle, nothing driver-side.
+    Output (doc_id, n_tokens, n_masked, n_spans)."""
+    import hashlib
+
+    from .textstats import _tokens
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        n_out = np.zeros(len(df), dtype=np.int64)
+        m_out = np.zeros(len(df), dtype=np.int64)
+        s_out = np.zeros(len(df), dtype=np.int64)
+        for i, (doc_id, text) in enumerate(zip(ids, df["text"])):
+            n = len(_tokens(text))
+            n_out[i] = n
+            if n == 0:
+                continue
+            masked = spans = 0
+            for b in range((n + 19) // 20):
+                st = int.from_bytes(
+                    hashlib.md5(f"{doc_id}:{b}".encode()).digest()[:8], "little"
+                ) % 18
+                pos0 = b * 20 + st
+                if pos0 < n:
+                    masked += min(3, n - pos0)
+                    spans += 1
+            m_out[i] = masked
+            s_out[i] = spans
+        return pd.DataFrame(
+            {"doc_id": ids, "n_tokens": n_out, "n_masked": m_out,
+             "n_spans": s_out}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas"
+    )
+
+
 def conv_role_audit(sf_dir: str):
     """SFT-data role-structure audit over the derived transcript corpus:
     assign each turn its deterministic role (turn 0 = system; (doc_id +
@@ -5744,6 +5793,7 @@ QUERIES = {
     "k2_annotation_quads": k2_annotation_quads,
     "transcript_extract": transcript_extract,
     "conv_role_audit": conv_role_audit,
+    "t5_span_corruption_stats": t5_span_corruption_stats,
     "transcript_extract_salted": transcript_extract_salted,
     "curate_transcripts": curate_transcripts,
     "transcript_turn_stats": transcript_turn_stats,
@@ -7756,6 +7806,39 @@ SQL["semdedup_embeddings"] = """
     """
 
 # ---- round-3 wave-3 oracles ----------------------------------------------
+SQL["t5_span_corruption_stats"] = r"""
+        WITH tk AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n
+          FROM documents
+        ),
+        blk AS (
+          SELECT doc_id, n, CAST(b AS BIGINT) AS b
+          FROM tk, unnest(range(CAST(ceil(n / 20.0) AS BIGINT))) AS r(b)
+          WHERE n > 0
+        ),
+        s AS (
+          SELECT doc_id, n, b,
+                 b * 20 + CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':' ||
+                                                CAST(b AS VARCHAR)) % 18
+                               AS BIGINT) AS pos0
+          FROM blk
+        ),
+        agg AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN pos0 < n THEN least(3, n - pos0) ELSE 0 END)
+                      AS BIGINT) AS n_masked,
+                 CAST(sum(CASE WHEN pos0 < n THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_spans
+          FROM s GROUP BY 1
+        )
+        SELECT tk.doc_id, tk.n AS n_tokens,
+               CAST(coalesce(agg.n_masked, 0) AS BIGINT) AS n_masked,
+               CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans
+        FROM tk LEFT JOIN agg USING (doc_id)
+"""
+
 SQL["conv_role_audit"] = r"""
         WITH d AS (
           SELECT doc_id,
