@@ -169,6 +169,9 @@ def run_queries() -> dict[str, float]:
         "knn_pq_topk",
         "embedding_pca_project",
         "bitext_mine_pairs",
+        "merge_upsert_documents",
+        "conv_role_audit",
+        "t5_span_corruption_stats",
     ]
     out = {}
     for name in picks:
