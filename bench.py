@@ -172,6 +172,7 @@ def run_queries() -> dict[str, float]:
         "merge_upsert_documents",
         "conv_role_audit",
         "t5_span_corruption_stats",
+        "doc_kneser_ney_logprob",
     ]
     out = {}
     for name in picks:

@@ -969,6 +969,87 @@ def doc_bigram_logprob(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+def doc_kneser_ney_logprob(sf_dir: str):
+    """Interpolated Kneser-Ney bigram log probability per doc (Kneser &
+    Ney 1995 / Chen & Goodman 1998, the standard n-gram LM smoothing) —
+    the stronger sibling of ``doc_bigram_logprob``'s add-one filter:
+    p(w2|w1) = (max(c12 - D, 0) + D * n1p(w1) * pcont(w2)) / c1 with
+    D = 0.75 and continuation probability pcont(w2) = npre(w2) / ntypes;
+    contexts never seen as bigram heads back off to pcont alone.
+
+    Determinism contract: every count (c12, c1, n1p, npre, ntypes) is an
+    exact integer aggregate derived from the SAME bucketed bigram count
+    pass as the add-one op (no extra corpus scan), each per-term
+    probability is ONE fixed IEEE double expression over those ints (all
+    < 2^53, so numpy/DuckDB evaluate it bit-identically), and terms round
+    to integer micro-nats BEFORE the order-free integer sum.
+    Output (doc_id, n_bigrams, kn_logprob_e6)."""
+    import math
+
+    import ray
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in df["text"]:
+            t = _tokens(s)
+            c.update(zip(t, t[1:]))
+        if not c:
+            return pd.DataFrame({"w1": pd.Series(dtype=object),
+                                 "w2": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        ks = list(c.keys())
+        return pd.DataFrame(
+            {"w1": [k[0] for k in ks], "w2": [k[1] for k in ks],
+             "n": np.fromiter(c.values(), dtype="int64")}
+        )
+
+    def bi_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+
+    bi = bucketed_group_reduce(docs, ["w1", "w2"], bi_partial, bi_reduce, 32).to_pandas()
+    ntypes = len(bi)
+    c12 = dict(zip(zip(bi["w1"], bi["w2"]), bi["n"].astype(int)))
+    c1 = bi.groupby("w1")["n"].sum().astype(int).to_dict()
+    n1p = bi.groupby("w1").size().astype(int).to_dict()
+    npre = bi.groupby("w2").size().astype(int).to_dict()
+    refs = ray.put((c12, c1, n1p, npre, ntypes))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        b12, b1, b1p, bpre, nt = ray.get(refs)
+        n_out = np.zeros(len(df), dtype=np.int64)
+        lp_out = np.zeros(len(df), dtype=np.int64)
+        for i, s in enumerate(df["text"]):
+            t = _tokens(s)
+            if len(t) < 2:
+                continue
+            lp = 0
+            for w1, w2 in zip(t, t[1:]):
+                pc = bpre.get(w2, 0) / nt
+                cw1 = b1.get(w1, 0)
+                if cw1 == 0:
+                    p = pc
+                else:
+                    p = (max(b12.get((w1, w2), 0) - 0.75, 0.0)
+                         + 0.75 * b1p[w1] * pc) / cw1
+                x = math.log(p) * 1e6  # every scored pair has pc > 0
+                lp += int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+            n_out[i] = len(t) - 1
+            lp_out[i] = lp
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "n_bigrams": n_out,
+             "kn_logprob_e6": lp_out}
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 _DSIR_B = 4096
 _DSIR_MEMO: dict = {}
 
@@ -5748,6 +5829,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_bigram_logprob": doc_bigram_logprob,
+    "doc_kneser_ney_logprob": doc_kneser_ney_logprob,
     "dsir_importance_select": dsir_importance_select,
     "range_join_value_bands": range_join_value_bands,
     "stratified_sample_per_source": stratified_sample_per_source,
@@ -6823,6 +6905,42 @@ SQL: dict[str, str] = {
         SELECT t.doc_id,
                CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CAST(coalesce(agg.sum_logprob_e6, 0) AS BIGINT) AS sum_logprob_e6
+        FROM t LEFT JOIN agg USING (doc_id)
+    """,
+    "doc_kneser_ney_logprob": r"""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        pairs AS (
+          SELECT t.doc_id, toks[i] AS w1, toks[i+1] AS w2
+          FROM t, unnest(range(1, len(toks))) AS r(i)
+        ),
+        bi AS (SELECT w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2),
+        heads AS (SELECT w1, sum(n) AS c1, count(*) AS n1p FROM bi GROUP BY 1),
+        pres AS (SELECT w2, count(*) AS npre FROM bi GROUP BY 1),
+        tt AS (SELECT CAST(count(*) AS DOUBLE) AS ntypes FROM bi),
+        scored AS (
+          -- one fixed IEEE double expression over exact integer counts,
+          -- rounded to integer micro-nats per pair BEFORE the sum
+          SELECT p.doc_id,
+                 CAST(round(ln((greatest(CAST(b.n AS DOUBLE) - 0.75, 0.0)
+                                + 0.75 * CAST(h.n1p AS DOUBLE)
+                                  * (CAST(pr.npre AS DOUBLE) / tt.ntypes))
+                               / CAST(h.c1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+          FROM pairs p
+          JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+          JOIN heads h ON h.w1 = p.w1
+          JOIN pres pr ON pr.w2 = p.w2
+          CROSS JOIN tt
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS s
+          FROM scored GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(agg.s, 0) AS BIGINT) AS kn_logprob_e6
         FROM t LEFT JOIN agg USING (doc_id)
     """,
     "dsir_importance_select": r"""
