@@ -173,6 +173,7 @@ def run_queries() -> dict[str, float]:
         "conv_role_audit",
         "t5_span_corruption_stats",
         "doc_kneser_ney_logprob",
+        "pmi_top_collocations",
     ]
     out = {}
     for name in picks:

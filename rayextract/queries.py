@@ -969,6 +969,81 @@ def doc_bigram_logprob(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+def pmi_top_collocations(sf_dir: str, min_count: int = 5, k: int = 20):
+    """Top-k collocations by pointwise mutual information (Church & Hanks
+    1990; the word2phrase-style phrase-mining pass a tokenizer/vocab
+    pipeline runs before merging multiword units): PMI = ln(c12 * Nbi /
+    (c1 * c2)) over corpus bigram/unigram counts, bigrams with
+    c12 >= min_count, ranked by (pmi desc, w1, w2).
+
+    Determinism: PMI is rounded to integer micro-nats from ONE fixed IEEE
+    double expression over exact integer counts (all < 2^53 — the same
+    bit-stability contract as the KN scorer), so the rank key is an
+    integer triple and the top-k is unambiguous. Scale shape: two bucketed
+    count passes (the same aggregates the LM filters use); the PMI rank
+    runs on the bigram AGGREGATE (vocab-bounded, orders of magnitude below
+    corpus size) — at fleet scale the top-k becomes a per-partition heap +
+    merge (heavy_hitters pattern); text never shuffles.
+    Output (w1, w2, n, pmi_e6)."""
+    import math
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in df["text"]:
+            c.update(_tokens(s))
+        return pd.DataFrame({"w": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype="int64")})
+
+    def uni_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("w", sort=False)["n"].sum().reset_index()
+
+    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in df["text"]:
+            t = _tokens(s)
+            c.update(zip(t, t[1:]))
+        if not c:
+            return pd.DataFrame({"w1": pd.Series(dtype=object),
+                                 "w2": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        ks = list(c.keys())
+        return pd.DataFrame(
+            {"w1": [x[0] for x in ks], "w2": [x[1] for x in ks],
+             "n": np.fromiter(c.values(), dtype="int64")}
+        )
+
+    def bi_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+
+    uni = bucketed_group_reduce(docs, ["w"], uni_partial, uni_reduce, 32).to_pandas()
+    bi = bucketed_group_reduce(docs, ["w1", "w2"], bi_partial, bi_reduce, 32).to_pandas()
+    nbi = int(bi["n"].sum())
+    ucnt = dict(zip(uni["w"], uni["n"].astype(int)))
+
+    cand = bi[bi["n"] >= min_count]
+    rows = []
+    for w1, w2, n in zip(cand["w1"], cand["w2"], cand["n"].astype(int)):
+        x = math.log(n * float(nbi) / (float(ucnt[w1]) * ucnt[w2])) * 1e6
+        pmi = int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+        rows.append((w1, w2, n, pmi))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    top = rows[:k]
+    return pd.DataFrame(
+        {"w1": [r[0] for r in top], "w2": [r[1] for r in top],
+         "n": pd.array([r[2] for r in top], dtype="int64"),
+         "pmi_e6": pd.array([r[3] for r in top], dtype="int64")}
+    )
+
+
 def doc_kneser_ney_logprob(sf_dir: str):
     """Interpolated Kneser-Ney bigram log probability per doc (Kneser &
     Ney 1995 / Chen & Goodman 1998, the standard n-gram LM smoothing) —
@@ -5830,6 +5905,7 @@ QUERIES = {
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_bigram_logprob": doc_bigram_logprob,
     "doc_kneser_ney_logprob": doc_kneser_ney_logprob,
+    "pmi_top_collocations": pmi_top_collocations,
     "dsir_importance_select": dsir_importance_select,
     "range_join_value_bands": range_join_value_bands,
     "stratified_sample_per_source": stratified_sample_per_source,
@@ -6906,6 +6982,33 @@ SQL: dict[str, str] = {
                CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CAST(coalesce(agg.sum_logprob_e6, 0) AS BIGINT) AS sum_logprob_e6
         FROM t LEFT JOIN agg USING (doc_id)
+    """,
+    "pmi_top_collocations": r"""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT unnest(toks) AS w FROM t),
+        uni AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+        pairs AS (
+          SELECT toks[i] AS w1, toks[i+1] AS w2
+          FROM t, unnest(range(1, len(toks))) AS r(i)
+        ),
+        bi AS (SELECT w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2),
+        nbi AS (SELECT CAST(sum(n) AS DOUBLE) AS nb FROM bi),
+        sc AS (
+          SELECT b.w1, b.w2, b.n,
+                 CAST(round(ln(CAST(b.n AS DOUBLE) * nbi.nb
+                               / (CAST(u1.n AS DOUBLE) * u2.n)) * 1e6)
+                      AS BIGINT) AS pmi_e6
+          FROM bi b
+          JOIN uni u1 ON u1.w = b.w1
+          JOIN uni u2 ON u2.w = b.w2
+          CROSS JOIN nbi
+          WHERE b.n >= 5
+        )
+        SELECT w1, w2, CAST(n AS BIGINT) AS n, pmi_e6
+        FROM sc ORDER BY pmi_e6 DESC, w1, w2 LIMIT 20
     """,
     "doc_kneser_ney_logprob": r"""
         WITH t AS (
