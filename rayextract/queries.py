@@ -969,6 +969,67 @@ def doc_bigram_logprob(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+def vocab_growth_curve(sf_dir: str):
+    """Heaps'-law vocabulary-growth profile: cumulative distinct-token
+    vocabulary and token volume after each doc_id decile — the corpus
+    profiling curve a tokenizer-training pipeline reads to size vocab
+    budgets and predict OOV rates as the corpus grows.
+
+    Scale shape: prefix-distinct counting is sequential in general, but
+    over a keyed corpus it collapses to aggregates: vocab_at(d) =
+    #{token: min_doc(token) <= d}, so ONE bucketed pass reduces each
+    token to its first-occurrence doc_id (vocab-sized aggregate) and a
+    second tiny combiner sums per-doc token counts; the decile roll-up is
+    driver-side arithmetic over those aggregates. No corpus-order scan,
+    no shuffle of text. Output (decile, max_doc_id, vocab_size,
+    n_tokens)."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        first: dict = {}
+        for doc_id, s in zip(df["doc_id"].astype(int), df["text"]):
+            for w in set(_tokens(s)):
+                cur = first.get(w)
+                if cur is None or doc_id < cur:
+                    first[w] = doc_id
+        return pd.DataFrame({"w": list(first.keys()),
+                             "d": np.fromiter(first.values(), dtype="int64")})
+
+    def first_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("w", sort=False)["d"].min().reset_index()
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "n": np.asarray([len(_tokens(s)) for s in df["text"]],
+                             dtype="int64")}
+        )
+
+    def cnt_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", sort=False)["n"].sum().reset_index()
+
+    first = bucketed_group_reduce(docs, ["w"], first_partial, first_reduce, 32).to_pandas()
+    cnts = bucketed_group_reduce(docs, ["doc_id"], cnt_partial, cnt_reduce, 16).to_pandas()
+    max_doc = int(cnts["doc_id"].max())
+    rows = []
+    for dec in range(1, 11):
+        cut = (max_doc + 1) * dec // 10 - 1
+        rows.append((
+            dec, cut,
+            int((first["d"] <= cut).sum()),
+            int(cnts.loc[cnts["doc_id"] <= cut, "n"].sum()),
+        ))
+    return pd.DataFrame(
+        {"decile": pd.array([r[0] for r in rows], dtype="int64"),
+         "max_doc_id": pd.array([r[1] for r in rows], dtype="int64"),
+         "vocab_size": pd.array([r[2] for r in rows], dtype="int64"),
+         "n_tokens": pd.array([r[3] for r in rows], dtype="int64")}
+    )
+
+
 def pmi_top_collocations(sf_dir: str, min_count: int = 5, k: int = 20):
     """Top-k collocations by pointwise mutual information (Church & Hanks
     1990; the word2phrase-style phrase-mining pass a tokenizer/vocab
@@ -5906,6 +5967,7 @@ QUERIES = {
     "doc_bigram_logprob": doc_bigram_logprob,
     "doc_kneser_ney_logprob": doc_kneser_ney_logprob,
     "pmi_top_collocations": pmi_top_collocations,
+    "vocab_growth_curve": vocab_growth_curve,
     "dsir_importance_select": dsir_importance_select,
     "range_join_value_bands": range_join_value_bands,
     "stratified_sample_per_source": stratified_sample_per_source,
@@ -6982,6 +7044,29 @@ SQL: dict[str, str] = {
                CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CAST(coalesce(agg.sum_logprob_e6, 0) AS BIGINT) AS sum_logprob_e6
         FROM t LEFT JOIN agg USING (doc_id)
+    """,
+    "vocab_growth_curve": r"""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        first AS (
+          SELECT tok AS w, min(doc_id) AS d
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1
+        ),
+        cnts AS (SELECT doc_id, len(toks) AS n FROM t),
+        md AS (SELECT max(doc_id) AS m FROM cnts),
+        dec AS (
+          SELECT CAST(i AS BIGINT) AS decile,
+                 (md.m + 1) * CAST(i AS BIGINT) // 10 - 1 AS cut
+          FROM md, unnest(range(1, 11)) AS r(i)
+        )
+        SELECT dec.decile, CAST(dec.cut AS BIGINT) AS max_doc_id,
+               CAST((SELECT count(*) FROM first WHERE first.d <= dec.cut)
+                    AS BIGINT) AS vocab_size,
+               CAST((SELECT coalesce(sum(n), 0) FROM cnts
+                     WHERE cnts.doc_id <= dec.cut) AS BIGINT) AS n_tokens
+        FROM dec
     """,
     "pmi_top_collocations": r"""
         WITH t AS (
