@@ -969,6 +969,39 @@ def doc_bigram_logprob(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+def lang_label_audit(sf_dir: str):
+    """Declared-vs-detected language confusion matrix: cross-tabulate each
+    doc's metadata ``lang`` label against the stopword-ratio language-id
+    prediction — the label-noise audit a multilingual corpus runs before
+    trusting upstream metadata for filtering or mixture weighting (a
+    mislabeled slice silently skews DSIR targets and lang filters).
+
+    Scale shape: per-batch partial counts of (lang, lang_pred) collapse
+    each batch to <= |langs| x 2 rows; one tiny bucketed combine finishes
+    the matrix. Pure aggregate — text never shuffles.
+    Output (lang, lang_pred, n)."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import langid_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pred = langid_batch(df)["lang_pred"]
+        out = pd.DataFrame({"lang": df["lang"].to_numpy(), "lang_pred": pred})
+        return out.groupby(["lang", "lang_pred"], sort=False).size().rename(
+            "n"
+        ).reset_index()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby(["lang", "lang_pred"], sort=False)["n"].sum().reset_index()
+        r["n"] = r["n"].astype("int64")
+        return r
+
+    return bucketed_group_reduce(
+        docs, ["lang", "lang_pred"], partial, reduce, n_buckets=4
+    )
+
+
 def vocab_growth_curve(sf_dir: str):
     """Heaps'-law vocabulary-growth profile: cumulative distinct-token
     vocabulary and token volume after each doc_id decile — the corpus
@@ -5968,6 +6001,7 @@ QUERIES = {
     "doc_kneser_ney_logprob": doc_kneser_ney_logprob,
     "pmi_top_collocations": pmi_top_collocations,
     "vocab_growth_curve": vocab_growth_curve,
+    "lang_label_audit": lang_label_audit,
     "dsir_importance_select": dsir_importance_select,
     "range_join_value_bands": range_join_value_bands,
     "stratified_sample_per_source": stratified_sample_per_source,
@@ -7044,6 +7078,21 @@ SQL: dict[str, str] = {
                CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CAST(coalesce(agg.sum_logprob_e6, 0) AS BIGINT) AS sum_logprob_e6
         FROM t LEFT JOIN agg USING (doc_id)
+    """,
+    "lang_label_audit": r"""
+        WITH t AS (SELECT doc_id, lang,
+                          list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+                   FROM documents),
+        r AS (SELECT doc_id, lang,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(len(list_filter(toks, w -> w IN
+                            ('the','a','and','of','to','in','is','for','on','with')))
+                            AS DOUBLE) / len(toks)
+                          ELSE 0.0 END AS ratio
+              FROM t)
+        SELECT lang, CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY 1, 2
     """,
     "vocab_growth_curve": r"""
         WITH t AS (
