@@ -969,6 +969,75 @@ def doc_bigram_logprob(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+def source_scorecard(sf_dir: str):
+    """Per-source curation scorecard: document and token volume, how much
+    of the source looks English to the langid heuristic, and how many of
+    its docs are byte-exact duplicates of another doc in the SAME source —
+    the per-source dashboard a corpus owner reads to decide which feeds
+    to keep, reweight, or re-crawl.
+
+    Scale shape: volume/lang counts are per-batch partials (no text
+    crosses the wire); the within-source dup count ships only (source,
+    md5) 16-byte fingerprint rows through one bucketed exchange and
+    counts groups of size >= 2 in the bucket. Output (source, n_docs,
+    n_tokens, n_pred_en, n_dup_docs)."""
+    import hashlib
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens, langid_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def vol_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pred_en = (langid_batch(df)["lang_pred"] == "en").to_numpy()
+        out = pd.DataFrame(
+            {"source": df["source"].to_numpy(),
+             "n_docs": np.ones(len(df), dtype="int64"),
+             "n_tokens": np.asarray([len(_tokens(s)) for s in df["text"]],
+                                    dtype="int64"),
+             "n_pred_en": pred_en.astype("int64")}
+        )
+        return out.groupby("source", sort=False, as_index=False).sum()
+
+    def vol_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("source", sort=False, as_index=False)[
+            ["n_docs", "n_tokens", "n_pred_en"]
+        ].sum()
+
+    def fp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"source": df["source"].to_numpy(),
+             "fp": [hashlib.md5((t if isinstance(t, str) else "").encode())
+                    .hexdigest() for t in df["text"]],
+             "n": np.ones(len(df), dtype="int64")}
+        )
+
+    def fp_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(["source", "fp"], sort=False)["n"].sum().reset_index()
+        dup = grp[grp["n"] >= 2]
+        out = dup.groupby("source", sort=False)["n"].sum().reset_index()
+        out.columns = ["source", "n_dup_docs"]
+        out["n_dup_docs"] = out["n_dup_docs"].astype("int64")
+        return out
+
+    vol = bucketed_group_reduce(docs, ["source"], vol_partial, vol_reduce, 4).to_pandas()
+    dup = bucketed_group_reduce(
+        docs, ["source", "fp"], fp_partial, fp_reduce, 16
+    ).to_pandas()
+    if len(dup) and "source" in dup.columns:
+        # fp-keyed buckets each emit their own per-source partial rows
+        dup = dup.groupby("source", as_index=False)["n_dup_docs"].sum()
+    else:
+        # Ray 2.49 to_pandas() returns a COLUMNLESS frame for 0-row results
+        dup = pd.DataFrame({"source": pd.Series(dtype=object),
+                            "n_dup_docs": pd.Series(dtype="int64")})
+    out = vol.merge(dup, on="source", how="left")
+    out["n_dup_docs"] = out["n_dup_docs"].fillna(0).astype("int64")
+    for c in ("n_docs", "n_tokens", "n_pred_en"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "n_docs", "n_tokens", "n_pred_en", "n_dup_docs"]]
+
+
 def lang_label_audit(sf_dir: str):
     """Declared-vs-detected language confusion matrix: cross-tabulate each
     doc's metadata ``lang`` label against the stopword-ratio language-id
@@ -6002,6 +6071,7 @@ QUERIES = {
     "pmi_top_collocations": pmi_top_collocations,
     "vocab_growth_curve": vocab_growth_curve,
     "lang_label_audit": lang_label_audit,
+    "source_scorecard": source_scorecard,
     "dsir_importance_select": dsir_importance_select,
     "range_join_value_bands": range_join_value_bands,
     "stratified_sample_per_source": stratified_sample_per_source,
@@ -7078,6 +7148,29 @@ SQL: dict[str, str] = {
                CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CAST(coalesce(agg.sum_logprob_e6, 0) AS BIGINT) AS sum_logprob_e6
         FROM t LEFT JOIN agg USING (doc_id)
+    """,
+    "source_scorecard": r"""
+        WITH t AS (SELECT doc_id, source, text,
+                          list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+                   FROM documents),
+        r AS (SELECT source, len(toks) AS n_tok,
+                     CASE WHEN len(toks) > 0
+                          AND CAST(len(list_filter(toks, w -> w IN
+                            ('the','a','and','of','to','in','is','for','on','with')))
+                            AS DOUBLE) / len(toks) >= 0.05
+                          THEN 1 ELSE 0 END AS pred_en,
+                     md5(text) AS fp
+              FROM t),
+        vol AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                       CAST(sum(pred_en) AS BIGINT) AS n_pred_en
+                FROM r GROUP BY 1),
+        fp AS (SELECT source, fp, count(*) AS n FROM r GROUP BY 1, 2),
+        dup AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_dup_docs
+                FROM fp WHERE n >= 2 GROUP BY 1)
+        SELECT vol.source, vol.n_docs, vol.n_tokens, vol.n_pred_en,
+               CAST(coalesce(dup.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+        FROM vol LEFT JOIN dup USING (source)
     """,
     "lang_label_audit": r"""
         WITH t AS (SELECT doc_id, lang,

@@ -102,7 +102,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "late_event_audit", "doc_pii_flags", "dsir_importance_select",
      "merge_upsert_documents", "conv_role_audit",
      "t5_span_corruption_stats", "doc_kneser_ney_logprob",
-     "pmi_top_collocations", "vocab_growth_curve", "lang_label_audit"],
+     "pmi_top_collocations", "vocab_growth_curve", "lang_label_audit",
+     "source_scorecard"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
