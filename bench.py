@@ -174,6 +174,9 @@ def run_queries() -> dict[str, float]:
         "t5_span_corruption_stats",
         "doc_kneser_ney_logprob",
         "pmi_top_collocations",
+        "vocab_growth_curve",
+        "lang_label_audit",
+        "source_scorecard",
     ]
     out = {}
     for name in picks:
