@@ -1038,6 +1038,54 @@ def source_scorecard(sf_dir: str):
     return out[["source", "n_docs", "n_tokens", "n_pred_en", "n_dup_docs"]]
 
 
+def mixture_plan_sources(sf_dir: str):
+    """Token-budget mixture planning: given per-source token volumes,
+    compute each source's corpus share and the deterministic sampling
+    rate that flattens the mixture to an equal-token budget of half the
+    corpus — the plan a pretraining run computes before drawing its data
+    mixture (heavily-overrepresented feeds get rate < 1, small feeds keep
+    rate = 1 rather than upsampling).
+
+    Scale shape: one shuffle-free per-batch count pass collapses the
+    corpus to a per-source aggregate; the plan itself is driver
+    arithmetic. share/rate are single fixed IEEE double expressions over
+    exact ints (< 2^53), micro-unit rounded — bit-identical in the
+    oracle. Output (source, n_tokens, share_e6, sample_rate_e6)."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"source": df["source"].to_numpy(),
+             "n_tokens": np.asarray([len(_tokens(s)) for s in df["text"]],
+                                    dtype="int64")}
+        )
+        return out.groupby("source", sort=False, as_index=False).sum()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("source", sort=False, as_index=False)["n_tokens"].sum()
+
+    vol = bucketed_group_reduce(docs, ["source"], partial, reduce, 4).to_pandas()
+    total = int(vol["n_tokens"].sum())
+    nsrc = len(vol)
+    rows = []
+    for src, n in zip(vol["source"], vol["n_tokens"].astype(int)):
+        share = n / float(total)
+        budget = float(total) / 2.0 / nsrc
+        rate = min(1.0, budget / n) if n > 0 else 1.0
+        rows.append((src, n, _round_half_away(np.asarray([share * 1e6]))[0],
+                     _round_half_away(np.asarray([rate * 1e6]))[0]))
+    rows.sort(key=lambda r: r[0])
+    return pd.DataFrame(
+        {"source": [r[0] for r in rows],
+         "n_tokens": pd.array([r[1] for r in rows], dtype="int64"),
+         "share_e6": pd.array([r[2] for r in rows], dtype="int64"),
+         "sample_rate_e6": pd.array([r[3] for r in rows], dtype="int64")}
+    )
+
+
 def lang_label_audit(sf_dir: str):
     """Declared-vs-detected language confusion matrix: cross-tabulate each
     doc's metadata ``lang`` label against the stopword-ratio language-id
@@ -6072,6 +6120,7 @@ QUERIES = {
     "vocab_growth_curve": vocab_growth_curve,
     "lang_label_audit": lang_label_audit,
     "source_scorecard": source_scorecard,
+    "mixture_plan_sources": mixture_plan_sources,
     "dsir_importance_select": dsir_importance_select,
     "range_join_value_bands": range_join_value_bands,
     "stratified_sample_per_source": stratified_sample_per_source,
@@ -7148,6 +7197,26 @@ SQL: dict[str, str] = {
                CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CAST(coalesce(agg.sum_logprob_e6, 0) AS BIGINT) AS sum_logprob_e6
         FROM t LEFT JOIN agg USING (doc_id)
+    """,
+    "mixture_plan_sources": r"""
+        WITH t AS (SELECT source,
+                          len(list_filter(string_split_regex(trim(text), '\s+'),
+                                          x -> x <> '')) AS n
+                   FROM documents),
+        vol AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens
+                FROM t GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS nsrc
+                FROM vol)
+        SELECT vol.source, vol.n_tokens,
+               CAST(round(CAST(vol.n_tokens AS DOUBLE) / tot.total * 1e6)
+                    AS BIGINT) AS share_e6,
+               CAST(round(CASE WHEN vol.n_tokens = 0 THEN 1.0
+                               ELSE least(1.0,
+                                    CAST(tot.total AS DOUBLE) / 2.0 / tot.nsrc
+                                    / vol.n_tokens) END * 1e6)
+                    AS BIGINT) AS sample_rate_e6
+        FROM vol CROSS JOIN tot
     """,
     "source_scorecard": r"""
         WITH t AS (SELECT doc_id, source, text,
