@@ -1038,6 +1038,56 @@ def source_scorecard(sf_dir: str):
     return out[["source", "n_docs", "n_tokens", "n_pred_en", "n_dup_docs"]]
 
 
+def cross_source_leakage(sf_dir: str):
+    """Cross-source near-duplicate leakage matrix: count MinHash near-dup
+    pairs (est_sim >= 0.9, the dedup_minhash contract) whose two documents
+    live in DIFFERENT sources vs the same source — the audit that tells a
+    corpus owner which feeds are mirroring each other (train/val leakage
+    risk and wasted mixture weight) before source-level dedup decisions.
+
+    Scale shape: reuses the join-free banded MinHash pair pipeline
+    unchanged; the doc->source attachment is a broadcast narrow lookup
+    (at fleet scale: a co-partitioned column ride-along), and the matrix
+    itself is an aggregate. Output (source_a, source_b, n_pairs) with
+    source_a <= source_b."""
+    import ray
+
+    src_df = _read_small(sf_dir, "documents", ["doc_id", "source"])
+    src_arr = np.empty(int(src_df["doc_id"].max()) + 1, dtype=object)
+    src_arr[src_df["doc_id"].to_numpy()] = src_df["source"].to_numpy()
+    src_ref = ray.put(src_arr)
+
+    pairs = minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.9, bands=16, ngram=3,
+    )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(src_ref)
+        if not len(df):
+            return pd.DataFrame({"source_a": pd.Series(dtype=object),
+                                 "source_b": pd.Series(dtype=object),
+                                 "n_pairs": pd.Series(dtype="int64")})
+        sa = [sm[int(a)] for a in df["doc_a"]]
+        sb = [sm[int(b)] for b in df["doc_b"]]
+        out = pd.DataFrame(
+            {"source_a": [min(x, y) for x, y in zip(sa, sb)],
+             "source_b": [max(x, y) for x, y in zip(sa, sb)]}
+        )
+        return out.groupby(["source_a", "source_b"], sort=False).size().rename(
+            "n_pairs"
+        ).reset_index()
+
+    parts = pairs.map_batches(tag, batch_format="pandas").to_pandas()
+    if not len(parts) or "source_a" not in parts.columns:
+        return pd.DataFrame({"source_a": pd.Series(dtype=object),
+                             "source_b": pd.Series(dtype=object),
+                             "n_pairs": pd.Series(dtype="int64")})
+    out = parts.groupby(["source_a", "source_b"], as_index=False)["n_pairs"].sum()
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out
+
+
 def mixture_plan_sources(sf_dir: str):
     """Token-budget mixture planning: given per-source token volumes,
     compute each source's corpus share and the deterministic sampling
@@ -6121,6 +6171,7 @@ QUERIES = {
     "lang_label_audit": lang_label_audit,
     "source_scorecard": source_scorecard,
     "mixture_plan_sources": mixture_plan_sources,
+    "cross_source_leakage": cross_source_leakage,
     "dsir_importance_select": dsir_importance_select,
     "range_join_value_bands": range_join_value_bands,
     "stratified_sample_per_source": stratified_sample_per_source,
@@ -6342,6 +6393,16 @@ SQL: dict[str, str] = {
     "dedup_minhash": f"""
         WITH {_MINHASH_CTE}
         SELECT doc_a, doc_b, est_sim FROM mpairs
+    """,
+    "cross_source_leakage": f"""
+        WITH {_MINHASH_CTE}
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM mpairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+        GROUP BY 1, 2
     """,
     "dedup_minhash_clusters": f"""
         WITH RECURSIVE {_MINHASH_CTE},
