@@ -1088,6 +1088,65 @@ def cross_source_leakage(sf_dir: str):
     return out
 
 
+def contrastive_triplets(sf_dir: str):
+    """Contrastive training-pair construction: every MinHash near-dup pair
+    becomes an (anchor, positive) example and gets a deterministic
+    hash-picked negative document — the triplet-mining pass an
+    embedding-model training pipeline runs over its corpus (positives
+    from near-duplicates, negatives uniform-at-random but reproducible).
+
+    The negative is ``md5(anchor:positive) % n_docs`` with a 3-candidate
+    collision walk (c0, c0+1, c0+2 mod n — at most two of three
+    consecutive ids can collide with the pair), so the triplet set is a
+    pure function of the corpus: re-runs, resumes and the SQL oracle all
+    build the identical training set. Scale shape: the pair pipeline is
+    unchanged; negative assignment is per-row arithmetic on the
+    aggregate-sized pair list. Output (anchor, positive, negative)."""
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    n_docs = 0
+    meta = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet"))
+    # max doc_id + 1 from the column stats (dense 0..N-1 ids in testdata);
+    # fall back to a scan-free count if stats are absent
+    try:
+        mx = max(
+            meta.row_group(i).column(0).statistics.max
+            for i in range(meta.num_row_groups)
+        )
+        n_docs = int(mx) + 1
+    except Exception:
+        n_docs = meta.num_rows
+
+    pairs = minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.9, bands=16, ngram=3,
+    )
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"anchor": pd.Series(dtype="int64"),
+                                 "positive": pd.Series(dtype="int64"),
+                                 "negative": pd.Series(dtype="int64")})
+        neg = []
+        for a, b in zip(df["doc_a"].astype(int), df["doc_b"].astype(int)):
+            c0 = int.from_bytes(
+                hashlib.md5(f"{a}:{b}".encode()).digest()[:8], "little"
+            ) % n_docs
+            for c in (c0, (c0 + 1) % n_docs, (c0 + 2) % n_docs):
+                if c != a and c != b:
+                    neg.append(c)
+                    break
+        return pd.DataFrame(
+            {"anchor": df["doc_a"].astype("int64").to_numpy(),
+             "positive": df["doc_b"].astype("int64").to_numpy(),
+             "negative": pd.array(neg, dtype="int64")}
+        )
+
+    return pairs.map_batches(build, batch_format="pandas")
+
+
 def mixture_plan_sources(sf_dir: str):
     """Token-budget mixture planning: given per-source token volumes,
     compute each source's corpus share and the deterministic sampling
@@ -6172,6 +6231,7 @@ QUERIES = {
     "source_scorecard": source_scorecard,
     "mixture_plan_sources": mixture_plan_sources,
     "cross_source_leakage": cross_source_leakage,
+    "contrastive_triplets": contrastive_triplets,
     "dsir_importance_select": dsir_importance_select,
     "range_join_value_bands": range_join_value_bands,
     "stratified_sample_per_source": stratified_sample_per_source,
@@ -6393,6 +6453,22 @@ SQL: dict[str, str] = {
     "dedup_minhash": f"""
         WITH {_MINHASH_CTE}
         SELECT doc_a, doc_b, est_sim FROM mpairs
+    """,
+    "contrastive_triplets": f"""
+        WITH {_MINHASH_CTE},
+        nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        c AS (SELECT p.doc_a AS anchor, p.doc_b AS positive,
+                     CAST(md5_number_upper(CAST(p.doc_a AS VARCHAR) || ':' ||
+                                           CAST(p.doc_b AS VARCHAR)) % nn.n
+                          AS BIGINT) AS c0,
+                     nn.n AS n
+              FROM mpairs p CROSS JOIN nn)
+        SELECT anchor, positive,
+               CAST(CASE WHEN c0 <> anchor AND c0 <> positive THEN c0
+                         WHEN (c0 + 1) % n <> anchor AND (c0 + 1) % n <> positive
+                           THEN (c0 + 1) % n
+                         ELSE (c0 + 2) % n END AS BIGINT) AS negative
+        FROM c
     """,
     "cross_source_leakage": f"""
         WITH {_MINHASH_CTE}
