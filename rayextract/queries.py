@@ -1088,6 +1088,42 @@ def cross_source_leakage(sf_dir: str):
     return out
 
 
+def doc_readability_stats(sf_dir: str):
+    """Readability raw components per doc (Flesch/Kincaid family inputs):
+    sentence count (non-empty [.!?] segments), word count, and a
+    vowel-group syllable proxy (maximal [aeiouyAEIOUY]+ runs) — the
+    reading-level quality axis a corpus filter combines with stopword and
+    repetition signals. Emitted as raw integers (the grade formulas are
+    driver-side arithmetic) so the whole op is one shuffle-free
+    vectorized pass and the oracle compares exact counts.
+    Output (doc_id, n_sentences, n_words, n_syllables)."""
+    import re as _re
+
+    from .textstats import _tokens
+
+    sent_re = _re.compile(r"[.!?]")
+    syl_re = _re.compile(r"[aeiouyAEIOUY]+")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        ns = np.zeros(len(df), dtype=np.int64)
+        nw = np.zeros(len(df), dtype=np.int64)
+        sy = np.zeros(len(df), dtype=np.int64)
+        for i, text in enumerate(df["text"]):
+            t = text if isinstance(text, str) else ""
+            ns[i] = sum(1 for seg in sent_re.split(t) if seg.strip())
+            nw[i] = len(_tokens(t))
+            sy[i] = len(syl_re.findall(t))
+        return pd.DataFrame(
+            {"doc_id": ids, "n_sentences": ns, "n_words": nw,
+             "n_syllables": sy}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas"
+    )
+
+
 def contrastive_triplets(sf_dir: str):
     """Contrastive training-pair construction: every MinHash near-dup pair
     becomes an (anchor, positive) example and gets a deterministic
@@ -6232,6 +6268,7 @@ QUERIES = {
     "mixture_plan_sources": mixture_plan_sources,
     "cross_source_leakage": cross_source_leakage,
     "contrastive_triplets": contrastive_triplets,
+    "doc_readability_stats": doc_readability_stats,
     "dsir_importance_select": dsir_importance_select,
     "range_join_value_bands": range_join_value_bands,
     "stratified_sample_per_source": stratified_sample_per_source,
@@ -6453,6 +6490,17 @@ SQL: dict[str, str] = {
     "dedup_minhash": f"""
         WITH {_MINHASH_CTE}
         SELECT doc_a, doc_b, est_sim FROM mpairs
+    """,
+    "doc_readability_stats": r"""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '[.!?]'),
+                                    s -> trim(s) <> '')) AS BIGINT)
+                   AS n_sentences,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                    AS BIGINT) AS n_syllables
+        FROM documents
     """,
     "contrastive_triplets": f"""
         WITH {_MINHASH_CTE},
