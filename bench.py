@@ -177,6 +177,10 @@ def run_queries() -> dict[str, float]:
         "vocab_growth_curve",
         "lang_label_audit",
         "source_scorecard",
+        "mixture_plan_sources",
+        "cross_source_leakage",
+        "contrastive_triplets",
+        "doc_readability_stats",
     ]
     out = {}
     for name in picks:

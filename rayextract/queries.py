@@ -1088,6 +1088,68 @@ def cross_source_leakage(sf_dir: str):
     return out
 
 
+def curate_corpus_v2(sf_dir: str):
+    """Capstone curation pipeline composing FOUR round-5-era quality axes
+    in one streaming pass — the decision record a production corpus build
+    emits per document before writing the training split:
+    Gopher-style structural quality ∧ langid says English ∧ DSIR
+    importance ratio positive ∧ readability sanity (>= 1 sentence segment,
+    <= 4 vowel groups per word). Flags are emitted per doc (not just the
+    survivors) so downstream dashboards can attribute every rejection.
+
+    Scale shape: the DSIR table is ONE aggregate count pass (4096-row
+    output) broadcast once; everything else is per-batch vectorized
+    arithmetic on the same single corpus read — no shuffle anywhere.
+    Output (doc_id, ok_quality, ok_lang, ok_dsir, ok_read, keep)."""
+    import re as _re
+
+    import ray
+
+    from .textstats import STOPWORDS, _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    lp_ref = ray.put(_dsir_fit(docs))
+    sent_re = _re.compile(r"[.!?]")
+    syl_re = _re.compile(r"[aeiouyAEIOUY]+")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lp_ref)
+        toks = df["text"].map(_tokens)
+        n = toks.map(len).astype("int64")
+        stop = set(STOPWORDS)
+        stop_cnt = toks.map(lambda t: sum(1 for w in t if w in stop)).astype("int64")
+        maxw = toks.map(lambda t: max((len(w) for w in t), default=0)).astype("int64")
+        sym = df["text"].str.count(r"[#@$%^*=<>{}\[\]\\]").astype("int64")
+        chars = df["text"].str.len().astype("int64")
+        ok_quality = (
+            (n >= 5) & (n <= 10000) & (stop_cnt >= 1) & (maxw <= 30)
+            & (sym * 10 < chars.clip(lower=1) * 3)
+        ).to_numpy()
+        # langid gate, integer-exact: ratio >= 0.05 == stop*20 >= n (n>0)
+        ok_lang = (n.to_numpy() > 0) & (stop_cnt.to_numpy() * 20 >= n.to_numpy())
+        ok_dsir = np.zeros(len(df), dtype=bool)
+        ok_read = np.zeros(len(df), dtype=bool)
+        for i, text in enumerate(df["text"]):
+            t = text if isinstance(text, str) else ""
+            bs = _dsir_term_buckets(t)
+            if len(bs):
+                ok_dsir[i] = int(table[bs].sum()) > 0
+            ns = sum(1 for seg in sent_re.split(t) if seg.strip())
+            sy = len(syl_re.findall(t))
+            ok_read[i] = ns >= 1 and sy <= 4 * int(n.iloc[i])
+        keep = ok_quality & ok_lang & ok_dsir & ok_read
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "ok_quality": ok_quality.astype("int64"),
+             "ok_lang": ok_lang.astype("int64"),
+             "ok_dsir": ok_dsir.astype("int64"),
+             "ok_read": ok_read.astype("int64"),
+             "keep": keep.astype("int64")}
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
 def doc_readability_stats(sf_dir: str):
     """Readability raw components per doc (Flesch/Kincaid family inputs):
     sentence count (non-empty [.!?] segments), word count, and a
@@ -1541,14 +1603,18 @@ def dsir_importance_select(sf_dir: str):
        bit-identical at any parallelism / cluster size.
 
     Output (doc_id, n_terms, logratio_e6, selected)."""
-    import math
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return _dsir_score(docs, _dsir_fit(docs))
 
-    import ray
+
+def _dsir_fit(docs) -> "np.ndarray":
+    """The 4096-entry integer micro-nat log-ratio table from one bucketed
+    count pass (see dsir_importance_select for the full contract)."""
+    import math
 
     from .bucketed import bucketed_group_reduce
 
     B = _DSIR_B
-    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
     def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
         nq = np.zeros(B, dtype=np.int64)
@@ -1582,6 +1648,13 @@ def dsir_importance_select(sf_dir: str):
         x = (math.log((int(nt[b]) + 1) / (t_total + B))
              - math.log((int(nq[b]) + 1) / (q_total + B))) * 1e6
         lp[b] = int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+    return lp
+
+
+def _dsir_score(docs, lp: "np.ndarray"):
+    """Per-doc DSIR scoring pass against a fitted log-ratio table."""
+    import ray
+
     lp_ref = ray.put(lp)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -6269,6 +6342,7 @@ QUERIES = {
     "cross_source_leakage": cross_source_leakage,
     "contrastive_triplets": contrastive_triplets,
     "doc_readability_stats": doc_readability_stats,
+    "curate_corpus_v2": curate_corpus_v2,
     "dsir_importance_select": dsir_importance_select,
     "range_join_value_bands": range_join_value_bands,
     "stratified_sample_per_source": stratified_sample_per_source,
@@ -6490,6 +6564,65 @@ SQL: dict[str, str] = {
     "dedup_minhash": f"""
         WITH {_MINHASH_CTE}
         SELECT doc_a, doc_b, est_sim FROM mpairs
+    """,
+    "curate_corpus_v2": r"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        terms AS (
+          SELECT doc_id, lang, tok AS term
+          FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)
+          UNION ALL
+          SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS term
+          FROM t, unnest(range(1, len(toks))) AS r(i)
+        ),
+        tb AS (
+          SELECT doc_id, lang,
+                 CAST(md5_number_upper(term) % 4096 AS BIGINT) AS b
+          FROM terms
+        ),
+        nq AS (SELECT b, count(*) AS n FROM tb WHERE lang <> 'en' GROUP BY b),
+        nt AS (SELECT b, count(*) AS n FROM tb WHERE lang = 'en' GROUP BY b),
+        tot AS (SELECT (SELECT count(*) FROM tb WHERE lang <> 'en') AS q_total,
+                       (SELECT count(*) FROM tb WHERE lang = 'en') AS t_total),
+        scored AS (
+          SELECT tb.doc_id,
+                 CAST(round((ln((coalesce(nt.n, 0) + 1.0) / (tot.t_total + 4096))
+                           - ln((coalesce(nq.n, 0) + 1.0) / (tot.q_total + 4096))) * 1e6) AS BIGINT) AS lp
+          FROM tb
+          LEFT JOIN nq USING (b)
+          LEFT JOIN nt USING (b)
+          CROSS JOIN tot
+        ),
+        dsel AS (SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s
+                 FROM scored GROUP BY 1),
+        m AS (
+          SELECT d.doc_id,
+                 len(t.toks) AS n,
+                 len(list_filter(t.toks, w -> w IN
+                   ('the','a','and','of','to','in','is','for','on','with'))) AS stop_cnt,
+                 COALESCE(list_max(list_transform(t.toks, w -> len(w))), 0) AS maxw,
+                 length(d.text) - length(regexp_replace(d.text, '[#@$%^*=<>{}\[\]\\]', '', 'g')) AS sym,
+                 length(d.text) AS chars,
+                 len(list_filter(string_split_regex(d.text, '[.!?]'),
+                                 s2 -> trim(s2) <> '')) AS ns,
+                 len(regexp_extract_all(d.text, '[aeiouyAEIOUY]+')) AS sy
+          FROM documents d JOIN t ON t.doc_id = d.doc_id
+        )
+        SELECT doc_id, ok_quality, ok_lang, ok_dsir, ok_read,
+               ok_quality * ok_lang * ok_dsir * ok_read AS keep
+        FROM (
+          SELECT m.doc_id,
+                 CAST(m.n >= 5 AND m.n <= 10000 AND m.stop_cnt >= 1
+                      AND m.maxw <= 30
+                      AND m.sym * 10 < greatest(m.chars, 1) * 3 AS BIGINT) AS ok_quality,
+                 CAST(m.n > 0 AND m.stop_cnt * 20 >= m.n AS BIGINT) AS ok_lang,
+                 CAST(coalesce(dsel.s, 0) > 0 AS BIGINT) AS ok_dsir,
+                 CAST(m.ns >= 1 AND m.sy <= 4 * m.n AS BIGINT) AS ok_read
+          FROM m LEFT JOIN dsel USING (doc_id)
+        )
     """,
     "doc_readability_stats": r"""
         SELECT doc_id,

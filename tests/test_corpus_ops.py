@@ -103,7 +103,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "merge_upsert_documents", "conv_role_audit",
      "t5_span_corruption_stats", "doc_kneser_ney_logprob",
      "pmi_top_collocations", "vocab_growth_curve", "lang_label_audit",
-     "source_scorecard", "mixture_plan_sources", "doc_readability_stats"],
+     "source_scorecard", "mixture_plan_sources", "doc_readability_stats",
+     "curate_corpus_v2"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
