@@ -181,6 +181,7 @@ def run_queries() -> dict[str, float]:
         "cross_source_leakage",
         "contrastive_triplets",
         "doc_readability_stats",
+        "curate_corpus_v2",
     ]
     out = {}
     for name in picks:
