@@ -2939,6 +2939,62 @@ def t5_span_corruption_stats(sf_dir: str):
     )
 
 
+def conv_packing_plan(sf_dir: str, max_seq: int = 128):
+    """Context-window packing plan per conversation: greedy sequential
+    packing of turns (in turn_idx order) into max_seq-token windows — the
+    sizing pass a chat-SFT pipeline runs to predict window counts and
+    padding waste before materializing training sequences. A turn that
+    would overflow the current window starts a new one; turns are never
+    split.
+
+    Scale shape: ONE bucketed exchange on conv_id carries narrow
+    (conv, idx, n_tokens) rows; the greedy scan runs per conversation in
+    the bucket (conversations are bounded, the corpus is not). The
+    oracle verifies the SEQUENTIAL algorithm itself with a recursive CTE
+    over the same derived turn list — fill_e6 is the usual fixed-IEEE
+    micro-unit contract. Output (conv_id, n_turns, n_tokens, n_windows,
+    fill_e6)."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"],
+             "turn_idx": df["turn_idx"].astype("int64"),
+             "n": np.asarray([len(_tokens(t)) for t in df["text"]],
+                             dtype="int64")}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for conv, grp in g.groupby("conv_id", sort=False):
+            grp = grp.sort_values("turn_idx", kind="stable")
+            toks = grp["n"].to_numpy()
+            acc = int(toks[0])
+            w = 1
+            for t in toks[1:]:
+                t = int(t)
+                if acc + t <= max_seq:
+                    acc += t
+                else:
+                    acc = t
+                    w += 1
+            n_tokens = int(toks.sum())
+            x = n_tokens * 1e6 / (w * max_seq)
+            fill = int(np.floor(x + 0.5)) if x >= 0 else int(np.ceil(x - 0.5))
+            out.append((conv, len(toks), n_tokens, w, fill))
+        return pd.DataFrame(
+            out,
+            columns=["conv_id", "n_turns", "n_tokens", "n_windows", "fill_e6"],
+        ).astype({"n_turns": "int64", "n_tokens": "int64",
+                  "n_windows": "int64", "fill_e6": "int64"})
+
+    return bucketed_group_reduce(
+        _docs_to_transcripts(sf_dir), ["conv_id"], partial, reduce,
+        n_buckets=64,
+    )
+
+
 def conv_role_audit(sf_dir: str):
     """SFT-data role-structure audit over the derived transcript corpus:
     assign each turn its deterministic role (turn 0 = system; (doc_id +
@@ -6388,6 +6444,7 @@ QUERIES = {
     "k2_annotation_quads": k2_annotation_quads,
     "transcript_extract": transcript_extract,
     "conv_role_audit": conv_role_audit,
+    "conv_packing_plan": conv_packing_plan,
     "t5_span_corruption_stats": t5_span_corruption_stats,
     "transcript_extract_salted": transcript_extract_salted,
     "curate_transcripts": curate_transcripts,
@@ -8672,6 +8729,54 @@ SQL["t5_span_corruption_stats"] = r"""
                CAST(coalesce(agg.n_masked, 0) AS BIGINT) AS n_masked,
                CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans
         FROM tk LEFT JOIN agg USING (doc_id)
+"""
+
+SQL["conv_packing_plan"] = r"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '')) AS BIGINT) AS ntok,
+                 greatest(CAST(ceil(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                                    x -> x <> '')) / 12.0) AS BIGINT),
+                          1) AS nchunks
+          FROM documents
+        ),
+        turnlist AS (
+          SELECT conv_id, CAST(0 AS BIGINT) AS idx, CAST(8 AS BIGINT) AS t FROM d
+          UNION ALL
+          SELECT conv_id, CAST(1 AS BIGINT), CAST(6 AS BIGINT)
+          FROM d WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT conv_id, CAST(j + 2 AS BIGINT),
+                 CASE WHEN ntok = 0 THEN CAST(0 AS BIGINT)
+                      ELSE least(CAST(12 AS BIGINT), ntok - 12 * j) END
+          FROM d, unnest(range(nchunks)) AS r(j)
+        ),
+        tk AS (
+          SELECT conv_id, t,
+                 row_number() OVER (PARTITION BY conv_id ORDER BY idx) AS k
+          FROM turnlist
+        ),
+        agg AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                 CAST(sum(t) AS BIGINT) AS n_tokens,
+                 max(k) AS kmax
+          FROM tk GROUP BY 1
+        ),
+        rec(conv_id, k, acc, w) AS (
+          SELECT conv_id, k, t, CAST(1 AS BIGINT) FROM tk WHERE k = 1
+          UNION ALL
+          SELECT r.conv_id, r.k + 1,
+                 CASE WHEN r.acc + tk.t <= 128 THEN r.acc + tk.t ELSE tk.t END,
+                 CASE WHEN r.acc + tk.t <= 128 THEN r.w ELSE r.w + 1 END
+          FROM rec r JOIN tk ON tk.conv_id = r.conv_id AND tk.k = r.k + 1
+        )
+        SELECT a.conv_id, a.n_turns, a.n_tokens,
+               CAST(r.w AS BIGINT) AS n_windows,
+               CAST(round(CAST(a.n_tokens AS DOUBLE) * 1e6 / (r.w * 128))
+                    AS BIGINT) AS fill_e6
+        FROM agg a JOIN rec r ON r.conv_id = a.conv_id AND r.k = a.kmax
 """
 
 SQL["conv_role_audit"] = r"""
