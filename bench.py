@@ -182,6 +182,7 @@ def run_queries() -> dict[str, float]:
         "contrastive_triplets",
         "doc_readability_stats",
         "curate_corpus_v2",
+        "conv_packing_plan",
     ]
     out = {}
     for name in picks:
