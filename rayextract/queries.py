@@ -3048,6 +3048,59 @@ def conv_role_audit(sf_dir: str):
     )
 
 
+def sft_pair_extract(sf_dir: str):
+    """Instruction/response pair mining over the transcript corpus: every
+    user turn immediately followed (in turn order, which is NOT contiguous
+    turn_idx — the patient turn only exists for doc_id % 3 == 0) by an
+    assistant turn becomes one (prompt, response) training pair, with the
+    per-side token budgets an SFT pipeline needs to pack and truncate.
+    Roles are the deterministic assignment shared with ``conv_role_audit``.
+
+    Scale shape: ONE bucketed exchange on conv_id ships narrow (conv, idx,
+    role, n_tokens) rows — text never shuffles; adjacency is a vectorized
+    shift compare per conversation in the bucket. Output one row per pair
+    (conv_id, user_idx, asst_idx, prompt_tokens, response_tokens), all
+    int64 — no float contract needed."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc = df["conv_id"].str.slice(4).astype("int64")
+        idx = df["turn_idx"].astype("int64")
+        role = np.where(
+            idx == 0, 0,
+            np.where((doc + idx) % 7 == 0, 3, np.where(idx % 2 == 1, 1, 2)),
+        ).astype("int64")
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"], "turn_idx": idx, "role": role,
+             "n": np.asarray([len(_tokens(t)) for t in df["text"]],
+                             dtype="int64")}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for conv, grp in g.groupby("conv_id", sort=False):
+            grp = grp.sort_values("turn_idx", kind="stable")
+            idx = grp["turn_idx"].to_numpy()
+            role = grp["role"].to_numpy()
+            n = grp["n"].to_numpy()
+            hit = np.flatnonzero((role[:-1] == 1) & (role[1:] == 2))
+            for i in hit:
+                out.append((conv, int(idx[i]), int(idx[i + 1]),
+                            int(n[i]), int(n[i + 1])))
+        return pd.DataFrame(
+            out,
+            columns=["conv_id", "user_idx", "asst_idx",
+                     "prompt_tokens", "response_tokens"],
+        ).astype({"user_idx": "int64", "asst_idx": "int64",
+                  "prompt_tokens": "int64", "response_tokens": "int64"})
+
+    return bucketed_group_reduce(
+        _docs_to_transcripts(sf_dir), ["conv_id"], partial, reduce,
+        n_buckets=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-prep operators round 2b: chunking, repetition, index, tf-idf
 # ---------------------------------------------------------------------------
@@ -6445,6 +6498,7 @@ QUERIES = {
     "transcript_extract": transcript_extract,
     "conv_role_audit": conv_role_audit,
     "conv_packing_plan": conv_packing_plan,
+    "sft_pair_extract": sft_pair_extract,
     "t5_span_corruption_stats": t5_span_corruption_stats,
     "transcript_extract_salted": transcript_extract_salted,
     "curate_transcripts": curate_transcripts,
@@ -8824,6 +8878,47 @@ SQL["conv_role_audit"] = r"""
                CAST(coalesce(v.n_violations, 0) AS BIGINT) AS n_violations,
                coalesce(v.n_violations, 0) = 0 AS ok
         FROM agg a LEFT JOIN v USING (conv_id)
+"""
+
+SQL["sft_pair_extract"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '')) AS BIGINT) AS ntok,
+                 greatest(CAST(ceil(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                                    x -> x <> '')) / 12.0) AS BIGINT),
+                          1) AS nchunks
+          FROM documents
+        ),
+        turns AS (
+          SELECT doc_id, conv_id, CAST(0 AS BIGINT) AS idx,
+                 CAST(8 AS BIGINT) AS t FROM d
+          UNION ALL
+          SELECT doc_id, conv_id, CAST(1 AS BIGINT), CAST(6 AS BIGINT)
+          FROM d WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, conv_id, CAST(j + 2 AS BIGINT),
+                 CASE WHEN ntok = 0 THEN CAST(0 AS BIGINT)
+                      ELSE least(CAST(12 AS BIGINT), ntok - 12 * j) END
+          FROM d, unnest(range(nchunks)) AS r(j)
+        ),
+        roles AS (
+          SELECT conv_id, idx, t,
+                 CASE WHEN idx = 0 THEN 0
+                      WHEN (doc_id + idx) % 7 = 0 THEN 3
+                      WHEN idx % 2 = 1 THEN 1 ELSE 2 END AS role
+          FROM turns
+        ),
+        seq AS (
+          SELECT conv_id, idx AS user_idx, t AS prompt_tokens, role,
+                 lead(idx) OVER w AS asst_idx,
+                 lead(t) OVER w AS response_tokens,
+                 lead(role) OVER w AS next_role
+          FROM roles WINDOW w AS (PARTITION BY conv_id ORDER BY idx)
+        )
+        SELECT conv_id, user_idx, asst_idx, prompt_tokens, response_tokens
+        FROM seq WHERE role = 1 AND next_role = 2
 """
 
 SQL["bitext_mine_pairs"] = """
