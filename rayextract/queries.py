@@ -2490,6 +2490,24 @@ def image_ocr_extract(sf_dir: str):
     return ocr_extract(media)
 
 
+def gazetteer_match_counts(sf_dir: str):
+    """Gazetteer keyword tagging over documents: per-term substring counts
+    for a fixed multi-phrase term list, folded to (doc_id, n_matches,
+    n_terms) — the reference's single-SearchKey gate
+    (TextExtraction/Worker.cs:117-143) generalized to the FlashText/
+    Aho-Corasick class of operator. Two kernels share one contract
+    (gazetteer.py): C-level per-term scans below 64 terms, a one-pass
+    Aho-Corasick automaton above (the only shape that survives 10k-term
+    gazetteers); equality is property-tested. Pure per-batch map — zero
+    shuffle, streams at any corpus size; border-free terms make the
+    replace()-count oracle exact."""
+    from .gazetteer import match_counts_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        match_counts_batch, batch_format="pandas"
+    )
+
+
 def dedup_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs via 16-bit band blocking (rows-only)."""
     from .dedup import simhash_neardup_pairs
@@ -6499,6 +6517,7 @@ QUERIES = {
     "conv_role_audit": conv_role_audit,
     "conv_packing_plan": conv_packing_plan,
     "sft_pair_extract": sft_pair_extract,
+    "gazetteer_match_counts": gazetteer_match_counts,
     "t5_span_corruption_stats": t5_span_corruption_stats,
     "transcript_extract_salted": transcript_extract_salted,
     "curate_transcripts": curate_transcripts,
@@ -8879,6 +8898,22 @@ SQL["conv_role_audit"] = r"""
                coalesce(v.n_violations, 0) = 0 AS ok
         FROM agg a LEFT JOIN v USING (conv_id)
 """
+
+def _gazetteer_sql() -> str:
+    from .gazetteer import TERMS
+
+    cnt = [
+        f"((len(text) - len(replace(text, '{t}', ''))) // {len(t)})"
+        for t in TERMS
+    ]
+    return (
+        "SELECT doc_id, CAST(" + " + ".join(cnt) + " AS BIGINT) AS n_matches, "
+        "CAST(" + " + ".join(f"CASE WHEN {c} > 0 THEN 1 ELSE 0 END" for c in cnt)
+        + " AS BIGINT) AS n_terms FROM documents"
+    )
+
+
+SQL["gazetteer_match_counts"] = _gazetteer_sql()
 
 SQL["sft_pair_extract"] = r"""
         WITH d AS (

@@ -104,7 +104,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "t5_span_corruption_stats", "doc_kneser_ney_logprob",
      "pmi_top_collocations", "vocab_growth_curve", "lang_label_audit",
      "source_scorecard", "mixture_plan_sources", "doc_readability_stats",
-     "curate_corpus_v2", "conv_packing_plan", "sft_pair_extract"],
+     "curate_corpus_v2", "conv_packing_plan", "sft_pair_extract",
+     "gazetteer_match_counts"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
