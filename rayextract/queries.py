@@ -3119,6 +3119,66 @@ def sft_pair_extract(sf_dir: str):
     )
 
 
+def oov_rate_vs_vocab(sf_dir: str, k: int = 16):
+    """Out-of-vocabulary rate per document against a frozen top-k corpus
+    vocabulary — the coverage check a tokenizer-training pipeline runs
+    before freezing a vocab (predicts UNK rates downstream). Two passes:
+
+    1. exact corpus token counts via ONE bucketed exchange (result is
+       vocab-sized, not corpus-sized); top-k frozen driver-side with the
+       deterministic (count DESC, token ASC) tie-break;
+    2. a broadcast-lookup ``map_batches`` scan scoring every document
+       against the frozen set — the vocab here is closure-captured (tiny);
+       a 100k-term vocab would go through ``ray.put`` once and be fetched
+       in the task, never re-shipped per batch.
+
+    Output (doc_id, n_tokens, n_oov, oov_e6); oov_e6 is the fixed-IEEE
+    micro-rate contract (round half away from zero over exact ints)."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        acc: dict = {}
+        for s in df["text"]:
+            if isinstance(s, str):
+                for w in _tokens(s):
+                    acc[w] = acc.get(w, 0) + 1
+        return pd.DataFrame(
+            {"w": list(acc.keys()),
+             "c": np.fromiter(acc.values(), dtype="int64", count=len(acc))}
+        )
+
+    def cnt_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("w", sort=False)["c"].sum().reset_index()
+
+    counts = bucketed_group_reduce(
+        docs, ["w"], cnt_partial, cnt_reduce, 32
+    ).to_pandas()
+    counts = counts.sort_values(
+        ["c", "w"], ascending=[False, True], kind="stable"
+    )
+    vocab = frozenset(counts["w"].head(k))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.zeros(len(df), dtype=np.int64)
+        oov = np.zeros(len(df), dtype=np.int64)
+        for i, s in enumerate(df["text"]):
+            toks = _tokens(s) if isinstance(s, str) else []
+            n[i] = len(toks)
+            oov[i] = sum(1 for w in toks if w not in vocab)
+        e6 = np.zeros(len(df), dtype=np.int64)
+        nz = n > 0
+        e6[nz] = np.floor(oov[nz] * 1e6 / n[nz] + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "n_tokens": n,
+             "n_oov": oov, "oov_e6": e6}
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Corpus-prep operators round 2b: chunking, repetition, index, tf-idf
 # ---------------------------------------------------------------------------
@@ -6518,6 +6578,7 @@ QUERIES = {
     "conv_packing_plan": conv_packing_plan,
     "sft_pair_extract": sft_pair_extract,
     "gazetteer_match_counts": gazetteer_match_counts,
+    "oov_rate_vs_vocab": oov_rate_vs_vocab,
     "t5_span_corruption_stats": t5_span_corruption_stats,
     "transcript_extract_salted": transcript_extract_salted,
     "curate_transcripts": curate_transcripts,
@@ -8914,6 +8975,33 @@ def _gazetteer_sql() -> str:
 
 
 SQL["gazetteer_match_counts"] = _gazetteer_sql()
+
+SQL["oov_rate_vs_vocab"] = r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents
+        ),
+        vocab AS (
+          SELECT w FROM tok GROUP BY w
+          ORDER BY count(*) DESC, w LIMIT 16
+        ),
+        per AS (
+          SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_oov
+          FROM tok t LEFT JOIN vocab v USING (w)
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0
+                    ELSE round(CAST(p.n_oov AS DOUBLE) * 1e6 / p.n_tokens)
+                    END AS BIGINT) AS oov_e6
+        FROM documents d LEFT JOIN per p USING (doc_id)
+"""
 
 SQL["sft_pair_extract"] = r"""
         WITH d AS (
