@@ -3119,6 +3119,72 @@ def sft_pair_extract(sf_dir: str):
     )
 
 
+def trigram_diversity_per_source(sf_dir: str):
+    """Per-source n-gram diversity: distinct word-trigrams over total
+    word-trigrams — the repetitiveness/variety dashboard (low diversity =
+    boilerplate or template spam) a corpus owner reads next to
+    ``source_scorecard`` when deciding source weights.
+
+    Scale shape: TWO chained bucketed exchanges, both narrow. The first is
+    keyed (source, trigram-md5) and ships 16-byte fingerprints + counts
+    (text never crosses); its output is distinct-trigram-sized, NOT
+    corpus-sized. The second rolls that up per source (source-cardinality
+    rows). The final diversity_e6 is the fixed-IEEE micro-ratio contract.
+    Output (source, n_trigrams, n_distinct, diversity_e6)."""
+    import hashlib
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+
+    def tri_partial(df: pd.DataFrame) -> pd.DataFrame:
+        acc: dict = {}
+        for src, s in zip(df["source"], df["text"]):
+            toks = _tokens(s) if isinstance(s, str) else []
+            for i in range(len(toks) - 2):
+                key = (src, hashlib.md5(
+                    " ".join(toks[i : i + 3]).encode()).digest()[:8].hex())
+                acc[key] = acc.get(key, 0) + 1
+        if not acc:
+            return pd.DataFrame({"source": pd.Series([], dtype=str),
+                                 "h": pd.Series([], dtype=str),
+                                 "c": pd.Series([], dtype="int64")})
+        ks = list(acc.keys())
+        return pd.DataFrame(
+            {"source": [k[0] for k in ks], "h": [k[1] for k in ks],
+             "c": np.fromiter(acc.values(), dtype="int64", count=len(acc))}
+        )
+
+    def tri_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["source", "h"], sort=False)["c"].sum().reset_index()
+        )
+
+    def src_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"source": df["source"],
+             "n_trigrams": df["c"].astype("int64"),
+             "n_distinct": np.ones(len(df), dtype="int64")}
+        )
+        return out.groupby("source", sort=False, as_index=False).sum()
+
+    def src_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("source", sort=False, as_index=False)[
+            ["n_trigrams", "n_distinct"]
+        ].sum()
+        x = r["n_distinct"].to_numpy() * 1e6 / r["n_trigrams"].to_numpy()
+        r["diversity_e6"] = np.floor(x + 0.5).astype("int64")
+        return r
+
+    per_tri = bucketed_group_reduce(
+        docs, ["source", "h"], tri_partial, tri_reduce, 64
+    )
+    return bucketed_group_reduce(
+        per_tri, ["source"], src_partial, src_reduce, 8
+    )
+
+
 def oov_rate_vs_vocab(sf_dir: str, k: int = 16):
     """Out-of-vocabulary rate per document against a frozen top-k corpus
     vocabulary — the coverage check a tokenizer-training pipeline runs
@@ -6579,6 +6645,7 @@ QUERIES = {
     "sft_pair_extract": sft_pair_extract,
     "gazetteer_match_counts": gazetteer_match_counts,
     "oov_rate_vs_vocab": oov_rate_vs_vocab,
+    "trigram_diversity_per_source": trigram_diversity_per_source,
     "t5_span_corruption_stats": t5_span_corruption_stats,
     "transcript_extract_salted": transcript_extract_salted,
     "curate_transcripts": curate_transcripts,
@@ -8975,6 +9042,25 @@ def _gazetteer_sql() -> str:
 
 
 SQL["gazetteer_match_counts"] = _gazetteer_sql()
+
+SQL["trigram_diversity_per_source"] = r"""
+        WITH d AS (
+          SELECT source,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS L
+          FROM documents
+        ),
+        tri AS (
+          SELECT source, L[i + 1] || ' ' || L[i + 2] || ' ' || L[i + 3] AS g
+          FROM d, unnest(range(len(L) - 2)) AS r(i)
+          WHERE len(L) >= 3
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+               CAST(round(CAST(count(DISTINCT g) AS DOUBLE) * 1e6 / count(*))
+                    AS BIGINT) AS diversity_e6
+        FROM tri GROUP BY source
+"""
 
 SQL["oov_rate_vs_vocab"] = r"""
         WITH tok AS (

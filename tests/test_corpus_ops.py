@@ -105,7 +105,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "pmi_top_collocations", "vocab_growth_curve", "lang_label_audit",
      "source_scorecard", "mixture_plan_sources", "doc_readability_stats",
      "curate_corpus_v2", "conv_packing_plan", "sft_pair_extract",
-     "gazetteer_match_counts", "oov_rate_vs_vocab"],
+     "gazetteer_match_counts", "oov_rate_vs_vocab",
+     "trigram_diversity_per_source"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
