@@ -183,6 +183,10 @@ def run_queries() -> dict[str, float]:
         "doc_readability_stats",
         "curate_corpus_v2",
         "conv_packing_plan",
+        "sft_pair_extract",
+        "gazetteer_match_counts",
+        "oov_rate_vs_vocab",
+        "trigram_diversity_per_source",
     ]
     out = {}
     for name in picks:

@@ -3185,6 +3185,162 @@ def trigram_diversity_per_source(sf_dir: str):
     )
 
 
+def shuffle_skew_audit(sf_dir: str, n_buckets: int = 64):
+    """Shuffle-planning skew audit over the transcript stream: the
+    per-bucket row/conversation histogram for the engine's own
+    hash-bucket function (md5 % n_buckets on conv_id) plus the hottest
+    single conversation per bucket — the diagnostic a pipeline owner reads
+    BEFORE picking n_buckets / deciding to salt a groupby-conv_id (the
+    north rule's long-agent-turn skew story). A flat n_rows column means
+    the exchange balances; a fat max_conv_rows flags the key to salt.
+
+    Scale shape: ONE bucketed exchange keyed by the audited bucket id
+    ships conversation-cardinality (bucket, conv, count) rows — the audit
+    costs what one narrow shuffle costs, never more. Output (bucket,
+    n_rows, n_convs, max_conv_rows)."""
+    import hashlib
+
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grp = (
+            df.groupby("conv_id", sort=False).size().reset_index(name="c")
+        )
+        grp["bucket"] = np.asarray(
+            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+             % n_buckets for s in grp["conv_id"]],
+            dtype="int64",
+        )
+        grp["c"] = grp["c"].astype("int64")
+        return grp[["bucket", "conv_id", "c"]]
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        per_conv = g.groupby(["bucket", "conv_id"], sort=False)["c"].sum()
+        out = per_conv.groupby(level=0).agg(["sum", "count", "max"])
+        out.columns = ["n_rows", "n_convs", "max_conv_rows"]
+        return out.reset_index().astype(
+            {"bucket": "int64", "n_rows": "int64", "n_convs": "int64",
+             "max_conv_rows": "int64"}
+        )
+
+    return bucketed_group_reduce(
+        _docs_to_transcripts(sf_dir).select_columns(["conv_id"]),
+        ["bucket"], partial, reduce, n_buckets=16,
+    )
+
+
+def histogram_quantiles_value(sf_dir: str):
+    """Approximate per-type quantiles (p50/p95/p99) of event value via a
+    FIXED-BIN distributed histogram — the sort-free quantile path at scale
+    (an exact percentile needs an all-to-all sort; a fixed-bin histogram
+    needs one narrow count exchange and gives bin-resolution answers).
+    Bins are unit-width floor(value) clamped to [0, 1023]; the reported
+    quantile is the smallest bin whose cumulative count reaches
+    ceil(q * n / 100) — all integer arithmetic, so the oracle matches
+    exactly. Output (event_type, n_events, p50_bin, p95_bin, p99_bin)."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bins = np.clip(
+            np.floor(df["value"].to_numpy(dtype=np.float64)), 0, 1023
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(), "bin": bins,
+             "c": np.ones(len(df), dtype="int64")}
+        )
+        return out.groupby(["event_type", "bin"], sort=False,
+                           as_index=False).sum()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            h = grp.groupby("bin", sort=True)["c"].sum()
+            cum = h.cumsum()
+            n = int(cum.iloc[-1])
+            qs = []
+            for q in (50, 95, 99):
+                r = (n * q + 99) // 100
+                qs.append(int(cum.index[np.searchsorted(cum.to_numpy(), r)]))
+            rows.append((et, n, *qs))
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "n_events", "p50_bin", "p95_bin",
+                     "p99_bin"],
+        ).astype({"n_events": "int64", "p50_bin": "int64",
+                  "p95_bin": "int64", "p99_bin": "int64"})
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        ["event_type"], partial, reduce, n_buckets=8,
+    )
+
+
+def source_token_js_divergence(sf_dir: str):
+    """Distribution-drift audit: Jensen-Shannon divergence (micro-nats)
+    between each source's token distribution and the whole corpus — the
+    per-feed drift score read next to the scorecard when a source starts
+    mirroring or diverging from the mixture.
+
+    Scale shape: ONE bucketed exchange reduces the corpus to per-(source,
+    token) counts — vocab x sources sized, not corpus sized; the JS fold
+    runs driver-side over that aggregate (like vocab_growth_curve) in
+    SORTED token order with each term rounded to integer micro-nats
+    before the sum — the order-free-int-sum float contract, so DuckDB
+    reproduces the total exactly. Output (source, n_tokens, js_e6)."""
+    import math
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        acc: dict = {}
+        for src, s in zip(df["source"], df["text"]):
+            if isinstance(s, str):
+                for w in _tokens(s):
+                    k = (src, w)
+                    acc[k] = acc.get(k, 0) + 1
+        ks = list(acc.keys())
+        return pd.DataFrame(
+            {"source": [k[0] for k in ks], "w": [k[1] for k in ks],
+             "c": np.fromiter(acc.values(), dtype="int64", count=len(acc))}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["source", "w"], sort=False)["c"].sum().reset_index()
+        )
+
+    cnt = bucketed_group_reduce(
+        docs, ["source", "w"], partial, reduce, 32
+    ).to_pandas()
+    tot = cnt.groupby("w", sort=True)["c"].sum()
+    n_corpus = int(tot.sum())
+    rows = []
+    for src, grp in cnt.groupby("source", sort=True):
+        sc = grp.set_index("w")["c"]
+        n_src = int(sc.sum())
+        js = 0
+        for w in tot.index:  # sorted token order; int micro-nats per term
+            p = int(sc.get(w, 0)) / n_src
+            q = int(tot[w]) / n_corpus
+            m = (p + q) / 2.0
+            term = 0.0
+            if p > 0:
+                term += 0.5 * p * math.log(p / m)
+            if q > 0:
+                term += 0.5 * q * math.log(q / m)
+            x = term * 1e6
+            js += int(np.floor(x + 0.5)) if x >= 0 else int(np.ceil(x - 0.5))
+        rows.append((src, n_src, js))
+    return pd.DataFrame(
+        {"source": [r[0] for r in rows],
+         "n_tokens": pd.array([r[1] for r in rows], dtype="int64"),
+         "js_e6": pd.array([r[2] for r in rows], dtype="int64")}
+    )
+
+
 def oov_rate_vs_vocab(sf_dir: str, k: int = 16):
     """Out-of-vocabulary rate per document against a frozen top-k corpus
     vocabulary — the coverage check a tokenizer-training pipeline runs
@@ -6646,6 +6802,9 @@ QUERIES = {
     "gazetteer_match_counts": gazetteer_match_counts,
     "oov_rate_vs_vocab": oov_rate_vs_vocab,
     "trigram_diversity_per_source": trigram_diversity_per_source,
+    "shuffle_skew_audit": shuffle_skew_audit,
+    "histogram_quantiles_value": histogram_quantiles_value,
+    "source_token_js_divergence": source_token_js_divergence,
     "t5_span_corruption_stats": t5_span_corruption_stats,
     "transcript_extract_salted": transcript_extract_salted,
     "curate_transcripts": curate_transcripts,
@@ -9060,6 +9219,95 @@ SQL["trigram_diversity_per_source"] = r"""
                CAST(round(CAST(count(DISTINCT g) AS DOUBLE) * 1e6 / count(*))
                     AS BIGINT) AS diversity_e6
         FROM tri GROUP BY source
+"""
+
+SQL["shuffle_skew_audit"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                 greatest(CAST(ceil(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                                    x -> x <> '')) / 12.0) AS BIGINT),
+                          1) AS nchunks
+          FROM documents
+        ),
+        pc AS (
+          SELECT CAST(md5_number_upper(conv_id) % 64 AS BIGINT) AS bucket,
+                 CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        + nchunks AS BIGINT) AS c
+          FROM d
+        )
+        SELECT bucket, CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_convs,
+               CAST(max(c) AS BIGINT) AS max_conv_rows
+        FROM pc GROUP BY bucket
+"""
+
+SQL["histogram_quantiles_value"] = r"""
+        WITH b AS (
+          SELECT event_type,
+                 CAST(least(greatest(floor(value), 0), 1023) AS BIGINT) AS bin
+          FROM events
+        ),
+        h AS (
+          SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2
+        ),
+        t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        cum AS (
+          SELECT event_type, bin,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cc
+          FROM h
+        )
+        SELECT cum.event_type, t.n AS n_events,
+               min(CASE WHEN cc >= (t.n * 50 + 99) // 100 THEN bin END)
+                   AS p50_bin,
+               min(CASE WHEN cc >= (t.n * 95 + 99) // 100 THEN bin END)
+                   AS p95_bin,
+               min(CASE WHEN cc >= (t.n * 99 + 99) // 100 THEN bin END)
+                   AS p99_bin
+        FROM cum JOIN t USING (event_type)
+        GROUP BY cum.event_type, t.n
+"""
+
+SQL["source_token_js_divergence"] = r"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents
+        ),
+        sc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY 1, 2),
+        ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY 1),
+        tot AS (SELECT w, CAST(sum(c) AS BIGINT) AS tc FROM sc GROUP BY 1),
+        nc AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sc),
+        grid AS (
+          SELECT s.source, t.w, t.tc, coalesce(sc.c, 0) AS c
+          FROM (SELECT DISTINCT source FROM sc) s
+          CROSS JOIN tot t
+          LEFT JOIN sc ON sc.source = s.source AND sc.w = t.w
+        ),
+        term AS (
+          SELECT g.source, ns.n,
+                 CAST(round((
+                   CASE WHEN g.c > 0 THEN
+                     0.5 * (CAST(g.c AS DOUBLE) / ns.n)
+                         * ln((CAST(g.c AS DOUBLE) / ns.n)
+                              / ((CAST(g.c AS DOUBLE) / ns.n
+                                  + CAST(g.tc AS DOUBLE) / nc.n) / 2))
+                   ELSE 0 END
+                   +
+                   CASE WHEN g.tc > 0 THEN
+                     0.5 * (CAST(g.tc AS DOUBLE) / nc.n)
+                         * ln((CAST(g.tc AS DOUBLE) / nc.n)
+                              / ((CAST(g.c AS DOUBLE) / ns.n
+                                  + CAST(g.tc AS DOUBLE) / nc.n) / 2))
+                   ELSE 0 END) * 1e6) AS BIGINT) AS e
+          FROM grid g JOIN ns ON ns.source = g.source CROSS JOIN nc
+        )
+        SELECT source, CAST(any_value(n) AS BIGINT) AS n_tokens,
+               CAST(sum(e) AS BIGINT) AS js_e6
+        FROM term GROUP BY source
 """
 
 SQL["oov_rate_vs_vocab"] = r"""

@@ -106,7 +106,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "source_scorecard", "mixture_plan_sources", "doc_readability_stats",
      "curate_corpus_v2", "conv_packing_plan", "sft_pair_extract",
      "gazetteer_match_counts", "oov_rate_vs_vocab",
-     "trigram_diversity_per_source"],
+     "trigram_diversity_per_source", "shuffle_skew_audit",
+     "histogram_quantiles_value", "source_token_js_divergence"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
