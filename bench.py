@@ -187,6 +187,10 @@ def run_queries() -> dict[str, float]:
         "gazetteer_match_counts",
         "oov_rate_vs_vocab",
         "trigram_diversity_per_source",
+        "shuffle_skew_audit",
+        "histogram_quantiles_value",
+        "source_token_js_divergence",
+        "doc_max_repeated_ngram",
     ]
     out = {}
     for name in picks:

@@ -3185,6 +3185,52 @@ def trigram_diversity_per_source(sf_dir: str):
     )
 
 
+def doc_max_repeated_ngram(sf_dir: str, cap: int = 16):
+    """Longest repeated token n-gram per document (capped at 16): the
+    repetition-depth signal that separates natural reuse (short repeated
+    bigrams) from template/boilerplate spam (long verbatim repeats) —
+    complements ``doc_repetition_filter``'s fixed-n fractions. Dup-ness is
+    monotone in L (any prefix of a repeated L-gram is itself repeated), so
+    each doc needs only a binary search over L — at most 5 linear scans of
+    a bounded doc, per-batch, zero shuffle. Output (doc_id, n_tokens,
+    max_rep_len, n_dup_at_max); docs with no repeated token score 0/0."""
+    from .textstats import _tokens
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n_out = np.zeros(len(df), dtype=np.int64)
+        ml = np.zeros(len(df), dtype=np.int64)
+        nd = np.zeros(len(df), dtype=np.int64)
+
+        def ndup(toks, L):
+            seen: dict = {}
+            for i in range(len(toks) - L + 1):
+                g = tuple(toks[i : i + L])
+                seen[g] = seen.get(g, 0) + 1
+            return sum(1 for c in seen.values() if c >= 2)
+
+        for r, s in enumerate(df["text"]):
+            toks = _tokens(s) if isinstance(s, str) else []
+            n = len(toks)
+            n_out[r] = n
+            lo, hi = 0, min(cap, n - 1) if n else 0
+            while lo < hi:  # largest L with a duplicate L-gram
+                mid = (lo + hi + 1) // 2
+                if ndup(toks, mid) > 0:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            ml[r] = lo
+            nd[r] = ndup(toks, lo) if lo else 0
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "n_tokens": n_out,
+             "max_rep_len": ml, "n_dup_at_max": nd}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 def shuffle_skew_audit(sf_dir: str, n_buckets: int = 64):
     """Shuffle-planning skew audit over the transcript stream: the
     per-bucket row/conversation histogram for the engine's own
@@ -6803,6 +6849,7 @@ QUERIES = {
     "oov_rate_vs_vocab": oov_rate_vs_vocab,
     "trigram_diversity_per_source": trigram_diversity_per_source,
     "shuffle_skew_audit": shuffle_skew_audit,
+    "doc_max_repeated_ngram": doc_max_repeated_ngram,
     "histogram_quantiles_value": histogram_quantiles_value,
     "source_token_js_divergence": source_token_js_divergence,
     "t5_span_corruption_stats": t5_span_corruption_stats,
@@ -9219,6 +9266,37 @@ SQL["trigram_diversity_per_source"] = r"""
                CAST(round(CAST(count(DISTINCT g) AS DOUBLE) * 1e6 / count(*))
                     AS BIGINT) AS diversity_e6
         FROM tri GROUP BY source
+"""
+
+SQL["doc_max_repeated_ngram"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS L
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, l.l AS l,
+                 array_to_string(list_slice(d.L, r.i + 1, r.i + l.l), ' ')
+                     AS gram
+          FROM d,
+               unnest(range(1, 17)) AS l(l),
+               unnest(range(len(d.L) - l.l + 1)) AS r(i)
+        ),
+        cnt AS (
+          SELECT doc_id, l, gram, count(*) AS c FROM g GROUP BY 1, 2, 3
+        ),
+        rep AS (
+          SELECT doc_id, l, CAST(count(*) AS BIGINT) AS ndup
+          FROM cnt WHERE c >= 2 GROUP BY 1, 2
+        ),
+        mx AS (SELECT doc_id, max(l) AS max_rep_len FROM rep GROUP BY 1)
+        SELECT d.doc_id, CAST(len(d.L) AS BIGINT) AS n_tokens,
+               CAST(coalesce(mx.max_rep_len, 0) AS BIGINT) AS max_rep_len,
+               CAST(coalesce(rep.ndup, 0) AS BIGINT) AS n_dup_at_max
+        FROM d
+        LEFT JOIN mx USING (doc_id)
+        LEFT JOIN rep ON rep.doc_id = d.doc_id AND rep.l = mx.max_rep_len
 """
 
 SQL["shuffle_skew_audit"] = r"""

@@ -107,7 +107,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "curate_corpus_v2", "conv_packing_plan", "sft_pair_extract",
      "gazetteer_match_counts", "oov_rate_vs_vocab",
      "trigram_diversity_per_source", "shuffle_skew_audit",
-     "histogram_quantiles_value", "source_token_js_divergence"],
+     "histogram_quantiles_value", "source_token_js_divergence",
+     "doc_max_repeated_ngram"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
