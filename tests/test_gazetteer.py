@@ -54,6 +54,35 @@ def test_kernels_agree_on_corpus_sample():
     np.testing.assert_array_equal(v, a)
 
 
+def test_large_gazetteer_takes_automaton_branch():
+    """Above AC_THRESHOLD terms, match_counts_batch must route through the
+    one-pass automaton and still agree with the per-term scans."""
+    vocab = ["fast", "table", "row", "scan", "merge", "batch", "hash",
+             "value", "spark", "stream", "vector", "key"]
+    terms = []
+    for a in vocab:
+        for b in vocab:
+            if a != b and a[0] != b[-1]:  # border-free bigram phrases
+                terms.append(f"{a} {b}")
+    terms = tuple(terms[:80])
+    _assert_border_free(terms)
+    assert len(terms) >= 64
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "doc_id": np.arange(50),
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(0, 40)))
+                 for _ in range(50)],
+    })
+    from rayextract.gazetteer import match_counts_batch as mcb
+
+    auto = mcb(df, terms)
+    vec = vector_counts(df["text"], terms)
+    assert auto["n_matches"].to_numpy().tolist() == vec.sum(axis=1).tolist()
+    assert auto["n_terms"].to_numpy().tolist() == (
+        (vec > 0).sum(axis=1).tolist()
+    )
+
+
 def test_match_counts_batch_schema():
     df = pd.DataFrame({"doc_id": [1, 2], "text": ["fast table spark", ""]})
     out = match_counts_batch(df)
