@@ -191,6 +191,8 @@ def run_queries() -> dict[str, float]:
         "histogram_quantiles_value",
         "source_token_js_divergence",
         "doc_max_repeated_ngram",
+        "turn_dedup_normalized",
+        "boilerplate_prefix_per_source",
     ]
     out = {}
     for name in picks:

@@ -3185,6 +3185,98 @@ def trigram_diversity_per_source(sf_dir: str):
     )
 
 
+def turn_dedup_normalized(sf_dir: str):
+    """Normalization-folded turn dedup — the "fuzzy exact" class between
+    byte-exact and MinHash: turns that differ only in whitespace, case, or
+    digit runs collapse to one group (every invoice header in the corpus
+    folds to a single template group; patient lines fold to one group per
+    name). The template-detection pass a transcript-curation pipeline runs
+    to find boilerplate turns worth stripping before training.
+
+    Normalization (identical composition in the oracle): strip -> collapse
+    whitespace -> lowercase -> fold each digit run to '0'. Scale shape:
+    hash per row inside map_batches, ONE bucketed exchange of (hash,
+    conv, 1) rows — text never shuffles. Output (norm_hash, rep_conv,
+    n_copies, n_convs)."""
+    import hashlib
+    import re
+
+    from .bucketed import bucketed_group_reduce
+
+    ws = re.compile(r"\s+")
+    dig = re.compile(r"[0-9]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [
+            hashlib.md5(
+                dig.sub("0", ws.sub(" ", t.strip()).lower()).encode()
+            ).hexdigest() if isinstance(t, str) else ""
+            for t in df["text"]
+        ]
+        return pd.DataFrame(
+            {"h": hs, "conv_id": df["conv_id"],
+             "n": np.ones(len(df), dtype="int64")}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", sort=False).agg(
+            rep_conv=("conv_id", "min"), n_copies=("n", "sum"),
+            n_convs=("conv_id", "nunique"),
+        ).reset_index().rename(columns={"h": "norm_hash"})
+        return out.astype({"n_copies": "int64", "n_convs": "int64"})
+
+    return bucketed_group_reduce(
+        _docs_to_transcripts(sf_dir), ["h"], partial, reduce, n_buckets=64,
+    )
+
+
+def boilerplate_prefix_per_source(sf_dir: str, k: int = 8):
+    """Boilerplate-header detection per source: the most common k-token
+    document prefix and how much of the source it covers — high coverage
+    means a templated feed whose header should be stripped before
+    training (the web-corpus "same nav/header on every page" smell).
+
+    Scale shape: per-batch (source, prefix) partial counts, ONE bucketed
+    exchange keyed by source, vectorized top-1 in the bucket with the
+    deterministic (count DESC, prefix ASC) tie-break. Output (source,
+    prefix, n_docs_with_prefix, n_docs)."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pre = [
+            " ".join(_tokens(s)[:k]) if isinstance(s, str) else ""
+            for s in df["text"]
+        ]
+        out = pd.DataFrame(
+            {"source": df["source"].to_numpy(), "prefix": pre,
+             "c": np.ones(len(df), dtype="int64")}
+        )
+        return out.groupby(["source", "prefix"], sort=False,
+                           as_index=False).sum()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["source", "prefix"], sort=False, as_index=False)[
+            "c"
+        ].sum()
+        rows = []
+        for src, grp in agg.groupby("source", sort=False):
+            grp = grp.sort_values(
+                ["c", "prefix"], ascending=[False, True], kind="stable"
+            )
+            rows.append((src, grp.iloc[0]["prefix"],
+                         int(grp.iloc[0]["c"]), int(grp["c"].sum())))
+        return pd.DataFrame(
+            rows,
+            columns=["source", "prefix", "n_docs_with_prefix", "n_docs"],
+        ).astype({"n_docs_with_prefix": "int64", "n_docs": "int64"})
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "documents", ["text", "source"]),
+        ["source"], partial, reduce, n_buckets=8,
+    )
+
+
 def doc_max_repeated_ngram(sf_dir: str, cap: int = 16):
     """Longest repeated token n-gram per document (capped at 16): the
     repetition-depth signal that separates natural reuse (short repeated
@@ -6850,6 +6942,8 @@ QUERIES = {
     "trigram_diversity_per_source": trigram_diversity_per_source,
     "shuffle_skew_audit": shuffle_skew_audit,
     "doc_max_repeated_ngram": doc_max_repeated_ngram,
+    "turn_dedup_normalized": turn_dedup_normalized,
+    "boilerplate_prefix_per_source": boilerplate_prefix_per_source,
     "histogram_quantiles_value": histogram_quantiles_value,
     "source_token_js_divergence": source_token_js_divergence,
     "t5_span_corruption_stats": t5_span_corruption_stats,
@@ -9266,6 +9360,69 @@ SQL["trigram_diversity_per_source"] = r"""
                CAST(round(CAST(count(DISTINCT g) AS DOUBLE) * 1e6 / count(*))
                     AS BIGINT) AS diversity_e6
         FROM tri GROUP BY source
+"""
+
+SQL["turn_dedup_normalized"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                 'INVOICE 1' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || ' DATE ' ||
+                   printf('%02d/%02d/%d', doc_id % 12 + 1, doc_id % 28 + 1, 1990 + doc_id % 30) ||
+                   ' REFERENCE AB' || CAST(doc_id AS VARCHAR) || 'X TOTAL $' ||
+                   CAST(doc_id % 900 + 100 AS VARCHAR) || '.25' AS header,
+                 CASE WHEN doc_id % 3 = 0 THEN
+                   'PATIENT NAME ' ||
+                   (['MARY','JOHN','ALICE','ROBERT','LINDA'])[CAST(doc_id // 3 AS INT) % 5 + 1] || ' ' ||
+                   (['SMITH','JONES','TAYLOR','BROWN','WILSON'])[CAST(doc_id // 7 AS INT) % 5 + 1] ||
+                   ' DOB ' || printf('%02d/%02d/%d', doc_id % 12 + 1, doc_id % 25 + 1, 1975 + doc_id % 40)
+                 END AS pline,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        turns AS (
+          SELECT conv_id, header AS text FROM d
+          UNION ALL
+          SELECT conv_id, pline FROM d WHERE pline IS NOT NULL
+          UNION ALL
+          SELECT conv_id,
+                 coalesce(array_to_string(
+                   toks[CAST(i*12+1 AS INT) : CAST(i*12+12 AS INT)], ' '), '')
+          FROM d, unnest(range(0, greatest(1, CAST(ceil(len(toks) / 12.0) AS BIGINT)))) t(i)
+        ),
+        norm AS (
+          SELECT conv_id,
+                 md5(regexp_replace(
+                       lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                       '[0-9]+', '0', 'g')) AS norm_hash
+          FROM turns
+        )
+        SELECT norm_hash, min(conv_id) AS rep_conv,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM norm GROUP BY norm_hash
+"""
+
+SQL["boilerplate_prefix_per_source"] = r"""
+        WITH p AS (
+          SELECT source,
+                 coalesce(array_to_string(
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '')[1:8], ' '), '') AS prefix
+          FROM documents
+        ),
+        cnt AS (
+          SELECT source, prefix, CAST(count(*) AS BIGINT) AS c
+          FROM p GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT source, prefix, c,
+                 CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY c DESC, prefix ASC) AS rk
+          FROM cnt
+        )
+        SELECT source, prefix, c AS n_docs_with_prefix, n_docs
+        FROM ranked WHERE rk = 1
 """
 
 SQL["doc_max_repeated_ngram"] = r"""

@@ -108,7 +108,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "gazetteer_match_counts", "oov_rate_vs_vocab",
      "trigram_diversity_per_source", "shuffle_skew_audit",
      "histogram_quantiles_value", "source_token_js_divergence",
-     "doc_max_repeated_ngram"],
+     "doc_max_repeated_ngram", "turn_dedup_normalized",
+     "boilerplate_prefix_per_source"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
