@@ -3185,6 +3185,156 @@ def trigram_diversity_per_source(sf_dir: str):
     )
 
 
+def corpus_datasheet(sf_dir: str):
+    """One-row dataset card — the corpus-level datasheet (docs, sources,
+    langs, tokens, chars, vocabulary size, exact-dup doc count) a data
+    release publishes and a training run logs before consuming a corpus.
+
+    Scale shape: everything is either a per-batch partial sum or one of
+    two narrow bucketed distinct-counts (token vocab; text md5) whose
+    intermediates are vocab-/distinct-sized, never corpus-sized; the
+    final fold is driver arithmetic over those aggregates. Output one row
+    (n_docs, n_sources, n_langs, n_tokens, n_chars, vocab_size,
+    n_dup_docs)."""
+    import hashlib
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def vol_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": np.zeros(len(df), dtype="int64"),
+             "n_docs": np.ones(len(df), dtype="int64"),
+             "n_tokens": np.asarray(
+                 [len(_tokens(s)) if isinstance(s, str) else 0
+                  for s in df["text"]], dtype="int64"),
+             "n_chars": df["n_chars"].astype("int64")}
+        ).groupby("k", as_index=False).sum()
+
+    def vol_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False)[
+            ["n_docs", "n_tokens", "n_chars"]
+        ].sum()
+
+    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ws = set()
+        srcs = set()
+        langs = set()
+        hs = []
+        for s, src, lg in zip(df["text"], df["source"], df["lang"]):
+            if isinstance(s, str):
+                ws.update(_tokens(s))
+                hs.append(hashlib.md5(s.encode()).hexdigest())
+            else:
+                hs.append("")
+            srcs.add(src)
+            langs.add(lg)
+        return pd.DataFrame(
+            {"w": (["w:" + w for w in ws] + ["s:" + s for s in srcs]
+                   + ["l:" + x for x in langs] + ["h:" + h for h in hs]),
+             "c": np.ones(len(ws) + len(srcs) + len(langs) + len(hs),
+                          dtype="int64")}
+        )
+
+    def vocab_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("w", sort=False)["c"].sum().reset_index()
+
+    vol = bucketed_group_reduce(docs, ["k"], vol_partial, vol_reduce, 1
+                                ).to_pandas()
+    keyed = bucketed_group_reduce(docs, ["w"], vocab_partial, vocab_reduce,
+                                  32).to_pandas()
+    kind = keyed["w"].str.slice(0, 2)
+    vocab_size = int((kind == "w:").sum())
+    n_sources = int((kind == "s:").sum())
+    n_langs = int((kind == "l:").sum())
+    hrows = keyed[kind == "h:"]
+    n_dup_docs = int((hrows["c"] - 1).sum())  # copies beyond each first
+    return pd.DataFrame(
+        {"n_docs": pd.array([int(vol["n_docs"][0])], dtype="int64"),
+         "n_sources": pd.array([n_sources], dtype="int64"),
+         "n_langs": pd.array([n_langs], dtype="int64"),
+         "n_tokens": pd.array([int(vol["n_tokens"][0])], dtype="int64"),
+         "n_chars": pd.array([int(vol["n_chars"][0])], dtype="int64"),
+         "vocab_size": pd.array([vocab_size], dtype="int64"),
+         "n_dup_docs": pd.array([n_dup_docs], dtype="int64")}
+    )
+
+
+def length_bucket_batching_plan(sf_dir: str, width: int = 32):
+    """Length-bucketed batching plan — the serving/inference-side sizing
+    pass: docs grouped into ceil(n_tokens/width) buckets, with per-bucket
+    doc/token volume and the padding waste a bucket-padded batcher would
+    incur (the dynamic-batching dashboard; high waste in a bucket means
+    split it). Output (bucket, n_docs, n_tokens, pad_waste_e6); empty
+    docs land in bucket 0 with zero waste.
+
+    Scale shape: bucket assignment is per-batch arithmetic; ONE narrow
+    bucketed exchange of (bucket, docs, tokens) partials; waste is the
+    fixed-IEEE micro-ratio over exact ints."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.asarray(
+            [len(_tokens(s)) if isinstance(s, str) else 0
+             for s in df["text"]], dtype="int64")
+        b = -(-n // width)
+        return pd.DataFrame(
+            {"bucket": b, "n_docs": np.ones(len(df), dtype="int64"),
+             "n_tokens": n}
+        ).groupby("bucket", as_index=False).sum()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("bucket", as_index=False)[["n_docs", "n_tokens"]].sum()
+        cap = r["bucket"].to_numpy() * width * r["n_docs"].to_numpy()
+        waste = np.zeros(len(r), dtype=np.int64)
+        nz = cap > 0
+        x = (cap[nz] - r["n_tokens"].to_numpy()[nz]) * 1e6 / cap[nz]
+        waste[nz] = np.floor(x + 0.5).astype(np.int64)
+        r["pad_waste_e6"] = waste
+        return r.astype({"bucket": "int64", "n_docs": "int64",
+                         "n_tokens": "int64", "pad_waste_e6": "int64"})
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "documents", ["text"]), ["bucket"], partial, reduce, 8,
+    )
+
+
+def doc_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal (CCNet/Gopher-class public
+    heuristic): highly compressible text is repetitive boilerplate, nearly
+    incompressible text is noise/binary junk; the keep band sits between.
+    ratio_e6 = compressed_bytes * 1e6 / raw_bytes (level 6, raw deflate
+    determinism pinned by golden tests; empty docs score 0). No SQL
+    oracle — DuckDB has no zlib — so this is a rows-only entry with
+    pytest goldens, like the model-fit ops. Pure per-batch map, zero
+    shuffle."""
+    import zlib
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        raw = np.zeros(len(df), dtype=np.int64)
+        comp = np.zeros(len(df), dtype=np.int64)
+        for i, s in enumerate(df["text"]):
+            if isinstance(s, str) and s:
+                b = s.encode()
+                raw[i] = len(b)
+                comp[i] = len(zlib.compress(b, 6))
+        ratio = np.zeros(len(df), dtype=np.int64)
+        nz = raw > 0
+        ratio[nz] = np.floor(comp[nz] * 1e6 / raw[nz] + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "raw_bytes": raw,
+             "comp_bytes": comp, "ratio_e6": ratio}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 def turn_dedup_normalized(sf_dir: str):
     """Normalization-folded turn dedup — the "fuzzy exact" class between
     byte-exact and MinHash: turns that differ only in whitespace, case, or
@@ -6944,6 +7094,9 @@ QUERIES = {
     "doc_max_repeated_ngram": doc_max_repeated_ngram,
     "turn_dedup_normalized": turn_dedup_normalized,
     "boilerplate_prefix_per_source": boilerplate_prefix_per_source,
+    "corpus_datasheet": corpus_datasheet,
+    "length_bucket_batching_plan": length_bucket_batching_plan,
+    "doc_compression_ratio": doc_compression_ratio,
     "histogram_quantiles_value": histogram_quantiles_value,
     "source_token_js_divergence": source_token_js_divergence,
     "t5_span_corruption_stats": t5_span_corruption_stats,
@@ -9360,6 +9513,45 @@ SQL["trigram_diversity_per_source"] = r"""
                CAST(round(CAST(count(DISTINCT g) AS DOUBLE) * 1e6 / count(*))
                     AS BIGINT) AS diversity_e6
         FROM tri GROUP BY source
+"""
+
+SQL["corpus_datasheet"] = r"""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents
+        )
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+          (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+              AS n_sources,
+          (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents)
+              AS n_langs,
+          (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_tokens,
+          (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS n_chars,
+          (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM tok) AS vocab_size,
+          (SELECT CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+           FROM documents) AS n_dup_docs
+"""
+
+SQL["length_bucket_batching_plan"] = r"""
+        WITH n AS (
+          SELECT CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '')) AS BIGINT) AS nt
+          FROM documents
+        ),
+        agg AS (
+          SELECT (nt + 31) // 32 AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens
+          FROM n GROUP BY 1
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, n_tokens,
+               CAST(CASE WHEN bucket * 32 * n_docs = 0 THEN 0
+                    ELSE round(CAST(bucket * 32 * n_docs - n_tokens AS DOUBLE)
+                               * 1e6 / (bucket * 32 * n_docs))
+                    END AS BIGINT) AS pad_waste_e6
+        FROM agg
 """
 
 SQL["turn_dedup_normalized"] = r"""

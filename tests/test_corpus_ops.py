@@ -109,7 +109,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "trigram_diversity_per_source", "shuffle_skew_audit",
      "histogram_quantiles_value", "source_token_js_divergence",
      "doc_max_repeated_ngram", "turn_dedup_normalized",
-     "boilerplate_prefix_per_source"],
+     "boilerplate_prefix_per_source", "corpus_datasheet",
+     "length_bucket_batching_plan"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
@@ -233,3 +234,30 @@ def test_conv_fingerprint_dedup_planted():
         .to_pandas().sort_values("conv_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_compression_ratio_goldens(edge_dir, ray_session):
+    """zlib level-6 determinism pinned: exact compressed sizes for known
+    inputs (the rows-only op's correctness anchor), empty docs score 0."""
+    import zlib
+
+    out = (
+        QUERIES["doc_compression_ratio"](edge_dir)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "raw_bytes"] == 0 and out.loc[0, "ratio_e6"] == 0
+    for doc_id, text in [(3, "a b a b a b"), (8,
+            "contact a.b@x.io or 555-123-4567 ssn 123-45-6789")]:
+        b = text.encode()
+        assert out.loc[doc_id, "raw_bytes"] == len(b)
+        assert out.loc[doc_id, "comp_bytes"] == len(zlib.compress(b, 6))
+        import numpy as np
+        assert out.loc[doc_id, "ratio_e6"] == int(
+            np.floor(len(zlib.compress(b, 6)) * 1e6 / len(b) + 0.5)
+        )
+    # the long repetitive doc compresses far harder than the PII line
+    # (tiny strings like doc 3 are overhead-dominated and score > 1e6)
+    assert out.loc[5, "ratio_e6"] < out.loc[8, "ratio_e6"]
+    assert out.loc[3, "ratio_e6"] > 1_000_000
