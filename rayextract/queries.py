@@ -3185,6 +3185,24 @@ def trigram_diversity_per_source(sf_dir: str):
     )
 
 
+def contract_audit_documents(sf_dir: str):
+    """Data-contract audit over the documents feed — the Deequ /
+    Great-Expectations class of gate (Schelter et al., VLDB 2018): five
+    declarative rules (doc_id unique, text not-null, lang in its closed
+    set, n_chars non-negative, source format) checked distributed with
+    per-rule violation counts, the quality gate an ingest runs before
+    admitting a 100 TB drop into the corpus. See contract.py for the rule
+    engine and its one-pass + narrow-unique-exchange shape. Output
+    (rule, n_rows, n_violations, ok)."""
+    from .contract import DEFAULT_DOC_RULES, validate_contract
+
+    return validate_contract(
+        _read(sf_dir, "documents",
+              ["doc_id", "text", "lang", "source", "n_chars"]),
+        DEFAULT_DOC_RULES,
+    )
+
+
 def corpus_datasheet(sf_dir: str):
     """One-row dataset card — the corpus-level datasheet (docs, sources,
     langs, tokens, chars, vocabulary size, exact-dup doc count) a data
@@ -7095,6 +7113,7 @@ QUERIES = {
     "turn_dedup_normalized": turn_dedup_normalized,
     "boilerplate_prefix_per_source": boilerplate_prefix_per_source,
     "corpus_datasheet": corpus_datasheet,
+    "contract_audit_documents": contract_audit_documents,
     "length_bucket_batching_plan": length_bucket_batching_plan,
     "doc_compression_ratio": doc_compression_ratio,
     "histogram_quantiles_value": histogram_quantiles_value,
@@ -9513,6 +9532,44 @@ SQL["trigram_diversity_per_source"] = r"""
                CAST(round(CAST(count(DISTINCT g) AS DOUBLE) * 1e6 / count(*))
                     AS BIGINT) AS diversity_e6
         FROM tri GROUP BY source
+"""
+
+SQL["contract_audit_documents"] = r"""
+        SELECT 'doc_id_unique' AS rule,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                   AS n_violations,
+               count(*) = count(DISTINCT doc_id) AS ok
+        FROM documents
+        UNION ALL
+        SELECT 'text_not_null', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0
+        FROM documents
+        UNION ALL
+        SELECT 'lang_in_set', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN lang IS NULL OR lang NOT IN
+                        ('en','de','fr','es','zh') THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               sum(CASE WHEN lang IS NULL OR lang NOT IN
+                   ('en','de','fr','es','zh') THEN 1 ELSE 0 END) = 0
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars_nonneg', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 0
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               sum(CASE WHEN n_chars IS NULL OR n_chars < 0
+                   THEN 1 ELSE 0 END) = 0
+        FROM documents
+        UNION ALL
+        SELECT 'source_format', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN source IS NULL OR NOT
+                        regexp_full_match(source, 'src\d+')
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               sum(CASE WHEN source IS NULL OR NOT
+                   regexp_full_match(source, 'src\d+')
+                   THEN 1 ELSE 0 END) = 0
+        FROM documents
 """
 
 SQL["corpus_datasheet"] = r"""

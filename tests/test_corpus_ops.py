@@ -110,7 +110,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
      "histogram_quantiles_value", "source_token_js_divergence",
      "doc_max_repeated_ngram", "turn_dedup_normalized",
      "boilerplate_prefix_per_source", "corpus_datasheet",
-     "length_bucket_batching_plan"],
+     "length_bucket_batching_plan", "contract_audit_documents"],
 )
 def test_edge_parity(name, edge_dir, ray_session):
     got = _df(QUERIES[name](edge_dir))
