@@ -556,3 +556,61 @@ def extract_main_content(html: str) -> str:
 def looks_like_html(text: str) -> bool:
     s = text.lstrip()
     return s.startswith("<") and "</" in text
+
+
+# --- deterministic page synthesis for the driver's value-hash oracle -------
+# The flagship pipeline's HTML path (D2) is exercised over sf_dir documents by
+# wrapping each document in a full boilerplate page whose every byte is
+# integer arithmetic on (doc_id, text) — the same synthesize-then-decode
+# contract the WAV/BMP/OCR codecs use (multimodal.py, ocr.py) — so the DuckDB
+# oracle can regenerate the EXPECTED extraction outcome and value-hash the
+# stripper end to end, not just row-count it.
+
+from html import escape as _escape  # noqa: E402
+
+
+def synth_page(doc_id: int, text: str) -> str:
+    """One boilerplate-wrapped page: nav + header chrome, the document's
+    tokens re-paragraphed in 20-token <p> blocks, one mixed content+link
+    paragraph (link density ~0.25, must be KEPT), one link-farm div (link
+    density ~1, must be DROPPED), footer chrome. Entity-escaped so the
+    block texts round-trip exactly through the parser's unescape."""
+    toks = text.split()
+    paras = [" ".join(toks[i : i + 20]) for i in range(0, len(toks), 20)]
+    body = "".join(f"<p>{_escape(p, quote=False)}</p>" for p in paras)
+    return (
+        "<html><body>"
+        '<nav><a href="/n0">nav item zero</a> <a href="/n1">nav item one</a></nav>'
+        "<header><h1>site header chrome</h1></header>"
+        f'<div class="content">{body}'
+        f"<p>related reading for document {doc_id:08d} item {doc_id % 100}: "
+        f'see <a href="/more">more here details</a></p></div>'
+        '<div><a href="/p0">promo block entry zero</a> '
+        '<a href="/p1">promo block entry one</a></div>'
+        "<footer>copyright 2020 boilerplate footer text</footer>"
+        "</body></html>"
+    )
+
+
+def main_content_batch(t):
+    """pyarrow batch fn: (doc_id, text) -> (doc_id, main_text, n_blocks,
+    n_kept). Stateless (module-level compiled regexes), so it runs as plain
+    map_batches tasks — no actor pool needed."""
+    import pyarrow as pa
+
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    main, nblk, nkept = [], [], []
+    for doc_id, text in zip(ids, texts):
+        blocks = extract_blocks(synth_page(doc_id, text if isinstance(text, str) else ""))
+        main.append("\n".join(b for b, _, kept in blocks if kept))
+        nblk.append(len(blocks))
+        nkept.append(sum(1 for _, _, kept in blocks if kept))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "main_text": pa.array(main, pa.string()),
+            "n_blocks": pa.array(nblk, pa.int64()),
+            "n_kept": pa.array(nkept, pa.int64()),
+        }
+    )

@@ -2767,6 +2767,30 @@ def transcript_extract_salted(sf_dir: str):
     return build_conv_fields(turns, cfg)
 
 
+def html_main_content(sf_dir: str):
+    """D2 (HTML boilerplate strip) under the driver's FULL value-hash gate —
+    the north rule's core extraction stage. Each document is wrapped in a
+    deterministic boilerplate page (``html_extract.synth_page``: nav/header/
+    footer chrome, the document re-paragraphed in 20-token <p> blocks, one
+    mixed content+link paragraph at link density ~0.25 that must be KEPT,
+    one link-farm div at ~1.0 that must be DROPPED), then the REAL block
+    scorer (``extract_blocks`` — the same code path the flagship pipeline's
+    ContentParser actors run, html_extract.py:519) strips it back. The
+    DuckDB oracle regenerates the expected outcome from the keep rule
+    (chrome gone; blocks kept iff len >= 25 chars and link density <= 0.33),
+    so the stripper's text, block count and keep/drop decisions are all
+    hash-gated — previously D2 was pytest-parity-gated only.
+
+    Scale shape: stateless map_batches over a 2-column pruned read; the
+    page never exists outside the task (synthesized and stripped in the
+    same batch fn), so no HTML ever crosses the object store."""
+    from .html_extract import main_content_batch
+
+    return _fan_out(_read(sf_dir, "documents", ["doc_id", "text"])).map_batches(
+        main_content_batch, batch_format="pyarrow"
+    )
+
+
 def curate_transcripts(sf_dir: str):
     """Flagship composition: the full extraction pipeline feeding a
     training-set selection gate — keep conversations with an extracted
@@ -7102,6 +7126,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "k2_annotation_quads": k2_annotation_quads,
     "transcript_extract": transcript_extract,
+    "html_main_content": html_main_content,
     "conv_role_audit": conv_role_audit,
     "conv_packing_plan": conv_packing_plan,
     "sft_pair_extract": sft_pair_extract,
@@ -10005,4 +10030,34 @@ SQL["event_anomaly_days"] = """
              * (CAST(c.n AS HUGEINT) * st.nd - st.s)
              > 4 * (st.nd * st.q - st.s * st.s) AS is_anomaly
     FROM c JOIN st USING (event_type)
+"""
+
+SQL["html_main_content"] = r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS ci,
+             array_to_string(toks[CAST(i*20+1 AS INT) : CAST(i*20+20 AS INT)], ' ') AS para
+      FROM d, unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT))) t(i)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_paras,
+             CAST(count(*) FILTER (WHERE len(para) >= 25) AS BIGINT) AS n_keptp,
+             string_agg(para, chr(10) ORDER BY ci)
+               FILTER (WHERE len(para) >= 25) AS kept_body
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.kept_body || chr(10), '') ||
+             'related reading for document ' ||
+             lpad(CAST(d.doc_id AS VARCHAR), 8, '0') ||
+             ' item ' || CAST(d.doc_id % 100 AS VARCHAR) ||
+             ': see more here details' AS main_text,
+           coalesce(a.n_paras, 0) + 2 AS n_blocks,
+           coalesce(a.n_keptp, 0) + 1 AS n_kept
+    FROM d LEFT JOIN agg a USING (doc_id)
 """

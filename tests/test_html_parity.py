@@ -208,3 +208,33 @@ def test_gate_linear_on_pathological():
         out = extract_blocks(doc)
         assert time.monotonic() - t0 < 2.0, doc[:40]
         assert out == _general_extract(doc)
+
+
+def test_synth_page_main_content_oracle_mirror():
+    """html_main_content's driver contract: the batch fn's output equals the
+    keep-rule reconstruction (paragraphs of 20 tokens kept iff >= 25 chars;
+    the mixed link paragraph always kept; chrome and the link farm always
+    gone) for adversarial payloads incl. entities and angle brackets."""
+    import pyarrow as pa
+
+    from rayextract.html_extract import main_content_batch
+
+    texts = [
+        "",                                   # no paragraphs at all
+        "tiny",                               # one short para -> dropped
+        "a &amp; b <tag> c \"q\" d",          # escape round-trip, dropped (<25)
+        " ".join(f"w{i}" for i in range(55)),  # 3 paras: 20/20/15 tokens
+        "x" * 30,                             # single long token para -> kept
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = main_content_batch(t).to_pydict()
+    for i, text in enumerate(texts):
+        toks = text.split()
+        paras = [" ".join(toks[j:j + 20]) for j in range(0, len(toks), 20)]
+        kept = [p for p in paras if len(p) >= 25]
+        tail = (f"related reading for document {i:08d} item {i % 100}: "
+                "see more here details")
+        assert out["main_text"][i] == "\n".join(kept + [tail])
+        assert out["n_blocks"][i] == len(paras) + 2
+        assert out["n_kept"][i] == len(kept) + 1
