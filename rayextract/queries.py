@@ -3037,6 +3037,54 @@ def conv_packing_plan(sf_dir: str, max_seq: int = 128):
     )
 
 
+def conv_context_windows(sf_dir: str):
+    """Per-turn context-assembly sizing over the derived transcript corpus:
+    for every turn, how many of the (up to 3) PRECEDING turns exist and how
+    many characters they total — the budget pass a chat-SFT pipeline runs
+    before materializing "context + current turn" training rows, where
+    context length decides truncation and packing. Preceding is by turn_idx
+    ORDER, not contiguity (the patient turn only exists for doc_id % 3 == 0).
+
+    Scale shape: ONE bucketed exchange on conv_id carries narrow
+    (conv, idx, n_chars) rows — turn text never shuffles; the in-bucket
+    rolling window is a vectorized cumsum difference (cs[i-1] - cs[i-4]) per
+    sorted conversation, O(turns). The oracle is the same rolling frame as a
+    SQL window function (ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING). Output
+    (conv_id, turn_idx, n_ctx, ctx_chars), all int64 — no float contract."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"],
+             "turn_idx": df["turn_idx"].astype("int64"),
+             "n_chars": df["text"].str.len().fillna(0).astype("int64")}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        lens = g["n_chars"].to_numpy()
+        # per-conv rolling sum of the previous <=3 lens via cumsum diffs;
+        # conversation boundaries reset the window by position clamping
+        starts = np.r_[0, np.flatnonzero(
+            g["conv_id"].to_numpy()[1:] != g["conv_id"].to_numpy()[:-1]
+        ) + 1]
+        conv_start = np.repeat(starts, np.diff(np.r_[starts, len(g)]))
+        pos = np.arange(len(g), dtype=np.int64)
+        lo = np.maximum(pos - 3, conv_start)
+        cs = np.r_[0, np.cumsum(lens)]
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"].to_numpy(),
+             "turn_idx": g["turn_idx"].to_numpy(),
+             "n_ctx": pos - lo,
+             "ctx_chars": cs[pos] - cs[lo]}
+        ).astype({"n_ctx": "int64", "ctx_chars": "int64"})
+
+    return bucketed_group_reduce(
+        _docs_to_transcripts(sf_dir), ["conv_id"], partial, reduce,
+        n_buckets=64,
+    )
+
+
 def conv_role_audit(sf_dir: str):
     """SFT-data role-structure audit over the derived transcript corpus:
     assign each turn its deterministic role (turn 0 = system; (doc_id +
@@ -7128,6 +7176,7 @@ QUERIES = {
     "transcript_extract": transcript_extract,
     "html_main_content": html_main_content,
     "conv_role_audit": conv_role_audit,
+    "conv_context_windows": conv_context_windows,
     "conv_packing_plan": conv_packing_plan,
     "sft_pair_extract": sft_pair_extract,
     "gazetteer_match_counts": gazetteer_match_counts,
@@ -10060,4 +10109,38 @@ SQL["html_main_content"] = r"""
            coalesce(a.n_paras, 0) + 2 AS n_blocks,
            coalesce(a.n_keptp, 0) + 1 AS n_kept
     FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+SQL["conv_context_windows"] = r"""
+    WITH d AS (
+      SELECT doc_id,
+             'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+             'INVOICE 1' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || ' DATE ' ||
+               printf('%02d/%02d/%d', doc_id % 12 + 1, doc_id % 28 + 1, 1990 + doc_id % 30) ||
+               ' REFERENCE AB' || CAST(doc_id AS VARCHAR) || 'X TOTAL $' ||
+               CAST(doc_id % 900 + 100 AS VARCHAR) || '.25' AS header,
+             CASE WHEN doc_id % 3 = 0 THEN
+               'PATIENT NAME ' ||
+               (['MARY','JOHN','ALICE','ROBERT','LINDA'])[CAST(doc_id // 3 AS INT) % 5 + 1] || ' ' ||
+               (['SMITH','JONES','TAYLOR','BROWN','WILSON'])[CAST(doc_id // 7 AS INT) % 5 + 1] ||
+               ' DOB ' || printf('%02d/%02d/%d', doc_id % 12 + 1, doc_id % 25 + 1, 1975 + doc_id % 40)
+             END AS pline,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    turns AS (
+      SELECT conv_id, 0 AS turn_idx, header AS text FROM d
+      UNION ALL
+      SELECT conv_id, 1, pline FROM d WHERE pline IS NOT NULL
+      UNION ALL
+      SELECT conv_id, CAST(i + 2 AS INT),
+             array_to_string(toks[CAST(i*12+1 AS INT) : CAST(i*12+12 AS INT)], ' ')
+      FROM d, unnest(range(0, greatest(1, CAST(ceil(len(toks) / 12.0) AS BIGINT)))) t(i)
+    )
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+           CAST(count(*) OVER w AS BIGINT) AS n_ctx,
+           CAST(coalesce(sum(len(text)) OVER w, 0) AS BIGINT) AS ctx_chars
+    FROM turns
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
 """
