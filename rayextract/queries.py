@@ -1982,6 +1982,101 @@ def cooccur_top20(sf_dir: str):
     return top[["pair", "n"]].astype({"n": "int64"})
 
 
+def bm25_topk(sf_dir: str, k: int = 10):
+    """BM25 retrieval top-k (Robertson-Sparck Jones, public): rank documents
+    for each of the 3 globally most-frequent tokens by the BM25 term score
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with k1=1.2, b=0.75 — the
+    relevance pass a retrieval/decontamination pipeline runs against a
+    corpus-scale inverted index. Within one term the IDF factor is constant
+    and therefore rank-invariant, so the hashed output carries the exact
+    integers (term, rank, doc_id, tf, dl) and no float ever crosses the
+    oracle: the ordering key is the single fixed-IEEE division
+    (10*tf*S) / (10*tf*S + 3*S + 9*dl*N) of exact ints (< 2^53 up to ~10^12
+    corpus tokens), identical bit-for-bit in numpy and DuckDB, ties broken
+    by doc_id.
+
+    Scale shape: pass 1 = wordcount-style bucketed combiner for the query
+    terms plus one tiny (S, N) aggregate; pass 2 = stateless map over the
+    corpus with the 3 terms in-closure, emitting at most k rows per (term,
+    batch) — batch-local top-k is safe because the score is monotone in tf
+    and antitone in dl, so a locally pruned doc can never enter the global
+    top-k. The global merge sees <= 3*k*n_batches narrow rows. Raw text
+    never shuffles."""
+    from collections import Counter
+
+    from .bucketed import bucketed_group_reduce
+    from .relational import topk as _topk
+    from .textstats import _tokens
+
+    def wc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            if isinstance(t, str):
+                c.update(_tokens(t))
+        return pd.DataFrame(
+            {"token": list(c.keys()), "n": np.fromiter(c.values(), dtype="int64")}
+        )
+
+    # vocab-sized result: materialize so terms + S come from ONE combine pass
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["text"]),
+        ["token"], wc_partial,
+        lambda g: g.groupby("token", sort=False)["n"].sum().reset_index(),
+        n_buckets=64,
+    ).materialize()
+    S = int(counts.sum("n"))
+    # N = docs with >=1 token <=> trimmed text nonempty (no tokenize needed)
+    N = int(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"c": [int((df["text"].fillna("").str.strip() != "").sum())]}
+            ),
+            batch_format="pandas",
+        )
+        .sum("c")
+    )
+    terms = tuple(_topk(counts, by="n", k=3, tiebreak="token")["token"])
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = _tokens(text) if isinstance(text, str) else []
+            if not toks:
+                continue
+            dl = len(toks)
+            c = Counter(toks)
+            for t in terms:
+                tf = c.get(t, 0)
+                if tf:
+                    rows.append((t, int(doc_id), tf, dl))
+        out = pd.DataFrame(rows, columns=["term", "doc_id", "tf", "dl"])
+        if out.empty:
+            return out.astype({"doc_id": "int64", "tf": "int64", "dl": "int64"})
+        num = 10 * out["tf"].to_numpy(dtype="int64") * S
+        den = num + 3 * S + 9 * out["dl"].to_numpy(dtype="int64") * N
+        out["sc"] = num.astype("float64") / den.astype("float64")
+        out = out.sort_values(
+            ["term", "sc", "doc_id"], ascending=[True, False, True],
+            kind="stable",
+        )
+        return out.groupby("term", sort=False).head(k)
+
+    small = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(score_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    small = small.sort_values(
+        ["term", "sc", "doc_id"], ascending=[True, False, True], kind="stable"
+    )
+    small = small.groupby("term", sort=False).head(k).reset_index(drop=True)
+    small["rank"] = small.groupby("term", sort=False).cumcount() + 1
+    return small[["term", "rank", "doc_id", "tf", "dl"]].astype(
+        {"rank": "int64", "doc_id": "int64", "tf": "int64", "dl": "int64"}
+    )
+
+
 def distinct_brand_type(sf_dir: str):
     """DISTINCT via the bucketed combiner (batch-local dedup -> per-bucket dedup)."""
     from .bucketed import bucketed_group_reduce
@@ -7177,6 +7272,7 @@ QUERIES = {
     "html_main_content": html_main_content,
     "conv_role_audit": conv_role_audit,
     "conv_context_windows": conv_context_windows,
+    "bm25_topk": bm25_topk,
     "conv_packing_plan": conv_packing_plan,
     "sft_pair_extract": sft_pair_extract,
     "gazetteer_match_counts": gazetteer_match_counts,
@@ -10143,4 +10239,37 @@ SQL["conv_context_windows"] = r"""
     FROM turns
     WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+"""
+
+SQL["bm25_topk"] = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(dl) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+            FROM dl),
+    terms AS (
+      SELECT token FROM (SELECT token, count(*) AS c FROM tok GROUP BY 1)
+      ORDER BY c DESC, token LIMIT 3
+    ),
+    tf AS (
+      SELECT token AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM tok JOIN terms USING (token) GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT t.term, t.doc_id, t.tf, d.dl,
+             CAST(10 * t.tf * tot.s AS DOUBLE) /
+             CAST(10 * t.tf * tot.s + 3 * tot.s + 9 * d.dl * tot.n AS DOUBLE)
+               AS sc
+      FROM tf t JOIN dl d USING (doc_id), tot
+    )
+    SELECT term,
+           CAST(row_number() OVER (PARTITION BY term ORDER BY sc DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, tf, dl
+    FROM scored
+    QUALIFY rank <= 10
 """
