@@ -1753,6 +1753,119 @@ def dedup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def neardup_triangles(sf_dir: str):
+    """Triangle census of the near-duplicate graph — the structural signal
+    that separates a tight duplicate CLIQUE (template spam: every copy
+    pairwise-similar) from a drifting near-dup CHAIN (versioned documents:
+    a-b and b-c similar but a-c not). One aggregate row
+    (n_vertices, n_edges, n_triangles), all int64.
+
+    Algorithm (public: node-iterator with degree orientation, Schank &
+    Wagner 2005): direct every edge from its lower (degree, id) endpoint to
+    the higher, so each pivot's out-degree is O(sqrt(m)) and each triangle
+    is generated exactly once at its unique two-out-edge node; wedges are
+    then closed with a tagged-union co-partition against the undirected
+    edge set — no adjacency ever sits on one node.
+
+    Scale shape: 3 narrow bucketed exchanges (degree count; wedge
+    generation grouped by pivot; wedge-vs-edge closure keyed on the
+    candidate pair), all carrying <=16-byte rows. The degree map of the
+    NEAR-DUP graph's vertices (docs with at least one near-dup — a small
+    fraction of the corpus by construction) is broadcast once via ray.put;
+    if the dup graph ever approached corpus size, that broadcast becomes a
+    4th bucketed join."""
+    import ray
+
+    from .bucketed import bucketed_group_reduce
+
+    # three consumers below (degrees, orientation, closure edges): pin the
+    # pair list once — it is the DEDUP OUTPUT (near-dup pairs only), orders
+    # of magnitude smaller than the corpus whose LSH pipeline produces it,
+    # so this is a small-result pin, not a corpus materialization
+    pairs = blocked_lsh_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        threshold=JACCARD_THRESHOLD, block_key="source", ngram=1,
+    ).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate(
+            [df["doc_a"].to_numpy(dtype="int64"),
+             df["doc_b"].to_numpy(dtype="int64")]
+        )
+        ids, cnt = np.unique(v, return_counts=True)
+        return pd.DataFrame({"v": ids, "d": cnt.astype("int64")})
+
+    deg = bucketed_group_reduce(
+        pairs, ["v"], deg_partial,
+        lambda g: g.groupby("v", sort=False)["d"].sum().reset_index(),
+        n_buckets=32,
+    ).to_pandas()
+    if deg.empty:  # no near-dup pairs at all (empty result = columnless frame)
+        return pd.DataFrame(
+            {"n_vertices": [0], "n_edges": [0], "n_triangles": [0]}
+        ).astype("int64")
+    n_vertices = len(deg)
+    deg_ref = ray.put(dict(zip(deg["v"].astype("int64"), deg["d"].astype("int64"))))
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        dm = ray.get(deg_ref)
+        a = df["doc_a"].to_numpy(dtype="int64")
+        b = df["doc_b"].to_numpy(dtype="int64")
+        da = np.array([dm[x] for x in a], dtype="int64")
+        db = np.array([dm[x] for x in b], dtype="int64")
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame(
+            {"u": np.where(a_first, a, b), "w": np.where(a_first, b, a)}
+        )
+
+    directed = pairs.map_batches(orient, batch_format="pandas")
+
+    def wedge_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("u", sort=False):
+            ws = np.sort(grp["w"].to_numpy(dtype="int64"))
+            if len(ws) < 2:
+                continue
+            i, j = np.triu_indices(len(ws), k=1)
+            out_a.append(ws[i])
+            out_b.append(ws[j])
+        if not out_a:
+            return pd.DataFrame({"a": np.array([], dtype="int64"),
+                                 "b": np.array([], dtype="int64"),
+                                 "kind": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        ).assign(kind=0).astype({"a": "int64", "b": "int64", "kind": "int64"})
+
+    wedges = bucketed_group_reduce(
+        directed, ["u"], lambda df: df, wedge_reduce, n_buckets=32,
+    )
+
+    def edge_tag(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype="int64")
+        b = df["doc_b"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {"a": np.minimum(a, b), "b": np.maximum(a, b)}
+        ).assign(kind=1).astype({"a": "int64", "b": "int64", "kind": "int64"})
+
+    tagged = wedges.union(pairs.map_batches(edge_tag, batch_format="pandas"))
+
+    def close_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["a", "b"], sort=False)["kind"].agg(["sum", "count"])
+        # kind: 0 = wedge, 1 = edge; wedges close iff an edge row shares the key
+        n_edges = int(per["sum"].sum())  # each edge key has exactly one kind=1
+        tri = int((per["count"] - per["sum"])[per["sum"] > 0].sum())
+        return pd.DataFrame({"e": [n_edges], "t": [tri]})
+
+    sums = bucketed_group_reduce(
+        tagged, ["a", "b"], lambda df: df, close_reduce, n_buckets=32,
+    ).to_pandas()
+    return pd.DataFrame(
+        {"n_vertices": [int(n_vertices)], "n_edges": [int(sums["e"].sum())],
+         "n_triangles": [int(sums["t"].sum())]}
+    ).astype("int64")
+
+
 def dedup_substring(sf_dir: str):
     """Span-level exact dedup: per document, how many of its distinct
     8-token shingles also occur in another document (see
@@ -7273,6 +7386,7 @@ QUERIES = {
     "conv_role_audit": conv_role_audit,
     "conv_context_windows": conv_context_windows,
     "bm25_topk": bm25_topk,
+    "neardup_triangles": neardup_triangles,
     "conv_packing_plan": conv_packing_plan,
     "sft_pair_extract": sft_pair_extract,
     "gazetteer_match_counts": gazetteer_match_counts,
@@ -10273,3 +10387,22 @@ SQL["bm25_topk"] = r"""
     FROM scored
     QUALIFY rank <= 10
 """
+
+SQL["neardup_triangles"] = (
+    "WITH e0 AS (" + SQL["dedup_ngram_jaccard"] + r"""),
+    e AS (
+      SELECT DISTINCT least(CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT)) AS a,
+                      greatest(CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT)) AS b
+      FROM e0
+    ),
+    v AS (SELECT a AS x FROM e UNION SELECT b FROM e),
+    tri AS (
+      SELECT count(*) AS t
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_vertices,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles
+    """
+)
