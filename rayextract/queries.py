@@ -1753,6 +1753,96 @@ def dedup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def tombstone_delete_audit(sf_dir: str):
+    """Right-to-be-forgotten propagation audit: apply a deletion-request
+    feed to the corpus (broadcast anti-join) and emit the per-source
+    compliance evidence — how many documents existed, how many the feed
+    tombstoned, how many remain, and an order-free XOR fingerprint of the
+    surviving doc_ids that a downstream re-scan can re-derive to prove the
+    deletes actually propagated. The feed is simulated deterministically
+    (docs whose md5_number_upper(doc_id) % 97 == 0, ~1%) so the oracle can
+    reproduce it; in production it arrives as its own table and pass 1
+    becomes a read.
+
+    Scale shape: pass 1 collects ONLY the tombstoned ids (a ~1% projection
+    of one int column); the id set is broadcast once via ray.put and every
+    audit task filters by membership — no shuffle ships the corpus. Pass 2
+    pre-aggregates (count, deleted, xor) per source inside each batch, so
+    the single bucketed exchange carries one narrow row per (source x
+    batch). XOR is the same 63-bit md5 contract as conv_dedup_exact."""
+    import hashlib
+
+    import ray
+
+    from .bucketed import bucketed_group_reduce
+
+    def _h64(i: int) -> int:
+        return int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[:8], "little"
+        )
+
+    def feed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        mask = np.fromiter(
+            (_h64(int(i)) % 97 == 0 for i in ids), bool, count=len(ids)
+        )
+        return pd.DataFrame({"doc_id": ids[mask]})
+
+    deny = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(feed, batch_format="pandas")
+        .to_pandas()
+    )
+    deny_ids = (
+        frozenset(int(x) for x in deny["doc_id"]) if not deny.empty else frozenset()
+    )
+    deny_ref = ray.put(deny_ids)
+
+    def _xor_by_src(src: pd.Series, fp: np.ndarray) -> np.ndarray:
+        codes, uniq = pd.factorize(src)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        return uniq[sc[starts]], np.bitwise_xor.reduceat(fp[order], starts)
+
+    def audit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        deny_set = ray.get(deny_ref)
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        h = np.fromiter(
+            (_h64(int(i)) >> 1 for i in ids), np.int64, count=len(ids)
+        )
+        deleted = np.fromiter(
+            (int(i) in deny_set for i in ids), bool, count=len(ids)
+        )
+        srcs, fps = _xor_by_src(df["source"], np.where(deleted, 0, h))
+        tmp = pd.DataFrame({"source": df["source"], "d": deleted})
+        agg = tmp.groupby("source", sort=False)["d"].agg(["count", "sum"])
+        agg = agg.reindex(srcs)
+        return pd.DataFrame(
+            {"source": srcs, "n_docs": agg["count"].to_numpy(dtype="int64"),
+             "n_deleted": agg["sum"].to_numpy(dtype="int64"),
+             "kept_fp": fps.astype("int64")}
+        )
+
+    def audit_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        srcs, fps = _xor_by_src(g["source"], g["kept_fp"].to_numpy())
+        sums = g.groupby("source", sort=False)[["n_docs", "n_deleted"]].sum()
+        sums = sums.reindex(srcs)
+        out = pd.DataFrame(
+            {"source": srcs,
+             "n_docs": sums["n_docs"].to_numpy(dtype="int64"),
+             "n_deleted": sums["n_deleted"].to_numpy(dtype="int64"),
+             "kept_fp": fps.astype("int64")}
+        )
+        out["n_kept"] = out["n_docs"] - out["n_deleted"]
+        return out[["source", "n_docs", "n_deleted", "n_kept", "kept_fp"]]
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        ["source"], audit_partial, audit_reduce, n_buckets=32,
+    )
+
+
 def neardup_triangles(sf_dir: str):
     """Triangle census of the near-duplicate graph — the structural signal
     that separates a tight duplicate CLIQUE (template spam: every copy
@@ -7387,6 +7477,7 @@ QUERIES = {
     "conv_context_windows": conv_context_windows,
     "bm25_topk": bm25_topk,
     "neardup_triangles": neardup_triangles,
+    "tombstone_delete_audit": tombstone_delete_audit,
     "conv_packing_plan": conv_packing_plan,
     "sft_pair_extract": sft_pair_extract,
     "gazetteer_match_counts": gazetteer_match_counts,
@@ -10406,3 +10497,21 @@ SQL["neardup_triangles"] = (
            CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles
     """
 )
+
+SQL["tombstone_delete_audit"] = r"""
+    WITH d AS (
+      SELECT source, doc_id,
+             md5_number_upper(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(count(*) -
+                sum(CASE WHEN h % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(coalesce(bit_xor(CASE WHEN h % 97 <> 0 THEN h >> 1 END), 0)
+                AS BIGINT) AS kept_fp
+    FROM d GROUP BY source
+"""
