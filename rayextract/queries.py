@@ -3089,6 +3089,28 @@ def html_main_content(sf_dir: str):
     )
 
 
+def pdf_reading_order(sf_dir: str):
+    """D1 (PDF-ish layout parse) under the driver's FULL value-hash gate —
+    the html_main_content move applied to the other decode path. Each
+    document's tokens are laid out as a positional fragment dump
+    (``pdf_layout.synth_dump``: 8-token visual lines at y = 40*li + 10 with
+    per-fragment y jitter inside Y_TOLERANCE, 4-token fragments at
+    x = 60 + 150*f with x jitter, emission order jumbled by md5), then the
+    REAL band-clustering extractor (``extract_reading_order`` — the same
+    code path the flagship pipeline's ContentParser actors run) re-derives
+    reading order. The DuckDB oracle regenerates the expected text by
+    re-chunking the token list 8-per-line, so line clustering, x ordering
+    and arrival-order independence are all hash-gated.
+
+    Scale shape: stateless map_batches over a 2-column pruned read; the
+    dump never exists outside the task."""
+    from .pdf_layout import reading_order_batch
+
+    return _fan_out(_read(sf_dir, "documents", ["doc_id", "text"])).map_batches(
+        reading_order_batch, batch_format="pyarrow"
+    )
+
+
 def curate_transcripts(sf_dir: str):
     """Flagship composition: the full extraction pipeline feeding a
     training-set selection gate — keep conversations with an extracted
@@ -7473,6 +7495,7 @@ QUERIES = {
     "k2_annotation_quads": k2_annotation_quads,
     "transcript_extract": transcript_extract,
     "html_main_content": html_main_content,
+    "pdf_reading_order": pdf_reading_order,
     "conv_role_audit": conv_role_audit,
     "conv_context_windows": conv_context_windows,
     "bm25_topk": bm25_topk,
@@ -10514,4 +10537,26 @@ SQL["tombstone_delete_audit"] = r"""
            CAST(coalesce(bit_xor(CASE WHEN h % 97 <> 0 THEN h >> 1 END), 0)
                 AS BIGINT) AS kept_fp
     FROM d GROUP BY source
+"""
+
+SQL["pdf_reading_order"] = r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS li,
+             array_to_string(toks[CAST(i*8+1 AS INT) : CAST(i*8+8 AS INT)], ' ') AS line
+      FROM d, unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) t(i)
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY li) AS extracted
+      FROM lines GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(ceil(len(d.toks) / 4.0) AS BIGINT) AS n_frags,
+           CAST(ceil(len(d.toks) / 8.0) AS BIGINT) AS n_lines,
+           coalesce(a.extracted, '') AS extracted
+    FROM d LEFT JOIN agg a USING (doc_id)
 """
