@@ -193,6 +193,12 @@ def run_queries() -> dict[str, float]:
         "doc_max_repeated_ngram",
         "turn_dedup_normalized",
         "boilerplate_prefix_per_source",
+        "html_main_content",
+        "pdf_reading_order",
+        "conv_context_windows",
+        "bm25_topk",
+        "neardup_triangles",
+        "tombstone_delete_audit",
     ]
     out = {}
     for name in picks:
