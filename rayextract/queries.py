@@ -5414,6 +5414,74 @@ def q14_promo_revenue(sf_dir: str):
     )
 
 
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue sitting in small-quantity line items of one
+    brand's parts — the correlated-average query (l_quantity < 0.2 x the
+    part's own average quantity). Brand is data-derived (min(p_brand)) so
+    the pick is deterministic without a literal.
+
+    Scale shape: the brand's partkey set broadcasts once (ray.put) and
+    prunes BOTH lineitem passes inside the scan tasks; pass 1 pre-aggregates
+    (sum_q, cnt) per part in each batch so the single narrow exchange is
+    brand-part cardinality; the per-part threshold map broadcasts back and
+    pass 2 is a shuffle-free integer-cent partial sum. The quantity gate is
+    the exact-integer cross-multiplication 5*q*cnt < sum_q (equivalent to
+    q < 0.2*avg; quantities are integral in this corpus, asserted per
+    batch), so the DuckDB oracle matches to the cent with no float
+    anywhere. Output one row (lost_cents, avg_yearly_cents = lost//7)."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_brand"])
+    brand = part["p_brand"].min()
+    keys_ref = _ray.put(
+        set(int(x) for x in part.loc[part["p_brand"] == brand, "p_partkey"])
+    )
+
+    def q_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = _ray.get(keys_ref)
+        sub = df.loc[df["l_partkey"].isin(keys)]
+        q = sub["l_quantity"].to_numpy()
+        qi = q.astype("int64")
+        assert np.all(qi == q), "q17 exact-int gate needs integral quantities"
+        t = pd.DataFrame({"pk": sub["l_partkey"].to_numpy(dtype="int64"),
+                          "sq": qi, "cnt": np.ones(len(sub), dtype="int64")})
+        return t.groupby("pk", sort=False, as_index=False).sum()
+
+    stats = bucketed_group_reduce(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]),
+        ["pk"], q_partial,
+        lambda g: g.groupby("pk", sort=False, as_index=False)[["sq", "cnt"]].sum(),
+        n_buckets=16,
+    ).to_pandas()
+    if stats.empty:
+        return pd.DataFrame({"lost_cents": [0], "avg_yearly_cents": [0]}).astype("int64")
+    thr_ref = _ray.put(
+        {int(r.pk): (int(r.sq), int(r.cnt)) for r in stats.itertuples()}
+    )
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        thr = _ray.get(thr_ref)
+        sub = df.loc[df["l_partkey"].isin(thr)]
+        if sub.empty:
+            return pd.DataFrame({"c": [0]}).astype("int64")
+        q = sub["l_quantity"].to_numpy().astype("int64")
+        sq = np.array([thr[int(k)][0] for k in sub["l_partkey"]], dtype="int64")
+        cnt = np.array([thr[int(k)][1] for k in sub["l_partkey"]], dtype="int64")
+        cents = _round_half_away(sub["l_extendedprice"].to_numpy() * 100.0)
+        return pd.DataFrame({"c": [int(cents[5 * q * cnt < sq].sum())]})
+
+    total = int(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(rev_partial, batch_format="pandas")
+        .to_pandas()["c"].sum()
+    )
+    return pd.DataFrame(
+        {"lost_cents": [total], "avg_yearly_cents": [total // 7]}
+    ).astype("int64")
+
+
 def q18_large_orders(sf_dir: str):
     """TPC-H Q18 shape: customers behind orders totalling > 250 units.
     Scale shape: the quantity sum per order is a bucketed pre-aggregated
@@ -7551,6 +7619,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "user_retention_cohorts": user_retention_cohorts,
     "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
@@ -7816,6 +7885,21 @@ SQL: dict[str, str] = {
                                       ELSE 0 END)
                      + sum(l.cents) // 2) // sum(l.cents) AS BIGINT) AS promo_bp
         FROM l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    "q17_small_quantity_revenue": """
+        WITH b AS (SELECT min(p_brand) AS brand FROM part),
+             pk AS (SELECT p_partkey FROM part, b WHERE p_brand = b.brand),
+             st AS (SELECT l_partkey AS spk,
+                           sum(CAST(round(l_quantity) AS BIGINT)) AS sq,
+                           CAST(count(*) AS BIGINT) AS cnt
+                    FROM lineitem JOIN pk ON l_partkey = p_partkey
+                    GROUP BY l_partkey),
+             r AS (SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+                   FROM lineitem l JOIN st ON l.l_partkey = st.spk
+                   WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * st.cnt < st.sq)
+        SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS lost_cents,
+               CAST(coalesce(sum(cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+        FROM r
     """,
     "q18_large_orders": """
         SELECT c.c_name, c.c_custkey, o.o_orderkey,
