@@ -5616,6 +5616,444 @@ def q7_nation_volume(sf_dir: str):
     return out
 
 
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one nation's share of a region's revenue in one part
+    type, per order year. All selectors are data-derived (min r_name /
+    p_type / n_name) so no literals bake in.
+
+    Scale shape: THREE dimension broadcasts prune both big sides before the
+    single unavoidable exchange — the part-type partkey set and the
+    supplier->nation map shrink lineitem inside its scan tasks; the
+    region-customer key set and the 2-year window shrink orders inside its
+    scan tasks — then one tagged-union bucketed co-partition on orderkey.
+    Revenue is integer cents end to end and the share is exact-integer
+    basis points ((10000*t + total//2)//total), so the DuckDB oracle
+    matches bit for bit."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    nat = _read_small(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    rkey = int(reg.loc[reg["r_name"] == reg["r_name"].min(), "r_regionkey"].iloc[0])
+    region_nations = set(
+        int(x) for x in nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"]
+    )
+    target_nation = nat["n_name"].min()
+    target_keys = set(
+        int(x) for x in nat.loc[nat["n_name"] == target_nation, "n_nationkey"]
+    )
+
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_type"])
+    pk_ref = _ray.put(
+        set(int(x) for x in part.loc[part["p_type"] == part["p_type"].min(),
+                                     "p_partkey"])
+    )
+    sup = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sup_ref = _ray.put(
+        {int(k): int(v) in target_keys
+         for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])}
+    )
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_ref = _ray.put(
+        set(int(k) for k, v in zip(cust["c_custkey"], cust["c_nationkey"])
+            if int(v) in region_nations)
+    )
+
+    def l_proj(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.loc[df["l_partkey"].isin(_ray.get(pk_ref))]
+        is_t = sub["l_suppkey"].map(_ray.get(sup_ref)).to_numpy(dtype=bool)
+        cents = _round_half_away(
+            sub["l_extendedprice"].to_numpy()
+            * (1.0 - sub["l_discount"].to_numpy()) * 100.0
+        )
+        return pd.DataFrame(
+            {"okey": sub["l_orderkey"].to_numpy(dtype="int64"),
+             "cents": cents,
+             "t_cents": np.where(is_t, cents, 0).astype("int64"),
+             "o_year": np.int64(0), "side": np.int8(0)}
+        )
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (df["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+            & (df["o_orderdate"] < pd.Timestamp("1998-01-01"))
+            & df["o_custkey"].isin(_ray.get(cust_ref))
+        )
+        sub = df.loc[m]
+        return pd.DataFrame(
+            {"okey": sub["o_orderkey"].to_numpy(dtype="int64"),
+             "cents": np.int64(0), "t_cents": np.int64(0),
+             "o_year": sub["o_orderdate"].dt.year.astype("int64"),
+             "side": np.int8(1)}
+        )
+
+    both = (
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"])
+        .map_batches(l_proj, batch_format="pandas")
+        .union(
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+                o_proj, batch_format="pandas"
+            )
+        )
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0]
+        od = g.loc[g["side"] == 1, ["okey", "o_year"]].drop_duplicates("okey")
+        m = li.drop(columns=["o_year"]).merge(od, on="okey")
+        return m.groupby("o_year", sort=False, as_index=False)[
+            ["cents", "t_cents"]
+        ].sum()
+
+    parts = bucketed_group_reduce(
+        both, ["okey"], lambda df: df, per_bucket, n_buckets=64
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"o_year": pd.Series([], dtype="int64"),
+             "target_cents": pd.Series([], dtype="int64"),
+             "total_cents": pd.Series([], dtype="int64"),
+             "share_bp": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby("o_year", sort=False, as_index=False)[
+        ["cents", "t_cents"]
+    ].sum()
+    total = out["cents"].to_numpy(dtype="int64")
+    targ = out["t_cents"].to_numpy(dtype="int64")
+    share = np.where(total > 0, (10000 * targ + total // 2) // np.where(
+        total > 0, total, 1), 0).astype("int64")
+    return pd.DataFrame(
+        {"o_year": out["o_year"].astype("int64"), "target_cents": targ,
+         "total_cents": total, "share_bp": share}
+    )
+
+
+def q9_nation_profit(sf_dir: str):
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for parts
+    whose name contains 'a'. The corpus has no partsupp table, so unit cost
+    is the part's retail price (documented adaptation; the join/aggregate
+    topology is Q9's).
+
+    Scale shape: part->cost and supplier->nation broadcast once and prune /
+    annotate lineitem inside its scan tasks; the one big-big exchange is
+    lineitem x orders on orderkey (tagged union, bucketed); profit is
+    exact integer cents (revenue cents minus cost_cents*qty), so the
+    oracle matches to the cent."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    sel = part.loc[part["p_name"].str.contains("a", regex=False)]
+    cost_ref = _ray.put(
+        dict(zip((int(k) for k in sel["p_partkey"]),
+                 (int(c) for c in _cents(sel["p_retailprice"]))))
+    )
+    sup = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup_ref = _ray.put(
+        {int(k): nname[int(v)] for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])}
+    )
+
+    def l_proj(df: pd.DataFrame) -> pd.DataFrame:
+        cost = _ray.get(cost_ref)
+        sub = df.loc[df["l_partkey"].isin(cost)]
+        qty = sub["l_quantity"].to_numpy()
+        qi = qty.astype("int64")
+        assert np.all(qi == qty), "q9 exact-int profit needs integral quantities"
+        rev = _round_half_away(
+            sub["l_extendedprice"].to_numpy()
+            * (1.0 - sub["l_discount"].to_numpy()) * 100.0
+        )
+        ucost = np.fromiter(
+            (cost[int(k)] for k in sub["l_partkey"]), dtype="int64", count=len(sub)
+        )
+        return pd.DataFrame(
+            {"okey": sub["l_orderkey"].to_numpy(dtype="int64"),
+             "nation": sub["l_suppkey"].map(_ray.get(sup_ref)),
+             "amount": rev - ucost * qi,
+             "o_year": np.int64(0), "side": np.int8(0)}
+        )
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df["o_orderkey"].to_numpy(dtype="int64"),
+             "nation": "", "amount": np.int64(0),
+             "o_year": df["o_orderdate"].dt.year.astype("int64"),
+             "side": np.int8(1)}
+        )
+
+    both = (
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+               "l_extendedprice", "l_discount"])
+        .map_batches(l_proj, batch_format="pandas")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+                o_proj, batch_format="pandas"
+            )
+        )
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0]
+        od = g.loc[g["side"] == 1, ["okey", "o_year"]].drop_duplicates("okey")
+        m = li.drop(columns=["o_year"]).merge(od, on="okey")
+        return m.groupby(["nation", "o_year"], sort=False, as_index=False)[
+            "amount"
+        ].sum()
+
+    parts = bucketed_group_reduce(
+        both, ["okey"], lambda df: df, per_bucket, n_buckets=64
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"nation": pd.Series([], dtype=object),
+             "o_year": pd.Series([], dtype="int64"),
+             "profit_cents": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby(["nation", "o_year"], sort=False, as_index=False)[
+        "amount"
+    ].sum().rename(columns={"amount": "profit_cents"})
+    out["o_year"] = out["o_year"].astype("int64")
+    out["profit_cents"] = out["profit_cents"].astype("int64")
+    return out
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose shipped inventory value from one
+    nation's suppliers exceeds 1/1000 of that nation's total (the
+    HAVING-vs-scalar-subquery query). No partsupp table, so value =
+    sum(qty * retail_cents) over lineitems (documented adaptation).
+
+    Scale shape: the nation's supplier key set and the part->retail-cents
+    map broadcast once and prune lineitem inside its scan tasks; per-batch
+    (partkey, value) partials collapse in ONE bucketed exchange of
+    part-cardinality rows; the global total and the 1000*value > total
+    gate are exact integers on the driver over the already-small per-part
+    table."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    nat = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nkey = set(
+        int(x) for x in nat.loc[nat["n_name"] == nat["n_name"].min(),
+                                "n_nationkey"]
+    )
+    sup = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sup_ref = _ray.put(
+        set(int(k) for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])
+            if int(v) in nkey)
+    )
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    cost_ref = _ray.put(
+        dict(zip((int(k) for k in part["p_partkey"]),
+                 (int(c) for c in _cents(part["p_retailprice"]))))
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.loc[df["l_suppkey"].isin(_ray.get(sup_ref))]
+        qty = sub["l_quantity"].to_numpy()
+        qi = qty.astype("int64")
+        assert np.all(qi == qty), "q11 exact-int value needs integral quantities"
+        cost = _ray.get(cost_ref)
+        val = qi * np.fromiter(
+            (cost[int(k)] for k in sub["l_partkey"]), dtype="int64", count=len(sub)
+        )
+        t = pd.DataFrame(
+            {"p_partkey": sub["l_partkey"].to_numpy(dtype="int64"), "value": val}
+        )
+        return t.groupby("p_partkey", sort=False, as_index=False).sum()
+
+    per_part = bucketed_group_reduce(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]),
+        ["p_partkey"], partial,
+        lambda g: g.groupby("p_partkey", sort=False, as_index=False)["value"].sum(),
+        n_buckets=16,
+    ).to_pandas()
+    if per_part.empty:
+        return pd.DataFrame(
+            {"p_partkey": pd.Series([], dtype="int64"),
+             "value_cents": pd.Series([], dtype="int64")}
+        )
+    total = int(per_part["value"].sum())
+    keep = per_part.loc[1000 * per_part["value"].astype("int64") > total]
+    return pd.DataFrame(
+        {"p_partkey": keep["p_partkey"].astype("int64"),
+         "value_cents": keep["value"].astype("int64")}
+    ).reset_index(drop=True)
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a 3-month
+    ship window (the view + MAX-subquery query, ties included).
+
+    Scale shape: the window filter prunes inside the scan tasks; revenue
+    collapses to supplier cardinality in ONE pre-aggregated exchange; the
+    MAX and tie filter run on the driver over that small table and the
+    name lookup is a driver-side merge of the supplier dimension. Integer
+    cents end to end."""
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= pd.Timestamp("1996-01-01")) & (
+            df["l_shipdate"] < pd.Timestamp("1996-04-01")
+        )
+        sub = df.loc[m]
+        t = pd.DataFrame(
+            {"s_suppkey": sub["l_suppkey"].to_numpy(dtype="int64"),
+             "cents": _round_half_away(
+                 sub["l_extendedprice"].to_numpy()
+                 * (1.0 - sub["l_discount"].to_numpy()) * 100.0
+             )}
+        )
+        return t.groupby("s_suppkey", sort=False, as_index=False).sum()
+
+    from .bucketed import bucketed_group_reduce
+
+    rev = bucketed_group_reduce(
+        li, ["s_suppkey"], partial,
+        lambda g: g.groupby("s_suppkey", sort=False, as_index=False)["cents"].sum(),
+        n_buckets=16,
+    ).to_pandas()
+    if rev.empty:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "s_name": pd.Series([], dtype=object),
+             "total_cents": pd.Series([], dtype="int64")}
+        )
+    best = int(rev["cents"].max())
+    top = rev.loc[rev["cents"] == best].copy()
+    names = _read_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = top.merge(names, on="s_suppkey")
+    return pd.DataFrame(
+        {"s_suppkey": out["s_suppkey"].astype("int64"),
+         "s_name": out["s_name"],
+         "total_cents": out["cents"].astype("int64")}
+    ).reset_index(drop=True)
+
+
+def q20_concentrated_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers holding an outsized share of a part
+    family's flow (parts whose name starts with the data-derived first
+    letter of min(p_name)). No partsupp availqty, so "outsized" = shipped
+    quantity above 2x the part's fair share (2*part_total < qty*n_suppliers,
+    exact integers — documented adaptation of Q20's half-of-availqty gate).
+
+    Scale shape: the part-family key set broadcasts and prunes lineitem in
+    the scan tasks; per-batch (part, supplier, qty) partials collapse in
+    ONE bucketed exchange keyed on partkey so each bucket holds every
+    supplier row of its parts — the fair-share comparison is bucket-local;
+    the per-supplier rollup and name lookup run on the driver over
+    supplier-cardinality rows."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_name"])
+    prefix = str(part["p_name"].min())[0]
+    pk_ref = _ray.put(
+        set(int(x) for x in part.loc[part["p_name"].str.startswith(prefix),
+                                     "p_partkey"])
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.loc[df["l_partkey"].isin(_ray.get(pk_ref))]
+        qty = sub["l_quantity"].to_numpy()
+        qi = qty.astype("int64")
+        assert np.all(qi == qty), "q20 exact-int gate needs integral quantities"
+        t = pd.DataFrame(
+            {"pk": sub["l_partkey"].to_numpy(dtype="int64"),
+             "sk": sub["l_suppkey"].to_numpy(dtype="int64"), "q": qi}
+        )
+        return t.groupby(["pk", "sk"], sort=False, as_index=False).sum()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["pk", "sk"], sort=False, as_index=False)["q"].sum()
+        tot = ps.groupby("pk", sort=False)["q"].transform("sum")
+        nsup = ps.groupby("pk", sort=False)["q"].transform("size")
+        keep = ps.loc[2 * tot < ps["q"] * nsup, ["sk"]]
+        keep = keep.groupby("sk", sort=False, as_index=False).size()
+        return keep.rename(columns={"size": "n_parts"})
+
+    per_supp = bucketed_group_reduce(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]),
+        ["pk"], partial, per_bucket, n_buckets=16,
+    ).to_pandas()
+    if per_supp.empty:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "s_name": pd.Series([], dtype=object),
+             "n_parts": pd.Series([], dtype="int64")}
+        )
+    agg = per_supp.groupby("sk", sort=False, as_index=False)["n_parts"].sum()
+    names = _read_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = agg.rename(columns={"sk": "s_suppkey"}).merge(names, on="s_suppkey")
+    return pd.DataFrame(
+        {"s_suppkey": out["s_suppkey"].astype("int64"), "s_name": out["s_name"],
+         "n_parts": out["n_parts"].astype("int64")}
+    ).reset_index(drop=True)
+
+
+def q21_sole_return_supplier(sf_dir: str):
+    """TPC-H Q21 shape: suppliers who were the ONLY supplier with returned
+    lines on a multi-supplier order (the EXISTS + NOT-EXISTS query; the
+    corpus has no commit/receipt dates, so "kept waiting" maps to
+    l_returnflag = 'R' — documented adaptation preserving the exactly-one-
+    culprit-among-many semantics).
+
+    Scale shape: per-batch (order, supplier, returned-count) partials
+    collapse in ONE bucketed exchange keyed on orderkey, so each bucket
+    sees every supplier row of its orders and the exists/not-exists test is
+    a bucket-local vectorized transform; the per-supplier rollup and name
+    lookup run on the driver over supplier-cardinality rows."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"okey": df["l_orderkey"].to_numpy(dtype="int64"),
+             "sk": df["l_suppkey"].to_numpy(dtype="int64"),
+             "r": (df["l_returnflag"] == "R").to_numpy(dtype="int64")}
+        )
+        return t.groupby(["okey", "sk"], sort=False, as_index=False).sum()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["okey", "sk"], sort=False, as_index=False)["r"].sum()
+        nsup = ps.groupby("okey", sort=False)["sk"].transform("size")
+        nret = (
+            ps.assign(has_r=(ps["r"] > 0).astype("int64"))
+            .groupby("okey", sort=False)["has_r"].transform("sum")
+        )
+        keep = ps.loc[(nsup >= 2) & (nret == 1) & (ps["r"] > 0), ["sk"]]
+        keep = keep.groupby("sk", sort=False, as_index=False).size()
+        return keep.rename(columns={"size": "numwait"})
+
+    per_supp = bucketed_group_reduce(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"]),
+        ["okey"], partial, per_bucket, n_buckets=32,
+    ).to_pandas()
+    if per_supp.empty:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "s_name": pd.Series([], dtype=object),
+             "numwait": pd.Series([], dtype="int64")}
+        )
+    agg = per_supp.groupby("sk", sort=False, as_index=False)["numwait"].sum()
+    names = _read_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = agg.rename(columns={"sk": "s_suppkey"}).merge(names, on="s_suppkey")
+    return pd.DataFrame(
+        {"s_suppkey": out["s_suppkey"].astype("int64"), "s_name": out["s_name"],
+         "numwait": out["numwait"].astype("int64")}
+    ).reset_index(drop=True)
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -7621,6 +8059,12 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
+    "q8_market_share": q8_market_share,
+    "q9_nation_profit": q9_nation_profit,
+    "q11_important_parts": q11_important_parts,
+    "q15_top_supplier": q15_top_supplier,
+    "q20_concentrated_suppliers": q20_concentrated_suppliers,
+    "q21_sole_return_supplier": q21_sole_return_supplier,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -7912,6 +8356,114 @@ SQL: dict[str, str] = {
               HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250) s
         JOIN orders o ON s.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "q8_market_share": """
+        WITH reg AS (SELECT r_regionkey FROM region
+                     WHERE r_name = (SELECT min(r_name) FROM region)),
+             cust AS (SELECT c_custkey FROM customer
+                      WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                                            JOIN reg ON n_regionkey
+                                                        = r_regionkey)),
+             tsup AS (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = (SELECT min(n_name) FROM nation)),
+             pk AS (SELECT p_partkey FROM part
+                    WHERE p_type = (SELECT min(p_type) FROM part)),
+             base AS (
+               SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                      CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT) AS cents,
+                      CASE WHEN l.l_suppkey IN (SELECT s_suppkey FROM tsup)
+                           THEN CAST(round(l.l_extendedprice
+                                           * (1 - l.l_discount) * 100) AS BIGINT)
+                           ELSE 0 END AS t_cents
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN pk ON l.l_partkey = pk.p_partkey
+               WHERE o.o_orderdate >= DATE '1996-01-01'
+                 AND o.o_orderdate < DATE '1998-01-01'
+                 AND o.o_custkey IN (SELECT c_custkey FROM cust))
+        SELECT o_year,
+               CAST(sum(t_cents) AS BIGINT) AS target_cents,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(CASE WHEN sum(cents) > 0
+                         THEN (10000 * sum(t_cents) + sum(cents) // 2)
+                              // sum(cents)
+                         ELSE 0 END AS BIGINT) AS share_bp
+        FROM base GROUP BY o_year
+    """,
+    "q9_nation_profit": """
+        WITH sel AS (SELECT p_partkey,
+                            CAST(round(p_retailprice * 100) AS BIGINT) AS cost
+                     FROM part WHERE p_name LIKE '%a%'),
+             sn AS (SELECT s_suppkey, n_name FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey)
+        SELECT sn.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)
+                        - sel.cost * CAST(round(l.l_quantity) AS BIGINT))
+                    AS BIGINT) AS profit_cents
+        FROM lineitem l
+        JOIN sel ON l.l_partkey = sel.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN sn ON l.l_suppkey = sn.s_suppkey
+        GROUP BY 1, 2
+    """,
+    "q11_important_parts": """
+        WITH ns AS (SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = (SELECT min(n_name) FROM nation)),
+             pv AS (SELECT l_partkey AS p_partkey,
+                           sum(CAST(round(l_quantity) AS BIGINT)
+                               * CAST(round(p_retailprice * 100) AS BIGINT))
+                             AS value_cents
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE l_suppkey IN (SELECT s_suppkey FROM ns)
+                    GROUP BY l_partkey)
+        SELECT p_partkey, CAST(value_cents AS BIGINT) AS value_cents
+        FROM pv WHERE 1000 * value_cents > (SELECT sum(value_cents) FROM pv)
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (SELECT l_suppkey AS s_suppkey,
+                            sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                           * 100) AS BIGINT)) AS cents
+                     FROM lineitem
+                     WHERE l_shipdate >= DATE '1996-01-01'
+                       AND l_shipdate < DATE '1996-04-01'
+                     GROUP BY 1)
+        SELECT r.s_suppkey, s.s_name, CAST(r.cents AS BIGINT) AS total_cents
+        FROM rev r JOIN supplier s USING (s_suppkey)
+        WHERE r.cents = (SELECT max(cents) FROM rev)
+    """,
+    "q20_concentrated_suppliers": """
+        WITH fam AS (SELECT p_partkey FROM part
+                     WHERE substr(p_name, 1, 1) =
+                           (SELECT substr(min(p_name), 1, 1) FROM part)),
+             ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                           sum(CAST(round(l_quantity) AS BIGINT)) AS q
+                    FROM lineitem JOIN fam ON l_partkey = p_partkey
+                    GROUP BY 1, 2),
+             pt AS (SELECT pk, sum(q) AS tq, count(*) AS nsup FROM ps GROUP BY 1),
+             hit AS (SELECT ps.sk FROM ps JOIN pt USING (pk)
+                     WHERE 2 * pt.tq < ps.q * pt.nsup)
+        SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_parts
+        FROM hit JOIN supplier s ON hit.sk = s.s_suppkey
+        GROUP BY 1, 2
+    """,
+    "q21_sole_return_supplier": """
+        WITH ps AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+                           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                             AS r
+                    FROM lineitem GROUP BY 1, 2),
+             o AS (SELECT ok, count(*) AS nsup,
+                          sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS nret
+                   FROM ps GROUP BY 1),
+             hit AS (SELECT ps.sk FROM ps JOIN o USING (ok)
+                     WHERE o.nsup >= 2 AND o.nret = 1 AND ps.r > 0)
+        SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM hit JOIN supplier s ON hit.sk = s.s_suppkey
+        GROUP BY 1, 2
     """,
     "q7_nation_volume": """
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
