@@ -199,6 +199,13 @@ def run_queries() -> dict[str, float]:
         "bm25_topk",
         "neardup_triangles",
         "tombstone_delete_audit",
+        "q17_small_quantity_revenue",
+        "q8_market_share",
+        "q9_nation_profit",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q20_concentrated_suppliers",
+        "q21_sole_return_supplier",
     ]
     out = {}
     for name in picks:
