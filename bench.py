@@ -206,6 +206,9 @@ def run_queries() -> dict[str, float]:
         "q15_top_supplier",
         "q20_concentrated_suppliers",
         "q21_sole_return_supplier",
+        "scd2_user_value_history",
+        "turn_handoff_latency",
+        "unpivot_doc_metrics",
     ]
     out = {}
     for name in picks:

@@ -6054,6 +6054,165 @@ def q21_sole_return_supplier(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def scd2_user_value_history(sf_dir: str):
+    """SCD-type-2 history build over the events stream: each user's events
+    become validity intervals — valid_from = the event's timestamp,
+    valid_to = the next event's timestamp for that user (-1 sentinel for
+    the current/open row). The dimension-history construction every
+    warehouse-style training-metadata pipeline needs (who was in what
+    state when), done as a distributed interval build rather than a
+    window function over a single node.
+
+    Scale shape: the per-batch partial ships only narrow int64 columns
+    (user, ts micros, event id, value micro-units) — props/type never
+    move; ONE bucketed exchange on user_id co-locates each user's rows,
+    and the in-bucket LEAD is one vectorized sort + shift over the whole
+    bucket (no per-user Python). Timestamps are exact epoch micros and
+    value is micro-units, so the DuckDB window-function oracle matches
+    bit for bit."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(dtype="int64"),
+             "event_id": df["event_id"].to_numpy(dtype="int64"),
+             "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+             "value_e6": _round_half_away(df["value"].to_numpy() * 1e6)}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        ts = g["ts_us"].to_numpy(dtype="int64")
+        uid = g["user_id"].to_numpy(dtype="int64")
+        valid_to = np.full(len(g), -1, dtype="int64")
+        if len(g) > 1:
+            same = uid[1:] == uid[:-1]
+            valid_to[:-1] = np.where(same, ts[1:], -1)
+        return pd.DataFrame(
+            {"user_id": uid, "event_id": g["event_id"].to_numpy(dtype="int64"),
+             "value_e6": g["value_e6"].to_numpy(dtype="int64"),
+             "valid_from_us": ts, "valid_to_us": valid_to}
+        )
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]),
+        ["user_id"], partial, reduce, n_buckets=64,
+    )
+
+
+def turn_handoff_latency(sf_dir: str):
+    """Role-handoff latency matrix over the derived transcript corpus: for
+    every pair of consecutive turns in a conversation, the (from_role,
+    to_role) transition with count, total and mean latency — the audit a
+    conversation pipeline runs to size timeouts and spot slow tool loops.
+    Roles are the deterministic assignment shared with ``conv_role_audit``;
+    per-turn timestamps are the deterministic arithmetic ts_us =
+    (doc_id % 97)*1e6 + turn_idx*((doc_id % 7)+1)*1e3 (micros), so the
+    oracle reproduces latencies exactly (the transcript table's ts column
+    at production scale; derived here so DuckDB can mirror it).
+
+    Scale shape: adjacency needs a conversation's turns together, so ONE
+    bucketed exchange on conv_id ships narrow (conv, idx, role, ts) int
+    rows — text never moves; the in-bucket LAG is a vectorized sort +
+    shift over the whole bucket and the final rollup is a at-most-16-row
+    driver reduce. Integer micros end to end."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc = df["conv_id"].str.slice(4).astype("int64")
+        idx = df["turn_idx"].astype("int64")
+        role = np.where(
+            idx == 0, 0,
+            np.where((doc + idx) % 7 == 0, 3, np.where(idx % 2 == 1, 1, 2)),
+        ).astype("int64")
+        ts_us = (doc % 97) * 1_000_000 + idx * ((doc % 7) + 1) * 1_000
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"], "turn_idx": idx,
+             "role": role, "ts_us": ts_us.astype("int64")}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          kind="stable").reset_index(drop=True)
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"from_role": pd.Series([], dtype="int64"),
+                 "to_role": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "total_us": pd.Series([], dtype="int64")}
+            )
+        same = (g["conv_id"].to_numpy()[1:] == g["conv_id"].to_numpy()[:-1])
+        role = g["role"].to_numpy(dtype="int64")
+        ts = g["ts_us"].to_numpy(dtype="int64")
+        t = pd.DataFrame(
+            {"from_role": role[:-1][same], "to_role": role[1:][same],
+             "lat": (ts[1:] - ts[:-1])[same]}
+        )
+        out = t.groupby(["from_role", "to_role"], sort=False, as_index=False).agg(
+            n=("lat", "size"), total_us=("lat", "sum")
+        )
+        out["n"] = out["n"].astype("int64")
+        out["total_us"] = out["total_us"].astype("int64")
+        return out
+
+    parts = bucketed_group_reduce(
+        _docs_to_transcripts(sf_dir).select_columns(["conv_id", "turn_idx"]),
+        ["conv_id"], partial, reduce, n_buckets=64,
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"from_role": pd.Series([], dtype="int64"),
+             "to_role": pd.Series([], dtype="int64"),
+             "n_handoffs": pd.Series([], dtype="int64"),
+             "total_us": pd.Series([], dtype="int64"),
+             "mean_us": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby(["from_role", "to_role"], sort=False, as_index=False)[
+        ["n", "total_us"]
+    ].sum()
+    return pd.DataFrame(
+        {"from_role": out["from_role"].astype("int64"),
+         "to_role": out["to_role"].astype("int64"),
+         "n_handoffs": out["n"].astype("int64"),
+         "total_us": out["total_us"].astype("int64"),
+         "mean_us": (out["total_us"] // out["n"]).astype("int64")}
+    )
+
+
+def unpivot_doc_metrics(sf_dir: str):
+    """UNPIVOT/melt relational operator: the per-document metric columns
+    (chars, whitespace tokens, lines) turned into tall (doc_id, metric,
+    value) rows — the wide-to-long reshape feeding metric stores and
+    per-metric quantile jobs.
+
+    Scale shape: a pure stateless flat map (3 output rows per input row,
+    no shuffle, no state); metrics are computed vectorized per batch and
+    the text column never leaves the scan task."""
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        from .textstats import _tokens
+
+        doc = df["doc_id"].to_numpy(dtype="int64")
+        n_chars = df["n_chars"].to_numpy(dtype="int64")
+        n_tokens = np.array(
+            [len(_tokens(t)) for t in df["text"]], dtype="int64"
+        )
+        n_lines = np.array(
+            [t.count("\n") + 1 if t else 0 for t in df["text"]], dtype="int64"
+        )
+        return pd.DataFrame(
+            {"doc_id": np.concatenate([doc, doc, doc]),
+             "metric": np.repeat(
+                 np.array(["n_chars", "n_tokens", "n_lines"], dtype=object),
+                 len(doc)),
+             "value": np.concatenate([n_chars, n_tokens, n_lines])}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
+        melt, batch_format="pandas"
+    )
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -8065,6 +8224,9 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q20_concentrated_suppliers": q20_concentrated_suppliers,
     "q21_sole_return_supplier": q21_sole_return_supplier,
+    "scd2_user_value_history": scd2_user_value_history,
+    "turn_handoff_latency": turn_handoff_latency,
+    "unpivot_doc_metrics": unpivot_doc_metrics,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -11195,4 +11357,71 @@ SQL["pdf_reading_order"] = r"""
            CAST(ceil(len(d.toks) / 8.0) AS BIGINT) AS n_lines,
            coalesce(a.extracted, '') AS extracted
     FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+SQL["scd2_user_value_history"] = r"""
+        SELECT user_id, event_id,
+               CAST(round(value * 1000000) AS BIGINT) AS value_e6,
+               CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+               CAST(coalesce(
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), -1)
+                    AS BIGINT) AS valid_to_us
+        FROM events
+"""
+
+SQL["turn_handoff_latency"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                 greatest(CAST(ceil(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                                    x -> x <> '')) / 12.0) AS BIGINT),
+                          1) AS nchunks
+          FROM documents
+        ),
+        turns AS (
+          SELECT doc_id, conv_id, CAST(0 AS BIGINT) AS idx FROM d
+          UNION ALL
+          SELECT doc_id, conv_id, CAST(1 AS BIGINT) FROM d WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, conv_id, CAST(i AS BIGINT)
+          FROM d, unnest(range(2, nchunks + 2)) AS r(i)
+        ),
+        rt AS (
+          SELECT conv_id, idx,
+                 CASE WHEN idx = 0 THEN 0
+                      WHEN (doc_id + idx) % 7 = 0 THEN 3
+                      WHEN idx % 2 = 1 THEN 1 ELSE 2 END AS role,
+                 (doc_id % 97) * 1000000 + idx * ((doc_id % 7) + 1) * 1000 AS ts_us
+          FROM turns
+        ),
+        seq AS (
+          SELECT conv_id, role, ts_us,
+                 lag(role) OVER (PARTITION BY conv_id ORDER BY idx) AS prev_role,
+                 lag(ts_us) OVER (PARTITION BY conv_id ORDER BY idx) AS prev_ts
+          FROM rt
+        )
+        SELECT CAST(prev_role AS BIGINT) AS from_role,
+               CAST(role AS BIGINT) AS to_role,
+               CAST(count(*) AS BIGINT) AS n_handoffs,
+               CAST(sum(ts_us - prev_ts) AS BIGINT) AS total_us,
+               CAST(sum(ts_us - prev_ts) // count(*) AS BIGINT) AS mean_us
+        FROM seq WHERE prev_role IS NOT NULL
+        GROUP BY 1, 2
+"""
+
+SQL["unpivot_doc_metrics"] = r"""
+        WITH m AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens,
+                 CASE WHEN text = '' THEN 0
+                      ELSE len(string_split(text, chr(10))) END AS n_lines
+          FROM documents
+        )
+        SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM m
+        UNION ALL
+        SELECT doc_id, 'n_tokens', n_tokens FROM m
+        UNION ALL
+        SELECT doc_id, 'n_lines', CAST(n_lines AS BIGINT) FROM m
 """
