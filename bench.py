@@ -209,6 +209,7 @@ def run_queries() -> dict[str, float]:
         "scd2_user_value_history",
         "turn_handoff_latency",
         "unpivot_doc_metrics",
+        "curriculum_order_docs",
     ]
     out = {}
     for name in picks:

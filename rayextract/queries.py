@@ -6213,6 +6213,44 @@ def unpivot_doc_metrics(sf_dir: str):
     )
 
 
+def curriculum_order_docs(sf_dir: str):
+    """Curriculum ordering: globally rank documents by length (a difficulty
+    proxy) and assign each to one of 4 curriculum stages — the
+    shortest-first schedule a curriculum-training pipeline feeds its
+    sampler. Exercises the distributed global row_number/ntile operator
+    (relational.global_rank): bin-histogram offsets + ONE bucketed range
+    exchange, no global sort barrier, nothing corpus-sized on the driver.
+
+    Stage boundaries are DuckDB ntile(4) semantics exactly (first N%4
+    tiles take the extra row), so the oracle matches bit for bit."""
+    from .relational import global_rank
+
+    ranked, total = global_rank(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        "n_chars", "doc_id", bin_width=256,
+    )
+    q4, r4 = divmod(total, 4)
+
+    def stage(df: pd.DataFrame) -> pd.DataFrame:
+        rank = df["rank"].to_numpy(dtype="int64")
+        if q4 == 0:
+            st = rank
+        else:
+            boundary = r4 * (q4 + 1)
+            st = np.where(
+                rank <= boundary,
+                (rank - 1) // (q4 + 1) + 1,
+                r4 + (rank - 1 - boundary) // q4 + 1,
+            )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "n_chars": df["n_chars"].astype("int64"),
+             "rank": rank, "stage": st.astype("int64")}
+        )
+
+    return ranked.map_batches(stage, batch_format="pandas")
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -8227,6 +8265,7 @@ QUERIES = {
     "scd2_user_value_history": scd2_user_value_history,
     "turn_handoff_latency": turn_handoff_latency,
     "unpivot_doc_metrics": unpivot_doc_metrics,
+    "curriculum_order_docs": curriculum_order_docs,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -11424,4 +11463,14 @@ SQL["unpivot_doc_metrics"] = r"""
         SELECT doc_id, 'n_tokens', n_tokens FROM m
         UNION ALL
         SELECT doc_id, 'n_lines', CAST(n_lines AS BIGINT) FROM m
+"""
+
+SQL["curriculum_order_docs"] = r"""
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS rank,
+               CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS stage
+        FROM documents
 """
