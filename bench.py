@@ -210,6 +210,8 @@ def run_queries() -> dict[str, float]:
         "turn_handoff_latency",
         "unpivot_doc_metrics",
         "curriculum_order_docs",
+        "cube_orders",
+        "span_interval_islands",
     ]
     out = {}
     for name in picks:

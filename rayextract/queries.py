@@ -6251,6 +6251,123 @@ def curriculum_order_docs(sf_dir: str):
     return ranked.map_batches(stage, batch_format="pandas")
 
 
+def cube_orders(sf_dir: str):
+    """GROUP BY CUBE over orders: every subtotal combination of (status,
+    order year, priority) with order count and total cents — the full
+    OLAP cube (8 grouping sets; ``rollup_orders_status_year`` covers the
+    hierarchical prefix subset).
+
+    Scale shape: ONE pre-aggregated exchange at the finest granularity
+    (status x year x priority is ~10^2 cells regardless of corpus size);
+    all 8 grouping sets are re-aggregations of that small cell table on
+    the driver — the fan-out to subtotals never touches the raw rows.
+    Sentinels: 'ALL' for rolled-up strings, -1 for rolled-up year."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"status": df["o_orderstatus"],
+             "o_year": df["o_orderdate"].dt.year.astype("int64"),
+             "priority": df["o_orderpriority"],
+             "n": np.int64(1),
+             "cents": _cents(df["o_totalprice"])}
+        )
+        return t.groupby(["status", "o_year", "priority"], sort=False,
+                         as_index=False).sum()
+
+    from .bucketed import bucketed_group_reduce
+
+    cells = bucketed_group_reduce(
+        _read(sf_dir, "orders",
+              ["o_orderstatus", "o_orderdate", "o_orderpriority",
+               "o_totalprice"]),
+        ["status", "o_year", "priority"], partial,
+        lambda g: g.groupby(["status", "o_year", "priority"], sort=False,
+                            as_index=False)[["n", "cents"]].sum(),
+        n_buckets=16,
+    ).to_pandas()
+    dims = ["status", "o_year", "priority"]
+    outs = []
+    for mask in range(8):
+        keep = [d for i, d in enumerate(dims) if mask & (1 << i)]
+        if keep:
+            g = cells.groupby(keep, sort=False, as_index=False)[
+                ["n", "cents"]
+            ].sum()
+        else:
+            g = pd.DataFrame(
+                {"n": [cells["n"].sum()], "cents": [cells["cents"].sum()]}
+            )
+        for d in dims:
+            if d not in keep:
+                g[d] = -1 if d == "o_year" else "ALL"
+        outs.append(g[dims + ["n", "cents"]])
+    out = pd.concat(outs, ignore_index=True)
+    return pd.DataFrame(
+        {"status": out["status"], "o_year": out["o_year"].astype("int64"),
+         "priority": out["priority"],
+         "n_orders": out["n"].astype("int64"),
+         "total_cents": out["cents"].astype("int64")}
+    )
+
+
+def span_interval_islands(sf_dir: str):
+    """Gaps-and-islands interval merge — the span-coalescing operator an
+    annotation pipeline runs before highlighting or redaction (overlapping
+    entity spans merged into disjoint covered regions). Spans here are the
+    deterministic arithmetic family start = (doc_id*31 + j*57) % (L-7),
+    len = 3 + (doc_id + j) % 5, j < 1 + doc_id % 4 (the transcript table's
+    extracted spans at production scale; derived so DuckDB can mirror).
+
+    Scale shape: span synthesis is stateless per batch; merging needs a
+    doc's spans together, which they already are (generated per row), so
+    the whole operator is ONE map_batches with a vectorized per-batch
+    sort + running-max island scan — no shuffle at all. Output (doc_id,
+    n_spans, n_islands, covered_chars), all exact ints."""
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        doc = df["doc_id"].to_numpy(dtype="int64")
+        L = df["n_chars"].to_numpy(dtype="int64")
+        nsp = 1 + doc % 4
+        # explode: one row per (doc, j)
+        ridx = np.repeat(np.arange(len(doc)), nsp)
+        j = np.concatenate([np.arange(n) for n in nsp]) if len(doc) else \
+            np.array([], dtype="int64")
+        d, l = doc[ridx], L[ridx]
+        start = (d * 31 + j * 57) % (l - 7)
+        end = start + 3 + (d + j) % 5
+        # per-doc island scan: sort by (row, start, j); prev_max = running
+        # max of end within the row segment (pandas cummax = C groupby, no
+        # per-doc Python); new island where start exceeds everything seen
+        order = np.lexsort((j, start, ridx))
+        r, s, e = ridx[order], start[order], end[order]
+        n_isl = np.zeros(len(doc), dtype="int64")
+        covered = np.zeros(len(doc), dtype="int64")
+        if len(r):
+            t = pd.DataFrame({"r": r, "s": s, "e": e})
+            t["prev_max"] = t.groupby("r", sort=False)["e"].cummax().shift(1)
+            seg_first = (t["r"] != t["r"].shift(1)).to_numpy()
+            t.loc[seg_first, "prev_max"] = -1
+            new_isl = (t["s"] > t["prev_max"]).to_numpy()
+            t["g"] = np.cumsum(new_isl)
+            isl = t.groupby(["r", "g"], sort=False).agg(
+                lo=("s", "min"), hi=("e", "max")
+            ).reset_index()
+            per_doc = isl.groupby("r", sort=False).agg(
+                n_islands=("g", "size"), hi_sum=("hi", "sum"),
+                lo_sum=("lo", "sum"),
+            ).reset_index()
+            n_isl[per_doc["r"].to_numpy()] = per_doc["n_islands"].to_numpy()
+            covered[per_doc["r"].to_numpy()] = (
+                per_doc["hi_sum"].to_numpy() - per_doc["lo_sum"].to_numpy()
+            )
+        return pd.DataFrame(
+            {"doc_id": doc, "n_spans": nsp.astype("int64"),
+             "n_islands": n_isl, "covered_chars": covered}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        islands, batch_format="pandas"
+    )
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -8266,6 +8383,8 @@ QUERIES = {
     "turn_handoff_latency": turn_handoff_latency,
     "unpivot_doc_metrics": unpivot_doc_metrics,
     "curriculum_order_docs": curriculum_order_docs,
+    "cube_orders": cube_orders,
+    "span_interval_islands": span_interval_islands,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -11473,4 +11592,62 @@ SQL["curriculum_order_docs"] = r"""
                CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
                    AS stage
         FROM documents
+"""
+
+SQL["cube_orders"] = r"""
+        WITH o AS (
+          SELECT o_orderstatus AS status,
+                 CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                 o_orderpriority AS priority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        )
+        SELECT coalesce(status, 'ALL') AS status,
+               CAST(coalesce(yr, -1) AS BIGINT) AS o_year,
+               coalesce(priority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM o GROUP BY CUBE (status, yr, priority)
+"""
+
+SQL["span_interval_islands"] = r"""
+        WITH d AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS L,
+                 CAST(1 + doc_id % 4 AS BIGINT) AS nsp
+          FROM documents
+        ),
+        sp AS (
+          SELECT doc_id, nsp, CAST(j AS BIGINT) AS j,
+                 (doc_id * 31 + j * 57) % (L - 7) AS s,
+                 (doc_id * 31 + j * 57) % (L - 7) + 3 + (doc_id + j) % 5 AS e
+          FROM d, unnest(range(nsp)) AS r(j)
+        ),
+        w AS (
+          SELECT doc_id, nsp, j, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s, j
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+          FROM sp
+        ),
+        fl AS (
+          SELECT doc_id, nsp, j, s, e,
+                 CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END AS ni
+          FROM w
+        ),
+        g AS (
+          SELECT doc_id, nsp, s, e,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY s, j
+                               ROWS UNBOUNDED PRECEDING) AS gid
+          FROM fl
+        ),
+        isl AS (
+          SELECT doc_id, max(nsp) AS nsp, gid,
+                 min(s) AS lo, max(e) AS hi
+          FROM g GROUP BY doc_id, gid
+        )
+        SELECT doc_id, CAST(max(nsp) AS BIGINT) AS n_spans,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(hi - lo) AS BIGINT) AS covered_chars
+        FROM isl GROUP BY doc_id
 """
