@@ -212,6 +212,7 @@ def run_queries() -> dict[str, float]:
         "curriculum_order_docs",
         "cube_orders",
         "span_interval_islands",
+        "kmv_distinct_tokens_per_source",
     ]
     out = {}
     for name in picks:

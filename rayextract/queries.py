@@ -6368,6 +6368,73 @@ def span_interval_islands(sf_dir: str):
     )
 
 
+def kmv_distinct_tokens_per_source(sf_dir: str):
+    """KMV (k-minimum-values, k=256) distinct-token sketch per source — the
+    third cardinality sketch next to HLL (``hll_users_per_type``) and exact
+    distinct: keeps the k smallest 64-bit token hashes and estimates
+    distinct = (k-1) * 2^64 / h_k. Mergeable and tiny, the sketch of
+    choice when you also need the sample itself (the k survivors are a
+    uniform sample of the distinct domain).
+
+    Scale shape: each batch ships at most k hash rows per source (raw
+    tokens never leave the scan task); ONE bucketed exchange on source;
+    bottom-k-of-unions is exact for the global bottom-k, and the union
+    count is < k iff the true distinct count is (proof: a batch only
+    drops values when >= k survive from it), so the small-cardinality
+    exact branch is also exact. Estimate is arbitrary-precision integer
+    floor math — Python ints here, HUGEINT in the oracle — so the match
+    is bit-stable. Hash contract shared with the HLL/simhash oracles:
+    md5_number_upper(t) == int.from_bytes(md5(t).digest()[:8], 'little')."""
+    import hashlib
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    K = 256
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, hs = [], []
+        per_src: dict[str, set] = {}
+        for src, text in zip(df["source"], df["text"]):
+            bucket = per_src.setdefault(src, set())
+            for tok in _tokens(text):
+                bucket.add(tok)
+        for src, toks in per_src.items():
+            h = np.fromiter(
+                (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+                 for t in toks),
+                dtype=np.uint64, count=len(toks),
+            )
+            h = np.unique(h)  # sorted distinct
+            h = h[:K]
+            srcs.extend([src] * len(h))
+            hs.append(h)
+        return pd.DataFrame(
+            {"source": srcs,
+             "h": np.concatenate(hs) if hs else np.array([], dtype=np.uint64)}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, grp in g.groupby("source", sort=False):
+            h = np.unique(grp["h"].to_numpy(dtype=np.uint64))
+            n = len(h)
+            if n < K:
+                est = n
+            else:
+                est = ((K - 1) << 64) // int(h[K - 1])
+            out.append((src, min(n, K), est))
+        res = pd.DataFrame(out, columns=["source", "n_kept", "est_distinct"])
+        res["n_kept"] = res["n_kept"].astype("int64")
+        res["est_distinct"] = res["est_distinct"].astype("int64")
+        return res
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "documents", ["source", "text"]),
+        ["source"], partial, reduce, n_buckets=16,
+    )
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -8385,6 +8452,7 @@ QUERIES = {
     "curriculum_order_docs": curriculum_order_docs,
     "cube_orders": cube_orders,
     "span_interval_islands": span_interval_islands,
+    "kmv_distinct_tokens_per_source": kmv_distinct_tokens_per_source,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -11650,4 +11718,32 @@ SQL["span_interval_islands"] = r"""
                CAST(count(*) AS BIGINT) AS n_islands,
                CAST(sum(hi - lo) AS BIGINT) AS covered_chars
         FROM isl GROUP BY doc_id
+"""
+
+SQL["kmv_distinct_tokens_per_source"] = r"""
+        WITH toks AS (
+          SELECT DISTINCT source, tok FROM (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents)
+        ),
+        h AS (SELECT DISTINCT source, md5_number_upper(tok) AS h FROM toks),
+        rk AS (
+          SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+                 count(*) OVER (PARTITION BY source) AS nd
+          FROM h
+        ),
+        kth AS (
+          SELECT source, max(nd) AS nd,
+                 max(CASE WHEN rn = 256 THEN h END) AS hk
+          FROM rk GROUP BY source
+        )
+        SELECT source,
+               CAST(least(nd, 256) AS BIGINT) AS n_kept,
+               CAST(CASE WHEN nd < 256 THEN nd
+                    ELSE (CAST(255 AS HUGEINT) * (CAST(1 AS HUGEINT) << 64))
+                         // CAST(hk AS HUGEINT) END AS BIGINT) AS est_distinct
+        FROM kth
 """
