@@ -213,6 +213,7 @@ def run_queries() -> dict[str, float]:
         "cube_orders",
         "span_interval_islands",
         "kmv_distinct_tokens_per_source",
+        "zonemap_pruned_scan",
     ]
     out = {}
     for name in picks:

@@ -6435,6 +6435,75 @@ def kmv_distinct_tokens_per_source(sf_dir: str):
     )
 
 
+def zonemap_pruned_scan(sf_dir: str):
+    """Zone-map data skipping end to end (rayextract.zonemap): write the
+    documents table range-clustered on n_chars (partitioned on the derived
+    64-char band), harvest per-file [min,max] from the parquet FOOTERS into
+    a manifest, then answer a length-range query by opening only the
+    overlapping files. The file-level skip is asserted (scanned < total)
+    before the residual row filter runs vectorized in the scan tasks.
+
+    Scale shape: the manifest build touches footers only (KB/file); the
+    pruned read is a plain read over the surviving file list; at 100 TB
+    this is the stage that turns a full-corpus scan into a ~band-sized
+    one. Output one row (n_docs, sum_chars, plus the file-skip evidence
+    as scanned/total counts — constants of the deterministic band layout,
+    so the oracle mirrors them arithmetically)."""
+    import hashlib
+    import shutil
+
+    from .zonemap import build_manifest, pruned_paths
+
+    LO, HI = 128, 256
+    scratch = os.path.join(
+        "/tmp/rayextract_zonemap",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["band"] = (out["n_chars"].astype("int64") // 64).astype("int64")
+        return out
+
+    (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(band, batch_format="pandas")
+        .write_parquet(scratch, partition_cols=["band"])
+    )
+    build_manifest(scratch, "n_chars")
+    paths, total = pruned_paths(scratch, LO, HI)
+    assert len(paths) < total, "zone map failed to skip any file"
+
+    # file counts depend on the writer's block layout; the DETERMINISTIC
+    # skip evidence is the band-directory level (a band's files share one
+    # pruning outcome because their stats sit inside the band window)
+    def _band_of(p: str) -> str:
+        return next(seg for seg in p.split(os.sep) if seg.startswith("band="))
+
+    all_paths, _ = pruned_paths(scratch, -(1 << 62), 1 << 62)
+    bands_scanned = len({_band_of(p) for p in paths})
+    bands_total = len({_band_of(p) for p in all_paths})
+
+    from .pqio import read_parquet_clean
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_chars"].to_numpy(dtype="int64")
+        m = (n >= LO) & (n < HI)
+        return pd.DataFrame(
+            {"n_docs": [int(m.sum())], "sum_chars": [int(n[m].sum())]}
+        )
+
+    part = read_parquet_clean(paths, columns=["n_chars"]).map_batches(
+        agg, batch_format="pandas"
+    ).to_pandas()
+    return pd.DataFrame(
+        {"n_docs": [int(part["n_docs"].sum())],
+         "sum_chars": [int(part["sum_chars"].sum())],
+         "bands_scanned": [bands_scanned], "bands_total": [bands_total]}
+    ).astype("int64")
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -8453,6 +8522,7 @@ QUERIES = {
     "cube_orders": cube_orders,
     "span_interval_islands": span_interval_islands,
     "kmv_distinct_tokens_per_source": kmv_distinct_tokens_per_source,
+    "zonemap_pruned_scan": zonemap_pruned_scan,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -11746,4 +11816,20 @@ SQL["kmv_distinct_tokens_per_source"] = r"""
                     ELSE (CAST(255 AS HUGEINT) * (CAST(1 AS HUGEINT) << 64))
                          // CAST(hk AS HUGEINT) END AS BIGINT) AS est_distinct
         FROM kth
+"""
+
+SQL["zonemap_pruned_scan"] = r"""
+        WITH bands AS (
+          SELECT n_chars // 64 AS b, min(n_chars) AS mn, max(n_chars) AS mx
+          FROM documents GROUP BY 1
+        )
+        SELECT CAST(count(*) FILTER (n_chars >= 128 AND n_chars < 256)
+                    AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(n_chars) FILTER (n_chars >= 128
+                                                  AND n_chars < 256), 0)
+                    AS BIGINT) AS sum_chars,
+               (SELECT CAST(count(*) AS BIGINT) FROM bands
+                WHERE mn < 256 AND mx >= 128) AS bands_scanned,
+               (SELECT CAST(count(*) AS BIGINT) FROM bands) AS bands_total
+        FROM documents
 """
