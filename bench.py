@@ -214,6 +214,7 @@ def run_queries() -> dict[str, float]:
         "span_interval_islands",
         "kmv_distinct_tokens_per_source",
         "zonemap_pruned_scan",
+        "zorder_pruned_scan",
     ]
     out = {}
     for name in picks:

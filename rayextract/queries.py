@@ -6472,7 +6472,7 @@ def zonemap_pruned_scan(sf_dir: str):
         .write_parquet(scratch, partition_cols=["band"])
     )
     build_manifest(scratch, "n_chars")
-    paths, total = pruned_paths(scratch, LO, HI)
+    paths, total = pruned_paths(scratch, {"n_chars": (LO, HI)})
     assert len(paths) < total, "zone map failed to skip any file"
 
     # file counts depend on the writer's block layout; the DETERMINISTIC
@@ -6481,7 +6481,7 @@ def zonemap_pruned_scan(sf_dir: str):
     def _band_of(p: str) -> str:
         return next(seg for seg in p.split(os.sep) if seg.startswith("band="))
 
-    all_paths, _ = pruned_paths(scratch, -(1 << 62), 1 << 62)
+    all_paths, _ = pruned_paths(scratch)
     bands_scanned = len({_band_of(p) for p in paths})
     bands_total = len({_band_of(p) for p in all_paths})
 
@@ -6501,6 +6501,96 @@ def zonemap_pruned_scan(sf_dir: str):
         {"n_docs": [int(part["n_docs"].sum())],
          "sum_chars": [int(part["sum_chars"].sum())],
          "bands_scanned": [bands_scanned], "bands_total": [bands_total]}
+    ).astype("int64")
+
+
+def zorder_pruned_scan(sf_dir: str):
+    """Z-ORDER clustering + two-dimensional zone pruning (the lakehouse
+    OPTIMIZE ZORDER BY pattern): events are rewritten clustered by the
+    Morton interleave of (user_id, value-bucket) into 32 z-bands, the
+    manifest harvests per-file [min,max] of BOTH predicate columns from
+    the footers, and a 2-d box query (user AND value range) opens only the
+    bands whose zones overlap in BOTH dims — single-key clustering can
+    make only one of those columns tight.
+
+    Pruning runs at band granularity (zonemap.pruned_dirs) so the skip
+    evidence is exactly reproducible from data arithmetic: band = z * 32
+    // (zmax+1), kept iff the band's (user, cents) envelope intersects the
+    box. The skip is asserted before the residual row filter. Integer
+    cents end to end; the oracle mirrors the Morton key bit for bit via
+    zonemap.z_interleave16_sql."""
+    import hashlib
+    import shutil
+
+    from .zonemap import build_manifest, pruned_dirs, z_interleave16
+
+    VC_LO, VC_HI = 10_000, 30_000
+    NB = 32
+    scratch = os.path.join(
+        "/tmp/rayextract_zorder",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(dtype="int64")
+        vc = _round_half_away(df["value"].to_numpy() * 100.0)
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(dtype="int64"),
+             "user_id": u, "vc": vc,
+             "z": z_interleave16(u, vc // 1000)}
+        )
+
+    proj = _read(sf_dir, "events", ["event_id", "user_id", "value"]).map_batches(
+        project, batch_format="pandas"
+    )
+    ext = proj.map_batches(
+        lambda df: pd.DataFrame({"m": [df["z"].max()], "u": [df["user_id"].max()]})
+        if len(df) else pd.DataFrame({"m": pd.Series([], dtype="int64"),
+                                      "u": pd.Series([], dtype="int64")}),
+        batch_format="pandas",
+    ).to_pandas()
+    zmax, umax = int(ext["m"].max()), int(ext["u"].max())
+    # data-derived user box (2nd quartile of the id range) so the query is
+    # selective at every scale factor; the oracle derives the same bounds
+    U_LO, U_HI = (umax + 1) // 4, (umax + 1) // 2
+
+    def banded(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["zband"] = (out["z"].to_numpy(dtype="int64") * NB
+                        // (zmax + 1)).astype("int64")
+        return out.drop(columns=["z"])
+
+    proj.map_batches(banded, batch_format="pandas").write_parquet(
+        scratch, partition_cols=["zband"]
+    )
+    build_manifest(scratch, ["user_id", "vc"])
+    paths, kept, total = pruned_dirs(
+        scratch, {"user_id": (U_LO, U_HI), "vc": (VC_LO, VC_HI)}
+    )
+    assert kept < total, "z-order zone map failed to skip any band"
+
+    from .pqio import read_parquet_clean
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(dtype="int64")
+        vc = df["vc"].to_numpy(dtype="int64")
+        m = (u >= U_LO) & (u < U_HI) & (vc >= VC_LO) & (vc < VC_HI)
+        return pd.DataFrame(
+            {"n_events": [int(m.sum())], "sum_vc_cents": [int(vc[m].sum())]}
+        )
+
+    if paths:
+        part = read_parquet_clean(paths, columns=["user_id", "vc"]).map_batches(
+            agg, batch_format="pandas"
+        ).to_pandas()
+        n_events = int(part["n_events"].sum())
+        sum_vc = int(part["sum_vc_cents"].sum())
+    else:  # every band provably disjoint from the box
+        n_events = sum_vc = 0
+    return pd.DataFrame(
+        {"n_events": [n_events], "sum_vc_cents": [sum_vc],
+         "bands_scanned": [kept], "bands_total": [total]}
     ).astype("int64")
 
 
@@ -8523,6 +8613,7 @@ QUERIES = {
     "span_interval_islands": span_interval_islands,
     "kmv_distinct_tokens_per_source": kmv_distinct_tokens_per_source,
     "zonemap_pruned_scan": zonemap_pruned_scan,
+    "zorder_pruned_scan": zorder_pruned_scan,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -11833,3 +11924,41 @@ SQL["zonemap_pruned_scan"] = r"""
                (SELECT CAST(count(*) AS BIGINT) FROM bands) AS bands_total
         FROM documents
 """
+
+def _zorder_sql() -> str:
+    from .zonemap import z_interleave16_sql
+
+    z = z_interleave16_sql("user_id", "vc // 1000")
+    return f"""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+        ),
+        ez AS (SELECT user_id, vc, {z} AS z FROM e),
+        zm AS (SELECT max(z) AS zmax FROM ez),
+        b AS (SELECT user_id, vc, z * 32 // (zmax + 1) AS band FROM ez, zm),
+        bands AS (
+          SELECT band, min(user_id) AS umn, max(user_id) AS umx,
+                 min(vc) AS vmn, max(vc) AS vmx
+          FROM b GROUP BY 1
+        ),
+        ub AS (
+          SELECT (max(user_id) + 1) // 4 AS ulo,
+                 (max(user_id) + 1) // 2 AS uhi
+          FROM events
+        )
+        SELECT
+          CAST((SELECT count(*) FROM b, ub
+                WHERE user_id >= ub.ulo AND user_id < ub.uhi
+                  AND vc >= 10000 AND vc < 30000) AS BIGINT) AS n_events,
+          CAST((SELECT coalesce(sum(vc), 0) FROM b, ub
+                WHERE user_id >= ub.ulo AND user_id < ub.uhi
+                  AND vc >= 10000 AND vc < 30000) AS BIGINT) AS sum_vc_cents,
+          (SELECT CAST(count(*) AS BIGINT) FROM bands, ub
+           WHERE umn < ub.uhi AND umx >= ub.ulo
+             AND vmn < 30000 AND vmx >= 10000)
+              AS bands_scanned,
+          (SELECT CAST(count(*) AS BIGINT) FROM bands) AS bands_total
+    """
+
+
+SQL["zorder_pruned_scan"] = _zorder_sql()
