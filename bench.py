@@ -215,6 +215,7 @@ def run_queries() -> dict[str, float]:
         "kmv_distinct_tokens_per_source",
         "zonemap_pruned_scan",
         "zorder_pruned_scan",
+        "storage_bucketed_join",
     ]
     out = {}
     for name in picks:

@@ -6594,6 +6594,105 @@ def zorder_pruned_scan(sf_dir: str):
     ).astype("int64")
 
 
+def storage_bucketed_join(sf_dir: str):
+    """Storage-bucketed join (the Hive/Iceberg bucket-transform pattern):
+    both join sides are rewritten ONCE partitioned by hash(orderkey) % 16,
+    after which the lineitem-x-orders join needs NO runtime exchange at
+    all — each task co-reads bucket i of both tables and joins locally,
+    because equal keys are guaranteed co-located by the storage layout.
+    At 100 TB this converts every repeated join on the same key from an
+    all-to-all shuffle into an embarrassingly parallel per-bucket map
+    (the write cost is paid once, amortized across every downstream join).
+
+    The bucket function is the deterministic md5-derived hash shared with
+    the engine's other oracles, so DuckDB reproduces the bucketing — the
+    oracle checks the end result (revenue per order status) which is
+    bucketing-invariant anyway. Output integer cents."""
+    import hashlib
+    import shutil
+
+    import ray as _ray
+
+    B = 16
+    scratch = os.path.join(
+        "/tmp/rayextract_bucketed_join",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    def add_bucket(col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["bkt"] = (out[col].to_numpy(dtype="int64") % B).astype("int64")
+            return out
+
+        return fn
+
+    def li_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(dtype="int64"),
+             "cents": _round_half_away(
+                 df["l_extendedprice"].to_numpy()
+                 * (1.0 - df["l_discount"].to_numpy()) * 100.0
+             )}
+        )
+
+    (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(li_proj, batch_format="pandas")
+        .map_batches(add_bucket("l_orderkey"), batch_format="pandas")
+        .write_parquet(os.path.join(scratch, "lineitem"),
+                       partition_cols=["bkt"])
+    )
+    (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+        .map_batches(add_bucket("o_orderkey"), batch_format="pandas")
+        .write_parquet(os.path.join(scratch, "orders"),
+                       partition_cols=["bkt"])
+    )
+
+    # the join itself: one task per bucket, ZERO exchange — co-located
+    # storage replaces the shuffle (files read inside the task, partials
+    # are status-cardinality rows)
+    import pyarrow.parquet as _pq
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for b in df["bkt"]:
+            li_dir = os.path.join(scratch, "lineitem", f"bkt={int(b)}")
+            o_dir = os.path.join(scratch, "orders", f"bkt={int(b)}")
+            if not (os.path.isdir(li_dir) and os.path.isdir(o_dir)):
+                continue
+            li = _pq.read_table(li_dir).to_pandas()
+            od = _pq.read_table(o_dir).to_pandas()
+            m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+            outs.append(
+                m.groupby("o_orderstatus", sort=False, as_index=False)[
+                    "cents"
+                ].sum()
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"o_orderstatus": pd.Series([], dtype=object),
+                 "cents": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    import ray.data as _rd
+
+    parts = (
+        _rd.from_pandas(pd.DataFrame({"bkt": np.arange(B, dtype="int64")}))
+        .repartition(B)
+        .map_batches(join_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("o_orderstatus", sort=False, as_index=False)[
+        "cents"
+    ].sum().rename(columns={"cents": "revenue_cents"})
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -8614,6 +8713,7 @@ QUERIES = {
     "kmv_distinct_tokens_per_source": kmv_distinct_tokens_per_source,
     "zonemap_pruned_scan": zonemap_pruned_scan,
     "zorder_pruned_scan": zorder_pruned_scan,
+    "storage_bucketed_join": storage_bucketed_join,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -11962,3 +12062,12 @@ def _zorder_sql() -> str:
 
 
 SQL["zorder_pruned_scan"] = _zorder_sql()
+
+SQL["storage_bucketed_join"] = r"""
+        SELECT o.o_orderstatus,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+"""
