@@ -216,6 +216,8 @@ def run_queries() -> dict[str, float]:
         "zonemap_pruned_scan",
         "zorder_pruned_scan",
         "storage_bucketed_join",
+        "winsorized_value_stats",
+        "tool_usage_stats",
     ]
     out = {}
     for name in picks:

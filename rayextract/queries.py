@@ -6693,6 +6693,154 @@ def storage_bucketed_join(sf_dir: str):
     return out
 
 
+def winsorized_value_stats(sf_dir: str):
+    """Winsorized per-type value statistics: clip each event's value to its
+    type's [p05, p95] band and report the clipped sum plus how many rows
+    were clipped on each side — the outlier-robust aggregate a metrics
+    pipeline uses when raw sums are dominated by a few extreme rows.
+
+    The percentile is pinned to an explicit order statistic (k-th smallest,
+    k = floor(q*(n-1)) + 1, both sides) so Ray and the SQL window oracle
+    agree exactly; values are integer cents.
+
+    Scale shape: pass 1 computes exact per-type order statistics with ONE
+    bucketed exchange on event_type (cents ship as narrow int rows; at a
+    cardinality where a type's values overflow a reducer you'd switch to
+    the fixed-bin histogram op — see histogram_quantiles_value); the tiny
+    threshold table broadcasts back and pass 2 is a shuffle-free clipped
+    partial sum."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    def p1_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"],
+             "cents": _round_half_away(df["value"].to_numpy() * 100.0)}
+        )
+
+    def p1_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            v = np.sort(grp["cents"].to_numpy(dtype="int64"))
+            n = len(v)
+            lo = int(v[(5 * (n - 1)) // 100])
+            hi = int(v[(95 * (n - 1)) // 100])
+            out.append((et, lo, hi))
+        return pd.DataFrame(out, columns=["event_type", "lo", "hi"])
+
+    thr = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        ["event_type"], p1_partial, p1_reduce, n_buckets=16,
+    ).to_pandas()
+    thr_ref = _ray.put(
+        {r.event_type: (int(r.lo), int(r.hi)) for r in thr.itertuples()}
+    )
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        t = _ray.get(thr_ref)
+        cents = _round_half_away(df["value"].to_numpy() * 100.0)
+        lo = np.fromiter((t[e][0] for e in df["event_type"]), dtype="int64",
+                         count=len(df))
+        hi = np.fromiter((t[e][1] for e in df["event_type"]), dtype="int64",
+                         count=len(df))
+        clipped = np.clip(cents, lo, hi)
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "wsum": clipped,
+             "n_lo": (cents < lo).astype("int64"),
+             "n_hi": (cents > hi).astype("int64")}
+        )
+        return out.groupby("event_type", sort=False, as_index=False).sum()
+
+    parts = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(p2, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", sort=False, as_index=False)
+        .sum()
+    )
+    out = parts.merge(thr, on="event_type")
+    return pd.DataFrame(
+        {"event_type": out["event_type"],
+         "p05_cents": out["lo"].astype("int64"),
+         "p95_cents": out["hi"].astype("int64"),
+         "winsorized_sum_cents": out["wsum"].astype("int64"),
+         "n_clipped_low": out["n_lo"].astype("int64"),
+         "n_clipped_high": out["n_hi"].astype("int64")}
+    )
+
+
+def tool_usage_stats(sf_dir: str):
+    """Per-tool usage audit over the derived transcript corpus: every tool
+    turn (role assignment shared with ``conv_role_audit``) carries the
+    deterministic tool name 'T' || (doc_id + 3*turn_idx) % 5 and the wait
+    it imposed (timestamp delta from the preceding turn, the same ts
+    arithmetic as ``turn_handoff_latency``) — the table an agent-pipeline
+    operator reads to find slow or overused tools. Exercises the
+    transcript schema's ``tool`` column semantics end to end.
+
+    Scale shape: ONE bucketed exchange on conv_id ships narrow int rows;
+    the in-bucket LAG is vectorized; per-tool partials collapse to a
+    5-row driver rollup. Integer micros end to end."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc = df["conv_id"].str.slice(4).astype("int64")
+        idx = df["turn_idx"].astype("int64")
+        role = np.where(
+            idx == 0, 0,
+            np.where((doc + idx) % 7 == 0, 3, np.where(idx % 2 == 1, 1, 2)),
+        ).astype("int64")
+        ts_us = (doc % 97) * 1_000_000 + idx * ((doc % 7) + 1) * 1_000
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"], "turn_idx": idx, "role": role,
+             "tool_id": ((doc + 3 * idx) % 5).astype("int64"),
+             "ts_us": ts_us.astype("int64")}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          kind="stable").reset_index(drop=True)
+        prev_ts = g.groupby("conv_id", sort=False)["ts_us"].shift(1)
+        m = (g["role"] == 3) & prev_ts.notna()
+        t = pd.DataFrame(
+            {"tool_id": g.loc[m, "tool_id"],
+             "conv_id": g.loc[m, "conv_id"],
+             "wait": (g.loc[m, "ts_us"] - prev_ts[m]).astype("int64")}
+        )
+        out = t.groupby("tool_id", sort=False).agg(
+            n_calls=("wait", "size"), total_wait_us=("wait", "sum"),
+            n_convs=("conv_id", "nunique"),
+        ).reset_index()
+        for c in ("n_calls", "total_wait_us", "n_convs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = bucketed_group_reduce(
+        _docs_to_transcripts(sf_dir).select_columns(["conv_id", "turn_idx"]),
+        ["conv_id"], partial, reduce, n_buckets=64,
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"tool": pd.Series([], dtype=object),
+             "n_calls": pd.Series([], dtype="int64"),
+             "n_convs": pd.Series([], dtype="int64"),
+             "total_wait_us": pd.Series([], dtype="int64"),
+             "mean_wait_us": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby("tool_id", sort=False, as_index=False)[
+        ["n_calls", "total_wait_us", "n_convs"]
+    ].sum()
+    return pd.DataFrame(
+        {"tool": "T" + out["tool_id"].astype(str),
+         "n_calls": out["n_calls"].astype("int64"),
+         "n_convs": out["n_convs"].astype("int64"),
+         "total_wait_us": out["total_wait_us"].astype("int64"),
+         "mean_wait_us": (out["total_wait_us"]
+                          // out["n_calls"]).astype("int64")}
+    )
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -8714,6 +8862,8 @@ QUERIES = {
     "zonemap_pruned_scan": zonemap_pruned_scan,
     "zorder_pruned_scan": zorder_pruned_scan,
     "storage_bucketed_join": storage_bucketed_join,
+    "winsorized_value_stats": winsorized_value_stats,
+    "tool_usage_stats": tool_usage_stats,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -12070,4 +12220,77 @@ SQL["storage_bucketed_join"] = r"""
                    AS revenue_cents
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1
+"""
+
+SQL["winsorized_value_stats"] = r"""
+        WITH c AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM c
+        ),
+        thr AS (
+          SELECT event_type,
+                 max(CASE WHEN rn = (5 * (n - 1)) // 100 + 1
+                          THEN cents END) AS lo,
+                 max(CASE WHEN rn = (95 * (n - 1)) // 100 + 1
+                          THEN cents END) AS hi
+          FROM r GROUP BY event_type
+        )
+        SELECT c.event_type,
+               CAST(max(t.lo) AS BIGINT) AS p05_cents,
+               CAST(max(t.hi) AS BIGINT) AS p95_cents,
+               CAST(sum(least(greatest(c.cents, t.lo), t.hi)) AS BIGINT)
+                   AS winsorized_sum_cents,
+               CAST(sum(CASE WHEN c.cents < t.lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_low,
+               CAST(sum(CASE WHEN c.cents > t.hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_high
+        FROM c JOIN thr t USING (event_type)
+        GROUP BY c.event_type
+"""
+
+SQL["tool_usage_stats"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                 greatest(CAST(ceil(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                                    x -> x <> '')) / 12.0) AS BIGINT),
+                          1) AS nchunks
+          FROM documents
+        ),
+        turns AS (
+          SELECT doc_id, conv_id, CAST(0 AS BIGINT) AS idx FROM d
+          UNION ALL
+          SELECT doc_id, conv_id, CAST(1 AS BIGINT) FROM d WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, conv_id, CAST(i AS BIGINT)
+          FROM d, unnest(range(2, nchunks + 2)) AS r(i)
+        ),
+        rt AS (
+          SELECT conv_id, idx,
+                 CASE WHEN idx = 0 THEN 0
+                      WHEN (doc_id + idx) % 7 = 0 THEN 3
+                      WHEN idx % 2 = 1 THEN 1 ELSE 2 END AS role,
+                 (doc_id + 3 * idx) % 5 AS tool_id,
+                 (doc_id % 97) * 1000000 + idx * ((doc_id % 7) + 1) * 1000 AS ts_us
+          FROM turns
+        ),
+        seq AS (
+          SELECT conv_id, role, tool_id, ts_us,
+                 lag(ts_us) OVER (PARTITION BY conv_id ORDER BY idx) AS prev_ts
+          FROM rt
+        )
+        SELECT 'T' || CAST(tool_id AS VARCHAR) AS tool,
+               CAST(count(*) AS BIGINT) AS n_calls,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               CAST(sum(ts_us - prev_ts) AS BIGINT) AS total_wait_us,
+               CAST(sum(ts_us - prev_ts) // count(*) AS BIGINT) AS mean_wait_us
+        FROM seq WHERE role = 3 AND prev_ts IS NOT NULL
+        GROUP BY tool_id
 """
