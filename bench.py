@@ -218,6 +218,7 @@ def run_queries() -> dict[str, float]:
         "storage_bucketed_join",
         "winsorized_value_stats",
         "tool_usage_stats",
+        "pareto_frontier_parts",
     ]
     out = {}
     for name in picks:

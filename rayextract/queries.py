@@ -6841,6 +6841,54 @@ def tool_usage_stats(sf_dir: str):
     )
 
 
+def _pareto_frontier(df: pd.DataFrame, price: str, size: str) -> pd.DataFrame:
+    """Skyline of (minimize price, maximize size), exact-tie-keeping: a row
+    is dominated iff some other row is <= on price, >= on size and strictly
+    better on one. Vectorized: per-price max sizes, prefix cummax over
+    ascending prices."""
+    if df.empty:
+        return df
+    per = df.groupby(price, sort=True)[size].max()
+    prices = per.index.to_numpy()
+    best_at = per.to_numpy()
+    best_before = np.r_[np.iinfo(np.int64).min,
+                        np.maximum.accumulate(best_at)[:-1]]
+    pi = np.searchsorted(prices, df[price].to_numpy())
+    s = df[size].to_numpy()
+    keep = (s == best_at[pi]) & (s > best_before[pi])
+    return df.loc[keep]
+
+
+def pareto_frontier_parts(sf_dir: str):
+    """Skyline / Pareto-frontier operator over the part catalog: parts not
+    dominated in (retail price DOWN, size UP) — "no cheaper part is at
+    least as large". The multi-objective shortlist query (NOT EXISTS a
+    dominating row) that no single ORDER BY can answer.
+
+    Scale shape: the skyline is superset-stable (a globally undominated
+    row is undominated in every subset), so each batch emits only its
+    LOCAL frontier — typically O(distinct prices) rows — and the driver
+    runs the same vectorized frontier once over the tiny union; no
+    shuffle, no all-pairs. Exact integer cents so the NOT-EXISTS oracle
+    matches bit for bit (equal-point duplicates are kept on both sides)."""
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"p_partkey": df["p_partkey"].to_numpy(dtype="int64"),
+             "price_cents": _cents(df["p_retailprice"]),
+             "p_size": df["p_size"].to_numpy(dtype="int64")}
+        )
+        return _pareto_frontier(t, "price_cents", "p_size")
+
+    union = (
+        _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+        .map_batches(local, batch_format="pandas")
+        .to_pandas()
+    )
+    return _pareto_frontier(union, "price_cents", "p_size")[
+        ["p_partkey", "price_cents", "p_size"]
+    ].reset_index(drop=True)
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -8864,6 +8912,7 @@ QUERIES = {
     "storage_bucketed_join": storage_bucketed_join,
     "winsorized_value_stats": winsorized_value_stats,
     "tool_usage_stats": tool_usage_stats,
+    "pareto_frontier_parts": pareto_frontier_parts,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -12293,4 +12342,20 @@ SQL["tool_usage_stats"] = r"""
                CAST(sum(ts_us - prev_ts) // count(*) AS BIGINT) AS mean_wait_us
         FROM seq WHERE role = 3 AND prev_ts IS NOT NULL
         GROUP BY tool_id
+"""
+
+SQL["pareto_frontier_parts"] = r"""
+        WITH p AS (
+          SELECT p_partkey,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                 CAST(p_size AS BIGINT) AS p_size
+          FROM part
+        )
+        SELECT a.p_partkey, a.price_cents, a.p_size
+        FROM p a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p b
+          WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+            AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+        )
 """
