@@ -219,6 +219,7 @@ def run_queries() -> dict[str, float]:
         "winsorized_value_stats",
         "tool_usage_stats",
         "pareto_frontier_parts",
+        "rapid_fire_pairs_per_user",
     ]
     out = {}
     for name in picks:

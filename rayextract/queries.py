@@ -6889,6 +6889,68 @@ def pareto_frontier_parts(sf_dir: str):
     ].reset_index(drop=True)
 
 
+def rapid_fire_pairs_per_user(sf_dir: str):
+    """Band (theta) self-join: per user, the number of ordered event pairs
+    (i before j, order = (ts, event_id)) at most one hour apart — the
+    burst/bot-detection count a rate-limiting or fraud pipeline computes.
+    Ray Data has no inequality join; the scalable shape is the same
+    co-partition trick as the as-of join: bucket by the equality key,
+    sort in-bucket, and resolve the band with ONE vectorized searchsorted
+    per bucket (O(n log n), never the O(n^2) self-join the SQL oracle
+    runs at toy scale).
+
+    PARTITIONING ASSUMPTION: a user's events share a bucket; a hot user
+    is bounded by the bucket, not salted — the band needs the whole user
+    ordered."""
+    from .bucketed import bucketed_group_reduce
+
+    WIN_US = 3_600_000_000  # 1 hour
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(dtype="int64"),
+             "event_id": df["event_id"].to_numpy(dtype="int64"),
+             "ts_us": df["ts"].to_numpy().astype("datetime64[us]")
+                        .astype("int64")}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        pos = np.arange(len(g))
+        # pairs for row j = rows in [lo_j, j) of the same user with
+        # ts >= ts_j - WIN. The (user, ts) sort is made globally monotonic
+        # by packing user into the bits above the 51-bit microsecond
+        # timestamps, so ONE vectorized searchsorted resolves every lower
+        # bound (ts < 2^51 asserted; a wider epoch would use a (rank<<k)
+        # composition instead)
+        assert ts.max(initial=0) < (1 << 51) and ts.min(initial=0) >= 0
+        key = (uid << np.int64(51)) + ts
+        lo = np.searchsorted(key, (uid << np.int64(51)) + ts - WIN_US,
+                             side="left")
+        n_pairs = pos - lo
+        t = pd.DataFrame({"user_id": uid, "n": n_pairs})
+        out = t.groupby("user_id", sort=False, as_index=False)["n"].sum()
+        return out[out["n"] > 0]
+
+    parts = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]),
+        ["user_id"], partial, reduce, n_buckets=64,
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "n_rapid_pairs": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby("user_id", sort=False, as_index=False)["n"].sum()
+    return pd.DataFrame(
+        {"user_id": out["user_id"].astype("int64"),
+         "n_rapid_pairs": out["n"].astype("int64")}
+    )
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -8913,6 +8975,7 @@ QUERIES = {
     "winsorized_value_stats": winsorized_value_stats,
     "tool_usage_stats": tool_usage_stats,
     "pareto_frontier_parts": pareto_frontier_parts,
+    "rapid_fire_pairs_per_user": rapid_fire_pairs_per_user,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -12358,4 +12421,12 @@ SQL["pareto_frontier_parts"] = r"""
           WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
             AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
         )
+"""
+
+SQL["rapid_fire_pairs_per_user"] = r"""
+        SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_rapid_pairs
+        FROM events a JOIN events b ON a.user_id = b.user_id
+        WHERE (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
+          AND epoch_us(a.ts) - epoch_us(b.ts) <= CAST(3600 AS BIGINT) * 1000000
+        GROUP BY a.user_id
 """
