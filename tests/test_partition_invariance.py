@@ -29,6 +29,13 @@ OPS = [
     "dedup_containment",         # rare-anchor blocking + candidate overlap
     "doc_token_entropy",         # per-term micro-nat rounding, no shuffle
     "event_anomaly_days",        # integer 2-sigma flags over day cells
+    "scd2_user_value_history",   # in-bucket LEAD over (user, ts, id) sort
+    "rapid_fire_pairs_per_user",  # band self-join via composed-key search
+    "kmv_distinct_tokens_per_source",  # bottom-k-of-unions sketch
+    "curriculum_order_docs",     # global rank from bin-histogram offsets
+    "span_interval_islands",     # per-batch islands scan
+    "winsorized_value_stats",    # exact order statistics + clipped partials
+    "tool_usage_stats",          # conv-bucketed LAG + per-tool rollup
 ]
 
 
