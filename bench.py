@@ -220,6 +220,7 @@ def run_queries() -> dict[str, float]:
         "tool_usage_stats",
         "pareto_frontier_parts",
         "rapid_fire_pairs_per_user",
+        "ewma_hourly_value_per_type",
     ]
     out = {}
     for name in picks:

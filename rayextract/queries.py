@@ -6951,6 +6951,55 @@ def rapid_fire_pairs_per_user(sf_dir: str):
     )
 
 
+def ewma_hourly_value_per_type(sf_dir: str):
+    """Exponentially-weighted moving average (alpha = 1/2, integer floor)
+    of hourly revenue per event type — the smoothed trend line a
+    monitoring pipeline keeps per stream. The halving recurrence
+    ewma_i = (ewma_{i-1} + cents_i) // 2 is deliberately NON-associative
+    (floor at every step), the class of sequential scan that cannot be
+    tree-reduced — unlike the SUM/MAX scan monoids in pack_sequences /
+    late_event_audit — so it pins the engine's ordered-scan contract.
+
+    Scale shape: raw rows collapse to (type, hour) cells in per-batch
+    partials; ONE bucketed exchange on event_type co-locates each type's
+    cells and the in-bucket scan walks hour cells (cardinality = hours,
+    not events — the loop is over ~10^4 cells max, never rows). The
+    oracle replays the identical recurrence as a recursive CTE."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"event_type": df["event_type"],
+             "hr": df["ts"].dt.floor("h"),
+             "cents": _round_half_away(df["value"].to_numpy() * 100.0)}
+        )
+        return t.groupby(["event_type", "hr"], sort=False,
+                         as_index=False).sum()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "hr"], sort=False, as_index=False).sum()
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("hr", kind="stable")
+            ewma = None
+            for hr, cents in zip(grp["hr"], grp["cents"]):
+                c = int(cents)
+                ewma = c if ewma is None else (ewma + c) // 2
+                out.append((et, hr, c, ewma))
+        res = pd.DataFrame(
+            out, columns=["event_type", "hr", "hour_cents", "ewma_cents"]
+        )
+        res["hour"] = res["hr"].dt.strftime("%Y-%m-%d %H")
+        res["hour_cents"] = res["hour_cents"].astype("int64")
+        res["ewma_cents"] = res["ewma_cents"].astype("int64")
+        return res[["event_type", "hour", "hour_cents", "ewma_cents"]]
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]),
+        ["event_type"], partial, reduce, n_buckets=8,
+    )
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -8976,6 +9025,7 @@ QUERIES = {
     "tool_usage_stats": tool_usage_stats,
     "pareto_frontier_parts": pareto_frontier_parts,
     "rapid_fire_pairs_per_user": rapid_fire_pairs_per_user,
+    "ewma_hourly_value_per_type": ewma_hourly_value_per_type,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -12429,4 +12479,30 @@ SQL["rapid_fire_pairs_per_user"] = r"""
         WHERE (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
           AND epoch_us(a.ts) - epoch_us(b.ts) <= CAST(3600 AS BIGINT) * 1000000
         GROUP BY a.user_id
+"""
+
+SQL["ewma_hourly_value_per_type"] = r"""
+        WITH RECURSIVE h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT event_type, hr, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY hr) AS rn
+          FROM h
+        ),
+        rec(event_type, rn, hr, cents, ewma) AS (
+          SELECT event_type, rn, hr, cents, cents FROM s WHERE rn = 1
+          UNION ALL
+          SELECT s.event_type, s.rn, s.hr, s.cents,
+                 (rec.ewma + s.cents) // 2
+          FROM rec JOIN s ON s.event_type = rec.event_type
+                         AND s.rn = rec.rn + 1
+        )
+        SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hour,
+               CAST(cents AS BIGINT) AS hour_cents,
+               CAST(ewma AS BIGINT) AS ewma_cents
+        FROM rec
 """
