@@ -221,6 +221,7 @@ def run_queries() -> dict[str, float]:
         "pareto_frontier_parts",
         "rapid_fire_pairs_per_user",
         "ewma_hourly_value_per_type",
+        "conv_merge_consecutive_roles",
     ]
     out = {}
     for name in picks:

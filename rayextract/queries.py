@@ -7000,6 +7000,68 @@ def ewma_hourly_value_per_type(sf_dir: str):
     )
 
 
+def conv_merge_consecutive_roles(sf_dir: str):
+    """Consecutive-same-role turn compaction over the derived transcript
+    corpus — the standard chat-SFT preprocessing step that merges adjacent
+    messages from the same speaker into one turn before templating. Roles
+    are the deterministic assignment shared with ``conv_role_audit``.
+    Output per conversation: turns before/after, the longest merged run,
+    and the token total (invariant under merging — the checksum that the
+    compaction lost nothing).
+
+    Scale shape: ONE bucketed exchange on conv_id ships narrow (conv, idx,
+    role, ntok) rows — text never shuffles; run detection is a vectorized
+    sorted LAG over the whole bucket and run lengths come from one
+    groupby(conv, run_id) count. The run-length (gaps-and-islands) scan
+    shared with span_interval_islands, applied to the role stream."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc = df["conv_id"].str.slice(4).astype("int64")
+        idx = df["turn_idx"].astype("int64")
+        role = np.where(
+            idx == 0, 0,
+            np.where((doc + idx) % 7 == 0, 3, np.where(idx % 2 == 1, 1, 2)),
+        ).astype("int64")
+        ntok = np.array([len(_tokens(t)) for t in df["text"]], dtype="int64")
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"], "turn_idx": idx,
+             "role": role, "ntok": ntok}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          kind="stable").reset_index(drop=True)
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        new_run = np.r_[True, (conv[1:] != conv[:-1])
+                        | (role[1:] != role[:-1])]
+        gid = np.cumsum(new_run)
+        t = pd.DataFrame({"conv_id": conv, "g": gid, "n": 1,
+                          "ntok": g["ntok"].to_numpy()})
+        runs = t.groupby(["conv_id", "g"], sort=False, as_index=False).agg(
+            run_len=("n", "sum"), run_tok=("ntok", "sum")
+        )
+        out = runs.groupby("conv_id", sort=False, as_index=False).agg(
+            n_turns_after=("g", "size"), max_run_len=("run_len", "max"),
+            n_tokens=("run_tok", "sum"),
+        )
+        before = t.groupby("conv_id", sort=False, as_index=False)["n"].sum()
+        out = out.merge(before.rename(columns={"n": "n_turns_before"}),
+                        on="conv_id")
+        for c in ("n_turns_after", "max_run_len", "n_tokens",
+                  "n_turns_before"):
+            out[c] = out[c].astype("int64")
+        return out[["conv_id", "n_turns_before", "n_turns_after",
+                    "max_run_len", "n_tokens"]]
+
+    return bucketed_group_reduce(
+        _docs_to_transcripts(sf_dir), ["conv_id"], partial, reduce,
+        n_buckets=64,
+    )
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -9026,6 +9088,7 @@ QUERIES = {
     "pareto_frontier_parts": pareto_frontier_parts,
     "rapid_fire_pairs_per_user": rapid_fire_pairs_per_user,
     "ewma_hourly_value_per_type": ewma_hourly_value_per_type,
+    "conv_merge_consecutive_roles": conv_merge_consecutive_roles,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -12505,4 +12568,60 @@ SQL["ewma_hourly_value_per_type"] = r"""
                CAST(cents AS BIGINT) AS hour_cents,
                CAST(ewma AS BIGINT) AS ewma_cents
         FROM rec
+"""
+
+SQL["conv_merge_consecutive_roles"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '')) AS BIGINT) AS ntok,
+                 greatest(CAST(ceil(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                                    x -> x <> '')) / 12.0) AS BIGINT),
+                          1) AS nchunks
+          FROM documents
+        ),
+        turnlist AS (
+          SELECT doc_id, conv_id, CAST(0 AS BIGINT) AS idx,
+                 CAST(8 AS BIGINT) AS t FROM d
+          UNION ALL
+          SELECT doc_id, conv_id, CAST(1 AS BIGINT), CAST(6 AS BIGINT)
+          FROM d WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, conv_id, CAST(j + 2 AS BIGINT),
+                 CASE WHEN ntok = 0 THEN CAST(0 AS BIGINT)
+                      ELSE least(CAST(12 AS BIGINT), ntok - 12 * j) END
+          FROM d, unnest(range(nchunks)) AS r(j)
+        ),
+        rt AS (
+          SELECT conv_id, idx, t,
+                 CASE WHEN idx = 0 THEN 0
+                      WHEN (doc_id + idx) % 7 = 0 THEN 3
+                      WHEN idx % 2 = 1 THEN 1 ELSE 2 END AS role
+          FROM turnlist
+        ),
+        seq AS (
+          SELECT conv_id, idx, t, role,
+                 CASE WHEN lag(role) OVER (PARTITION BY conv_id
+                                           ORDER BY idx) IS DISTINCT
+                           FROM role THEN 1 ELSE 0 END AS new_run
+          FROM rt
+        ),
+        gseq AS (
+          SELECT conv_id, t,
+                 sum(new_run) OVER (PARTITION BY conv_id ORDER BY idx
+                                    ROWS UNBOUNDED PRECEDING) AS gid
+          FROM seq
+        ),
+        runs AS (
+          SELECT conv_id, gid, CAST(count(*) AS BIGINT) AS run_len,
+                 CAST(sum(t) AS BIGINT) AS run_tok
+          FROM gseq GROUP BY conv_id, gid
+        )
+        SELECT conv_id,
+               CAST(sum(run_len) AS BIGINT) AS n_turns_before,
+               CAST(count(*) AS BIGINT) AS n_turns_after,
+               CAST(max(run_len) AS BIGINT) AS max_run_len,
+               CAST(sum(run_tok) AS BIGINT) AS n_tokens
+        FROM runs GROUP BY conv_id
 """
