@@ -222,6 +222,7 @@ def run_queries() -> dict[str, float]:
         "rapid_fire_pairs_per_user",
         "ewma_hourly_value_per_type",
         "conv_merge_consecutive_roles",
+        "value_outliers_mad",
     ]
     out = {}
     for name in picks:

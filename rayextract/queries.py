@@ -7062,6 +7062,79 @@ def conv_merge_consecutive_roles(sf_dir: str):
     )
 
 
+def value_outliers_mad(sf_dir: str):
+    """Robust outlier gate per event type: flag events whose value sits
+    more than 3 median-absolute-deviations from the type median — the
+    MAD-based robust z-score that survives the heavy tails a mean/stddev
+    gate chokes on. Both order statistics are pinned to the lower median
+    (k = (n+1)//2, 1-based k-th smallest) so Ray and the SQL window
+    oracle agree exactly; the flag is the exact integer comparison
+    |cents - med| > 3*mad.
+
+    Scale shape: pass 1 computes (median, MAD) per type with ONE bucketed
+    exchange on event_type (same reducer-bound caveat as
+    winsorized_value_stats); the 2-int-per-type table broadcasts back and
+    pass 2 is a shuffle-free flagged partial sum."""
+    import ray as _ray
+
+    from .bucketed import bucketed_group_reduce
+
+    def p1_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"],
+             "cents": _round_half_away(df["value"].to_numpy() * 100.0)}
+        )
+
+    def p1_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            v = np.sort(grp["cents"].to_numpy(dtype="int64"))
+            med = int(v[(len(v) + 1) // 2 - 1])
+            dev = np.sort(np.abs(v - med))
+            mad = int(dev[(len(dev) + 1) // 2 - 1])
+            out.append((et, med, mad))
+        return pd.DataFrame(out, columns=["event_type", "med", "mad"])
+
+    thr = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        ["event_type"], p1_partial, p1_reduce, n_buckets=16,
+    ).to_pandas()
+    thr_ref = _ray.put(
+        {r.event_type: (int(r.med), int(r.mad)) for r in thr.itertuples()}
+    )
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        t = _ray.get(thr_ref)
+        cents = _round_half_away(df["value"].to_numpy() * 100.0)
+        med = np.fromiter((t[e][0] for e in df["event_type"]), dtype="int64",
+                          count=len(df))
+        mad = np.fromiter((t[e][1] for e in df["event_type"]), dtype="int64",
+                          count=len(df))
+        out_mask = np.abs(cents - med) > 3 * mad
+        out = pd.DataFrame(
+            {"event_type": df["event_type"],
+             "n_out": out_mask.astype("int64"),
+             "out_cents": np.where(out_mask, cents, 0).astype("int64")}
+        )
+        return out.groupby("event_type", sort=False, as_index=False).sum()
+
+    parts = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(p2, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", sort=False, as_index=False)
+        .sum()
+    )
+    out = parts.merge(thr, on="event_type")
+    return pd.DataFrame(
+        {"event_type": out["event_type"],
+         "median_cents": out["med"].astype("int64"),
+         "mad_cents": out["mad"].astype("int64"),
+         "n_outliers": out["n_out"].astype("int64"),
+         "outlier_cents_sum": out["out_cents"].astype("int64")}
+    )
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -9089,6 +9162,7 @@ QUERIES = {
     "rapid_fire_pairs_per_user": rapid_fire_pairs_per_user,
     "ewma_hourly_value_per_type": ewma_hourly_value_per_type,
     "conv_merge_consecutive_roles": conv_merge_consecutive_roles,
+    "value_outliers_mad": value_outliers_mad,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -12624,4 +12698,45 @@ SQL["conv_merge_consecutive_roles"] = r"""
                CAST(max(run_len) AS BIGINT) AS max_run_len,
                CAST(sum(run_tok) AS BIGINT) AS n_tokens
         FROM runs GROUP BY conv_id
+"""
+
+SQL["value_outliers_mad"] = r"""
+        WITH c AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        r1 AS (
+          SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM c
+        ),
+        med AS (
+          SELECT event_type,
+                 max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med
+          FROM r1 GROUP BY event_type
+        ),
+        r2 AS (
+          SELECT c.event_type, abs(c.cents - m.med) AS dev,
+                 row_number() OVER (PARTITION BY c.event_type
+                                    ORDER BY abs(c.cents - m.med)) AS rn,
+                 count(*) OVER (PARTITION BY c.event_type) AS n
+          FROM c JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type,
+                 max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+          FROM r2 GROUP BY event_type
+        )
+        SELECT c.event_type,
+               CAST(max(m.med) AS BIGINT) AS median_cents,
+               CAST(max(d.mad) AS BIGINT) AS mad_cents,
+               CAST(sum(CASE WHEN abs(c.cents - m.med) > 3 * d.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(sum(CASE WHEN abs(c.cents - m.med) > 3 * d.mad
+                             THEN c.cents ELSE 0 END) AS BIGINT)
+                   AS outlier_cents_sum
+        FROM c JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        GROUP BY c.event_type
 """
