@@ -223,6 +223,7 @@ def run_queries() -> dict[str, float]:
         "ewma_hourly_value_per_type",
         "conv_merge_consecutive_roles",
         "value_outliers_mad",
+        "gapfill_hourly_value_per_type",
     ]
     out = {}
     for name in picks:

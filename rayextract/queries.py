@@ -7135,6 +7135,69 @@ def value_outliers_mad(sf_dir: str):
     )
 
 
+def gapfill_hourly_value_per_type(sf_dir: str):
+    """Time-series gap fill with linear interpolation: densify each event
+    type's hourly revenue series over [first hour, last hour], filling
+    missing hours with the integer linear interpolation between the
+    bracketing present cells — the resample step before any
+    rolling-window model. Interpolation uses the weighted-midpoint form
+    (pv*(nh-h) + nv*(h-ph)) // (nh-ph): both products are non-negative,
+    so Python floor division and DuckDB's TRUNCATING ``//`` agree (the
+    naive pv + (nv-pv)*dt//span form would diverge on falling slopes —
+    DuckDB truncates toward zero on negatives).
+
+    Scale shape: raw rows collapse to (type, hour) cells in per-batch
+    partials; ONE bucketed exchange on event_type; the densify +
+    interpolate is fully vectorized per type (searchsorted against the
+    present-hour array — no per-hour Python). Output cardinality is
+    hours, not events."""
+    from .bucketed import bucketed_group_reduce
+
+    HOUR_US = 3_600_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"event_type": df["event_type"],
+             "h": df["ts"].dt.floor("h").to_numpy()
+                    .astype("datetime64[us]").astype("int64"),
+             "cents": _round_half_away(df["value"].to_numpy() * 100.0)}
+        )
+        return t.groupby(["event_type", "h"], sort=False,
+                         as_index=False).sum()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "h"], sort=False, as_index=False).sum()
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("h", kind="stable")
+            hrs = grp["h"].to_numpy(dtype="int64")
+            c = grp["cents"].to_numpy(dtype="int64")
+            full = np.arange(hrs[0], hrs[-1] + HOUR_US, HOUR_US,
+                             dtype="int64")
+            idx = np.searchsorted(hrs, full, side="right") - 1
+            present = hrs[idx] == full
+            nx = np.minimum(idx + 1, len(hrs) - 1)
+            span = np.maximum(hrs[nx] - hrs[idx], 1)  # safe where present
+            interp = (c[idx] * (hrs[nx] - full)
+                      + c[nx] * (full - hrs[idx])) // span
+            vals = np.where(present, c[idx], interp)
+            out.append(pd.DataFrame(
+                {"event_type": et, "h": full, "cents": vals,
+                 "filled": ~present}
+            ))
+        res = pd.concat(out, ignore_index=True)
+        res["hour"] = pd.to_datetime(
+            res["h"], unit="us"
+        ).dt.strftime("%Y-%m-%d %H")
+        res["cents"] = res["cents"].astype("int64")
+        return res[["event_type", "hour", "cents", "filled"]]
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]),
+        ["event_type"], partial, reduce, n_buckets=8,
+    )
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -9163,6 +9226,7 @@ QUERIES = {
     "ewma_hourly_value_per_type": ewma_hourly_value_per_type,
     "conv_merge_consecutive_roles": conv_merge_consecutive_roles,
     "value_outliers_mad": value_outliers_mad,
+    "gapfill_hourly_value_per_type": gapfill_hourly_value_per_type,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -12739,4 +12803,51 @@ SQL["value_outliers_mad"] = r"""
                    AS outlier_cents_sum
         FROM c JOIN med m USING (event_type) JOIN mad d USING (event_type)
         GROUP BY c.event_type
+"""
+
+SQL["gapfill_hourly_value_per_type"] = r"""
+        WITH cells AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT event_type, min(hr) AS mn, max(hr) AS mx
+          FROM cells GROUP BY 1
+        ),
+        allh AS (
+          SELECT event_type,
+                 unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+          FROM bounds
+        ),
+        j AS (
+          SELECT a.event_type, a.hr, c.cents,
+                 CAST(epoch_us(a.hr) AS BIGINT) AS h
+          FROM allh a LEFT JOIN cells c
+            ON a.event_type = c.event_type AND a.hr = c.hr
+        ),
+        w AS (
+          SELECT *,
+                 last_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS UNBOUNDED PRECEDING) AS pv,
+                 last_value(CASE WHEN cents IS NULL THEN NULL ELSE h END
+                            IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS UNBOUNDED PRECEDING) AS ph,
+                 first_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN cents IS NULL THEN NULL ELSE h END
+                             IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+          FROM j
+        )
+        SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hour,
+               CAST(CASE WHEN cents IS NOT NULL THEN cents
+                         ELSE (pv * (nh - h) + nv * (h - ph)) // (nh - ph)
+                    END AS BIGINT) AS cents,
+               cents IS NULL AS filled
+        FROM w
 """
