@@ -224,6 +224,7 @@ def run_queries() -> dict[str, float]:
         "conv_merge_consecutive_roles",
         "value_outliers_mad",
         "gapfill_hourly_value_per_type",
+        "extraction_quality_report",
     ]
     out = {}
     for name in picks:

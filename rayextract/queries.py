@@ -7198,6 +7198,39 @@ def gapfill_hourly_value_per_type(sf_dir: str):
     )
 
 
+def extraction_quality_report(sf_dir: str):
+    """Corpus-level quality report over the flagship extraction: per-field
+    fill counts (how many conversations yielded each extracted field),
+    total conversations and turns — the one-row scorecard an operator
+    reads after every production run to catch extraction regressions
+    (a field's fill rate dropping is the canary for a parser change).
+
+    Composes the full flagship pipeline (``transcript_extract``: parse ->
+    normalize -> extract -> first-match fold) and collapses its
+    conversation-level output to a constant-size report inside
+    ``map_batches`` partials — the report never materializes the fold
+    output on the driver. The oracle wraps the flagship's own oracle SQL
+    as a subquery, so the report is verified against the same
+    ground-truth extraction."""
+    fields = ["patient_name", "patient_birthdate", "invoice_number",
+              "invoice_date", "order_number", "vendor_name", "gross_total"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"n_convs": [len(df)],
+               "n_turns": [int(df["n_turns"].astype("int64").sum())]}
+        for f in fields:
+            row[f"n_{f}"] = [int(df[f].notna().sum())]
+        return pd.DataFrame(row)
+
+    parts = (
+        transcript_extract(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({c: [int(parts[c].sum())] for c in parts.columns}
+                        ).astype("int64")
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -9227,6 +9260,7 @@ QUERIES = {
     "conv_merge_consecutive_roles": conv_merge_consecutive_roles,
     "value_outliers_mad": value_outliers_mad,
     "gapfill_hourly_value_per_type": gapfill_hourly_value_per_type,
+    "extraction_quality_report": extraction_quality_report,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -12851,3 +12885,19 @@ SQL["gapfill_hourly_value_per_type"] = r"""
                cents IS NULL AS filled
         FROM w
 """
+
+SQL["extraction_quality_report"] = (
+    "WITH base AS (" + SQL["transcript_extract"] + """)
+        SELECT CAST(count(*) AS BIGINT) AS n_convs,
+               CAST(sum(n_turns) AS BIGINT) AS n_turns,
+               CAST(count(patient_name) AS BIGINT) AS n_patient_name,
+               CAST(count(patient_birthdate) AS BIGINT)
+                   AS n_patient_birthdate,
+               CAST(count(invoice_number) AS BIGINT) AS n_invoice_number,
+               CAST(count(invoice_date) AS BIGINT) AS n_invoice_date,
+               CAST(count(order_number) AS BIGINT) AS n_order_number,
+               CAST(count(vendor_name) AS BIGINT) AS n_vendor_name,
+               CAST(count(gross_total) AS BIGINT) AS n_gross_total
+        FROM base
+"""
+)
