@@ -225,6 +225,7 @@ def run_queries() -> dict[str, float]:
         "value_outliers_mad",
         "gapfill_hourly_value_per_type",
         "extraction_quality_report",
+        "embedding_centroids_per_label",
     ]
     out = {}
     for name in picks:

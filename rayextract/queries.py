@@ -7231,6 +7231,59 @@ def extraction_quality_report(sf_dir: str):
                         ).astype("int64")
 
 
+def embedding_centroids_per_label(sf_dir: str):
+    """Per-label embedding centroids with a FULL SQL oracle — the
+    class-prototype table behind nearest-centroid classification and
+    SemDeDup-style cluster seeding. Components are micro-unit integers:
+    sum_e6 = sum(round(e*1e6)) per (label, dim), centroid_e6 =
+    floor(sum_e6 / n) computed as (sum_e6 + 10^7*n) // n - 10^7 — the
+    offset keeps the numerator non-negative so Python floor division and
+    DuckDB's truncating ``//`` agree on negative centroids. The oracle
+    unnests the list column and replays the identical arithmetic.
+
+    Scale shape: zero-copy flat-buffer reshape per batch
+    (similarity._arrow_raw_matrix), per-batch (label, dim) partial sums —
+    64*labels rows per batch regardless of batch size — ONE narrow
+    bucketed exchange on label. Nothing corpus-sized anywhere."""
+    from .bucketed import bucketed_group_reduce
+    from .similarity import _arrow_raw_matrix
+
+    DIM_OFF = 10_000_000
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow as pa
+
+        labels = t["label"].to_numpy(zero_copy_only=False).astype("int64")
+        _, mat = _arrow_raw_matrix(t)
+        q = _round_half_away(mat.astype("float64") * 1e6)  # (n, 64)
+        out = []
+        for lab in np.unique(labels):
+            m = labels == lab
+            out.append(pd.DataFrame(
+                {"label": np.int64(lab),
+                 "dim": np.arange(q.shape[1], dtype="int64"),
+                 "sum_e6": q[m].sum(axis=0).astype("int64"),
+                 "n": np.int64(int(m.sum()))}
+            ))
+        return pd.concat(out, ignore_index=True)
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["label", "dim"], sort=False, as_index=False)[
+            ["sum_e6", "n"]
+        ].sum()
+        s = out["sum_e6"].to_numpy(dtype="int64")
+        n = out["n"].to_numpy(dtype="int64")
+        out["centroid_e6"] = (s + DIM_OFF * n) // n - DIM_OFF
+        for c in ("sum_e6", "n", "centroid_e6"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        ["label"], partial, reduce, n_buckets=8, stage1_format="pyarrow",
+    )
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -9261,6 +9314,7 @@ QUERIES = {
     "value_outliers_mad": value_outliers_mad,
     "gapfill_hourly_value_per_type": gapfill_hourly_value_per_type,
     "extraction_quality_report": extraction_quality_report,
+    "embedding_centroids_per_label": embedding_centroids_per_label,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -12901,3 +12955,22 @@ SQL["extraction_quality_report"] = (
         FROM base
 """
 )
+
+SQL["embedding_centroids_per_label"] = r"""
+        WITH e AS (
+          SELECT label, CAST(d AS BIGINT) AS dim,
+                 CAST(round(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)
+                            * 1000000) AS BIGINT) AS q
+          FROM embeddings, unnest(range(len(embedding))) AS r(d)
+        ),
+        agg AS (
+          SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                 CAST(sum(q) AS BIGINT) AS sum_e6,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2
+        )
+        SELECT label, dim, sum_e6, n,
+               CAST((sum_e6 + 10000000 * n) // n - 10000000 AS BIGINT)
+                   AS centroid_e6
+        FROM agg
+"""
