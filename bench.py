@@ -226,6 +226,7 @@ def run_queries() -> dict[str, float]:
         "gapfill_hourly_value_per_type",
         "extraction_quality_report",
         "embedding_centroids_per_label",
+        "nearest_centroid_assign",
     ]
     out = {}
     for name in picks:

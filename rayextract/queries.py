@@ -7284,6 +7284,56 @@ def embedding_centroids_per_label(sf_dir: str):
     )
 
 
+def nearest_centroid_assign(sf_dir: str):
+    """Nearest-centroid (Rocchio) classification of every embedding against
+    the per-label centroids — the cheap prototype classifier used for
+    label-noise auditing and cluster-seeded dedup. Everything is exact
+    integer: vectors and centroids in micro-units, distance = sum of
+    squared int64 diffs (max 64*(2e6)^2 ~ 2.6e14, no overflow), ties ->
+    lowest label, so the SQL oracle replays the argmin bit for bit.
+
+    Scale shape: the centroid table (labels x dims ints) comes from the
+    distributed aggregate (embedding_centroids_per_label) and broadcasts
+    once via ray.put; assignment is a zero-copy batched matmul-free
+    ||x||^2 - 2xC + ||c||^2 expansion per batch, no shuffle."""
+    import ray as _ray
+
+    from .similarity import _arrow_raw_matrix
+
+    cent = embedding_centroids_per_label(sf_dir).to_pandas()
+    cent = cent.sort_values(["label", "dim"], kind="stable")
+    labels = np.sort(cent["label"].unique())
+    C = (
+        cent.pivot(index="label", columns="dim", values="centroid_e6")
+        .loc[labels]
+        .to_numpy()
+        .astype("int64")
+    )
+    ref = _ray.put((labels.astype("int64"), C))
+
+    def assign(t) -> pd.DataFrame:
+        labs, cmat = _ray.get(ref)
+        vids, mat = _arrow_raw_matrix(t)
+        true_lab = t["label"].to_numpy(zero_copy_only=False).astype("int64")
+        q = _round_half_away(mat.astype("float64") * 1e6)  # (n, d) int64
+        # exact int distances: ||x-c||^2 expanded with int64 matmul terms
+        # (object dtype would be needed past 2^63; bounds checked above)
+        x2 = (q * q).sum(axis=1)  # (n,)
+        c2 = (cmat * cmat).sum(axis=1)  # (L,)
+        cross = q @ cmat.T  # (n, L) int64 exact
+        d = x2[:, None] - 2 * cross + c2[None, :]
+        pred = labs[np.argmin(d, axis=1)]  # first (lowest label) on ties
+        return pd.DataFrame(
+            {"vec_id": vids.astype("int64"), "label": true_lab,
+             "pred": pred.astype("int64"), "correct": pred == true_lab}
+        )
+
+    return _read(sf_dir, "embeddings",
+                 ["vec_id", "embedding", "label"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -9315,6 +9365,7 @@ QUERIES = {
     "gapfill_hourly_value_per_type": gapfill_hourly_value_per_type,
     "extraction_quality_report": extraction_quality_report,
     "embedding_centroids_per_label": embedding_centroids_per_label,
+    "nearest_centroid_assign": nearest_centroid_assign,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -12973,4 +13024,35 @@ SQL["embedding_centroids_per_label"] = r"""
                CAST((sum_e6 + 10000000 * n) // n - 10000000 AS BIGINT)
                    AS centroid_e6
         FROM agg
+"""
+
+SQL["nearest_centroid_assign"] = r"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(d AS BIGINT) AS dim,
+                 CAST(round(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)
+                            * 1000000) AS BIGINT) AS q
+          FROM embeddings, unnest(range(len(embedding))) AS r(d)
+        ),
+        cent AS (
+          SELECT CAST(label AS BIGINT) AS clabel, dim,
+                 CAST((sum(q) + 10000000 * count(*)) // count(*)
+                      - 10000000 AS BIGINT) AS c
+          FROM e GROUP BY 1, 2
+        ),
+        dist AS (
+          SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, cent.clabel,
+                 sum((e.q - cent.c) * (e.q - cent.c)) AS dd
+          FROM e JOIN cent ON e.dim = cent.dim
+          GROUP BY 1, 2, 3
+        ),
+        best AS (
+          SELECT vec_id, label, clabel,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dd, clabel) AS rn
+          FROM dist
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, label,
+               CAST(clabel AS BIGINT) AS pred,
+               label = clabel AS correct
+        FROM best WHERE rn = 1
 """
