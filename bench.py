@@ -227,6 +227,8 @@ def run_queries() -> dict[str, float]:
         "extraction_quality_report",
         "embedding_centroids_per_label",
         "nearest_centroid_assign",
+        "pareto_frontier_per_brand",
+        "diverse_topk_docs",
     ]
     out = {}
     for name in picks:

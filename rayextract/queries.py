@@ -7334,6 +7334,80 @@ def nearest_centroid_assign(sf_dir: str):
     )
 
 
+def pareto_frontier_per_brand(sf_dir: str):
+    """Group-wise skyline: the (price DOWN, size UP) Pareto frontier within
+    every brand — the per-vendor shortlist variant of
+    ``pareto_frontier_parts``. Same superset-stable local-frontier trick,
+    applied per group: each batch emits its per-brand local frontiers,
+    ONE bucketed exchange on brand co-locates them, and the in-bucket
+    reduce runs the identical frontier per brand — candidate volume
+    entering the exchange is frontiers, not rows."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"p_brand": df["p_brand"],
+             "p_partkey": df["p_partkey"].to_numpy(dtype="int64"),
+             "price_cents": _cents(df["p_retailprice"]),
+             "p_size": df["p_size"].to_numpy(dtype="int64")}
+        )
+        outs = [
+            _pareto_frontier(g, "price_cents", "p_size")
+            for _, g in t.groupby("p_brand", sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True) if outs else t
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _pareto_frontier(grp, "price_cents", "p_size")
+            for _, grp in g.groupby("p_brand", sort=False)
+        ]
+        return (pd.concat(outs, ignore_index=True) if outs
+                else g)[["p_brand", "p_partkey", "price_cents", "p_size"]]
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "part",
+              ["p_partkey", "p_brand", "p_retailprice", "p_size"]),
+        ["p_brand"], partial, reduce, n_buckets=8,
+    )
+
+
+def diverse_topk_docs(sf_dir: str):
+    """Quota-constrained (diversified) top-k: the 10 longest documents with
+    AT MOST 2 per source — the result-diversification rule every retrieval
+    and sampling pipeline applies so one feed cannot monopolize a
+    shortlist. Deterministic order (n_chars DESC, doc_id ASC) end to end.
+
+    Scale shape: the per-source quota makes per-batch partials safe — a
+    batch only ever needs its own top-2-per-source (superset of the
+    global answer's per-source members); ONE bucketed exchange on source
+    collapses those to the true per-source top-2, and the global k=10
+    cut runs on the driver over <= 2*sources rows."""
+    from .bucketed import bucketed_group_reduce
+
+    def top2(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                           kind="stable")
+            .groupby("source", sort=False)
+            .head(2)[["source", "doc_id", "n_chars"]]
+        )
+
+    per_src = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"]),
+        ["source"], top2, top2, n_buckets=8,
+    ).to_pandas()
+    out = per_src.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True], kind="stable").head(10)
+    out = out.reset_index(drop=True)
+    return pd.DataFrame(
+        {"rank": np.arange(1, len(out) + 1, dtype="int64"),
+         "doc_id": out["doc_id"].astype("int64"),
+         "source": out["source"],
+         "n_chars": out["n_chars"].astype("int64")}
+    )
+
+
 def ohlc_value_per_type_hour(sf_dir: str):
     """Open/high/low/close (+count) of event value per (type, hour) — the
     ordered-aggregate shape (first/last BY time) Ray Data has no native
@@ -9366,6 +9440,8 @@ QUERIES = {
     "extraction_quality_report": extraction_quality_report,
     "embedding_centroids_per_label": embedding_centroids_per_label,
     "nearest_centroid_assign": nearest_centroid_assign,
+    "pareto_frontier_per_brand": pareto_frontier_per_brand,
+    "diverse_topk_docs": diverse_topk_docs,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -13055,4 +13131,39 @@ SQL["nearest_centroid_assign"] = r"""
                CAST(clabel AS BIGINT) AS pred,
                label = clabel AS correct
         FROM best WHERE rn = 1
+"""
+
+SQL["pareto_frontier_per_brand"] = r"""
+        WITH p AS (
+          SELECT p_brand,
+                 p_partkey,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                 CAST(p_size AS BIGINT) AS p_size
+          FROM part
+        )
+        SELECT a.p_brand, a.p_partkey, a.price_cents, a.p_size
+        FROM p a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p b
+          WHERE b.p_brand = a.p_brand
+            AND b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+            AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+        )
+"""
+
+SQL["diverse_topk_docs"] = r"""
+        WITH ranked AS (
+          SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rs
+          FROM documents
+        ),
+        pool AS (SELECT * FROM ranked WHERE rs <= 2),
+        final AS (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+          FROM pool
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id, source, n_chars
+        FROM final WHERE rank <= 10
 """
