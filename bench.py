@@ -229,6 +229,7 @@ def run_queries() -> dict[str, float]:
         "nearest_centroid_assign",
         "pareto_frontier_per_brand",
         "diverse_topk_docs",
+        "markov_stationary_event_types",
     ]
     out = {}
     for name in picks:

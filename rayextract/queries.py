@@ -4589,6 +4589,45 @@ def event_transitions(sf_dir: str):
     return merge(pairs.to_pandas())
 
 
+def markov_stationary_event_types(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain: 8 pinned
+    integer power-iteration steps from the uniform vector over the
+    row-normalized transition matrix — where a user's session stream
+    settles, the weighting behind journey simulation and funnel
+    prioritization. Each step is the exact recurrence
+    x'_j = sum_i (x_i * c_ij) // rowsum_i (floor per term, micro-units;
+    mass lost to flooring stays lost — deterministic on both engines),
+    so the oracle replays it as 8 unrolled CTE hops.
+
+    Scale shape: the distributed work is the transition count
+    (event_transitions: bucketed sort+shift over users, (types x types)
+    merge); the iteration itself is O(types^2) driver arithmetic on that
+    tiny matrix — at 10^12 events the matrix is still 5x5."""
+    trans = event_transitions(sf_dir)
+    types_df = (
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    types = sorted(types_df["event_type"])
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    C = np.zeros((k, k), dtype="int64")
+    for r in trans.itertuples():
+        C[idx[r.from_type], idx[r.to_type]] = int(r.n)
+    rowsum = C.sum(axis=1)
+    x = np.full(k, 1_000_000 // k, dtype="int64")
+    safe = np.maximum(rowsum, 1)
+    for _ in range(8):
+        contrib = (x[:, None] * C) // safe[:, None]
+        contrib[rowsum == 0] = 0
+        x = contrib.sum(axis=0)
+    return pd.DataFrame(
+        {"event_type": types, "stationary_e6": x.astype("int64")}
+    )
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -9442,6 +9481,7 @@ QUERIES = {
     "nearest_centroid_assign": nearest_centroid_assign,
     "pareto_frontier_per_brand": pareto_frontier_per_brand,
     "diverse_topk_docs": diverse_topk_docs,
+    "markov_stationary_event_types": markov_stationary_event_types,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -13167,3 +13207,43 @@ SQL["diverse_topk_docs"] = r"""
         SELECT CAST(rank AS BIGINT) AS rank, doc_id, source, n_chars
         FROM final WHERE rank <= 10
 """
+
+def _markov_stationary_sql() -> str:
+    hops = []
+    prev = "x0"
+    for i in range(1, 9):
+        hops.append(
+            f"x{i} AS (SELECT t.to_type AS s, "
+            f"CAST(sum((x.v * t.n) // r.rowsum) AS BIGINT) AS v "
+            f"FROM {prev} x JOIN trans t ON t.from_type = x.s "
+            f"JOIN rws r ON r.from_type = x.s GROUP BY 1)"
+        )
+        prev = f"x{i}"
+    return f"""
+        WITH e2 AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+        ),
+        d AS (
+          SELECT user_id, event_type AS to_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                 ) AS from_type
+          FROM e2
+        ),
+        trans AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM d WHERE from_type IS NOT NULL
+          GROUP BY from_type, to_type
+        ),
+        rws AS (SELECT from_type, sum(n) AS rowsum FROM trans GROUP BY 1),
+        types AS (SELECT DISTINCT event_type AS s FROM events),
+        x0 AS (SELECT s, 1000000 // (SELECT count(*) FROM types) AS v
+               FROM types),
+        {', '.join(hops)}
+        SELECT ty.s AS event_type,
+               CAST(coalesce({prev}.v, 0) AS BIGINT) AS stationary_e6
+        FROM types ty LEFT JOIN {prev} ON {prev}.s = ty.s
+    """
+
+
+SQL["markov_stationary_event_types"] = _markov_stationary_sql()
