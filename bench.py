@@ -230,6 +230,8 @@ def run_queries() -> dict[str, float]:
         "pareto_frontier_per_brand",
         "diverse_topk_docs",
         "markov_stationary_event_types",
+        "rfm_user_segments",
+        "abc_analysis_parts",
     ]
     out = {}
     for name in picks:

@@ -4628,6 +4628,117 @@ def markov_stationary_event_types(sf_dir: str):
     )
 
 
+def _exact_ntile(rank: np.ndarray, total: int, tiles: int) -> np.ndarray:
+    """DuckDB ntile() semantics on 1-based ranks: the first total%tiles
+    tiles take ceil(total/tiles) rows, the rest floor(total/tiles)."""
+    q, r = divmod(total, tiles)
+    if q == 0:
+        return rank.astype("int64")
+    boundary = r * (q + 1)
+    return np.where(
+        rank <= boundary,
+        (rank - 1) // (q + 1) + 1,
+        r + (rank - 1 - boundary) // q + 1,
+    ).astype("int64")
+
+
+def rfm_user_segments(sf_dir: str):
+    """RFM segmentation: every user scored into recency / frequency /
+    monetary quartiles (1..4, ascending metric) and the composite
+    3-digit RFM code — the classic customer-base partition behind
+    lifecycle campaigns, here the user-prioritization pass of an event
+    pipeline. Quartiles follow DuckDB ntile(4) exactly (ties broken by
+    user_id), so the oracle matches bit for bit.
+
+    Scale shape: the per-user (last-seen, count, cents) triple collapses
+    in ONE bucketed exchange on user_id; quartile assignment runs on the
+    driver over that user-cardinality aggregate (at 10^12-event scale
+    you'd swap in relational.global_rank — the distributed ntile this
+    engine already ships — per metric; the aggregate here is
+    dashboard-sized)."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(dtype="int64"),
+             "r": df["ts"].to_numpy().astype("datetime64[us]")
+                    .astype("int64"),
+             "f": np.int64(1),
+             "m": _round_half_away(df["value"].to_numpy() * 100.0)}
+        )
+        return t.groupby("user_id", sort=False, as_index=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+
+    u = bucketed_group_reduce(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]),
+        ["user_id"], partial,
+        lambda g: g.groupby("user_id", sort=False, as_index=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
+        ),
+        n_buckets=32,
+    ).to_pandas()
+    n = len(u)
+    out = {"user_id": u["user_id"].astype("int64")}
+    for col in ("r", "f", "m"):
+        order = np.lexsort((u["user_id"].to_numpy(),
+                            u[col].to_numpy(dtype="int64")))
+        rank = np.empty(n, dtype="int64")
+        rank[order] = np.arange(1, n + 1)
+        out[f"{col}_q"] = _exact_ntile(rank, n, 4)
+    res = pd.DataFrame(out)
+    res["rfm_code"] = (100 * res["r_q"] + 10 * res["f_q"]
+                       + res["m_q"]).astype("int64")
+    return res
+
+
+def abc_analysis_parts(sf_dir: str):
+    """ABC (80/95 Pareto) classification of parts by lineitem revenue: the
+    inventory-prioritization standard — class A while the running revenue
+    share is within 80%, B within 95%, C after. Shares are exact integer
+    basis points (10000*cum // total) over a deterministic
+    (revenue DESC, partkey) order.
+
+    Scale shape: revenue collapses to part cardinality in ONE
+    pre-aggregated exchange; the ordered running sum runs on the driver
+    over that aggregate (the distributed path for a billion-part catalog
+    is relational.global_rank + a bucketed prefix pass — pack_sequences
+    shows the exclusive-scan machinery)."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"p_partkey": df["l_partkey"].to_numpy(dtype="int64"),
+             "cents": _round_half_away(
+                 df["l_extendedprice"].to_numpy()
+                 * (1.0 - df["l_discount"].to_numpy()) * 100.0
+             )}
+        )
+        return t.groupby("p_partkey", sort=False, as_index=False).sum()
+
+    rev = bucketed_group_reduce(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_extendedprice", "l_discount"]),
+        ["p_partkey"], partial,
+        lambda g: g.groupby("p_partkey", sort=False, as_index=False)[
+            "cents"].sum(),
+        n_buckets=16,
+    ).to_pandas()
+    rev = rev.sort_values(["cents", "p_partkey"],
+                          ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+    total = int(rev["cents"].sum())
+    cum = np.cumsum(rev["cents"].to_numpy(dtype="int64"))
+    bp = (10000 * cum) // max(total, 1)
+    cls = np.where(bp <= 8000, "A", np.where(bp <= 9500, "B", "C"))
+    return pd.DataFrame(
+        {"p_partkey": rev["p_partkey"].astype("int64"),
+         "revenue_cents": rev["cents"].astype("int64"),
+         "cum_share_bp": bp.astype("int64"),
+         "abc_class": cls}
+    )
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -9482,6 +9593,8 @@ QUERIES = {
     "pareto_frontier_per_brand": pareto_frontier_per_brand,
     "diverse_topk_docs": diverse_topk_docs,
     "markov_stationary_event_types": markov_stationary_event_types,
+    "rfm_user_segments": rfm_user_segments,
+    "abc_analysis_parts": abc_analysis_parts,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -13247,3 +13360,44 @@ def _markov_stationary_sql() -> str:
 
 
 SQL["markov_stationary_event_types"] = _markov_stationary_sql()
+
+SQL["rfm_user_segments"] = r"""
+        WITH u AS (
+          SELECT user_id, max(epoch_us(ts)) AS r,
+                 CAST(count(*) AS BIGINT) AS f,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS m
+          FROM events GROUP BY 1
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(ntile(4) OVER (ORDER BY r, user_id) AS BIGINT) AS r_q,
+               CAST(ntile(4) OVER (ORDER BY f, user_id) AS BIGINT) AS f_q,
+               CAST(ntile(4) OVER (ORDER BY m, user_id) AS BIGINT) AS m_q,
+               CAST(100 * ntile(4) OVER (ORDER BY r, user_id)
+                    + 10 * ntile(4) OVER (ORDER BY f, user_id)
+                    + ntile(4) OVER (ORDER BY m, user_id) AS BIGINT)
+                   AS rfm_code
+        FROM u
+"""
+
+SQL["abc_analysis_parts"] = r"""
+        WITH rev AS (
+          SELECT l_partkey AS p_partkey,
+                 sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) AS cents
+          FROM lineitem GROUP BY 1
+        ),
+        w AS (
+          SELECT p_partkey, cents,
+                 sum(cents) OVER (ORDER BY cents DESC, p_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cents) OVER () AS total
+          FROM rev
+        )
+        SELECT p_partkey, CAST(cents AS BIGINT) AS revenue_cents,
+               CAST((10000 * cum) // greatest(total, 1) AS BIGINT)
+                   AS cum_share_bp,
+               CASE WHEN (10000 * cum) // greatest(total, 1) <= 8000 THEN 'A'
+                    WHEN (10000 * cum) // greatest(total, 1) <= 9500 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM w
+"""
