@@ -232,6 +232,8 @@ def run_queries() -> dict[str, float]:
         "markov_stationary_event_types",
         "rfm_user_segments",
         "abc_analysis_parts",
+        "cohort_ltv_curve",
+        "chi2_type_hour",
     ]
     out = {}
     for name in picks:

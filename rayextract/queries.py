@@ -4739,6 +4739,113 @@ def abc_analysis_parts(sf_dir: str):
     )
 
 
+def cohort_ltv_curve(sf_dir: str):
+    """Cohort LTV curve: users grouped by first-seen month, revenue
+    accumulated by cohort age in months — the lifetime-value table behind
+    every retention-economics decision (user_retention_cohorts is the
+    count sibling; this adds the money axis and the cumulative curve).
+
+    Scale shape: ONE bucketed exchange on user_id ships narrow (user,
+    month, cents) rows; the in-bucket reduce derives each user's cohort
+    (min month) and folds (cohort, age) sums right there — the user
+    dimension never broadcasts and never re-shuffles; the (cohorts x
+    ages)-bounded partials merge on the driver where the cumulative sum
+    is a per-cohort prefix. Months are exact integers year*12+month."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"]
+        mon = (ts.dt.year * 12 + (ts.dt.month - 1)).astype("int64")
+        t = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(dtype="int64"),
+             "mon": mon.to_numpy(),
+             "cents": _round_half_away(df["value"].to_numpy() * 100.0)}
+        )
+        return t.groupby(["user_id", "mon"], sort=False,
+                         as_index=False).sum()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "mon"], sort=False, as_index=False).sum()
+        first = g.groupby("user_id", sort=False)["mon"].transform("min")
+        t = pd.DataFrame(
+            {"cohort_mon": first.to_numpy(),
+             "age": (g["mon"] - first).to_numpy(),
+             "cents": g["cents"].to_numpy(dtype="int64"),
+             "u": (g["mon"] == first).to_numpy().astype("int64")}
+        )
+        return t.groupby(["cohort_mon", "age"], sort=False,
+                         as_index=False).sum()
+
+    parts = bucketed_group_reduce(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]),
+        ["user_id"], partial, reduce, n_buckets=32,
+    ).to_pandas()
+    agg = parts.groupby(["cohort_mon", "age"], sort=False,
+                        as_index=False).sum()
+    agg = agg.sort_values(["cohort_mon", "age"],
+                          kind="stable").reset_index(drop=True)
+    agg["cum_cents"] = agg.groupby("cohort_mon", sort=False)[
+        "cents"].cumsum()
+    return pd.DataFrame(
+        {"cohort_year": (agg["cohort_mon"] // 12).astype("int64"),
+         "cohort_month": (agg["cohort_mon"] % 12 + 1).astype("int64"),
+         "age_months": agg["age"].astype("int64"),
+         "n_cohort_users": agg["u"].astype("int64"),
+         "revenue_cents": agg["cents"].astype("int64"),
+         "cum_revenue_cents": agg["cum_cents"].astype("int64")}
+    )
+
+
+def chi2_type_hour(sf_dir: str):
+    """Chi-square independence statistic between event type and hour of
+    day — the seasonality test telling a scheduler whether traffic mix
+    shifts by hour. Exact rational arithmetic: with O the observed cell
+    count and E = row*col/total, each term (O - E)^2/E equals
+    total*(O*total - row*col)^2 / (total^2 * row * col); the statistic
+    is emitted in micro-units via arbitrary-precision integer floor math
+    (Python ints here, HUGEINT in the oracle) so it is bit-stable.
+
+    Scale shape: ONE pre-aggregated exchange to the (types x 24)
+    contingency table; the test itself is O(cells) driver arithmetic."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"event_type": df["event_type"],
+             "hr": df["ts"].dt.hour.astype("int64"), "n": np.int64(1)}
+        )
+        return t.groupby(["event_type", "hr"], sort=False,
+                         as_index=False).sum()
+
+    cells = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_type", "ts"]),
+        ["event_type"], partial,
+        lambda g: g.groupby(["event_type", "hr"], sort=False,
+                            as_index=False)["n"].sum(),
+        n_buckets=8,
+    ).to_pandas()
+    piv = cells.pivot_table(index="event_type", columns="hr", values="n",
+                            aggfunc="sum", fill_value=0)
+    O = piv.to_numpy().astype(object)  # python ints: no overflow
+    row = O.sum(axis=1)
+    col = O.sum(axis=0)
+    total = int(O.sum())
+    chi2_e6 = 0
+    for i in range(O.shape[0]):
+        for j in range(O.shape[1]):
+            if row[i] and col[j]:
+                num = int(O[i][j]) * total - int(row[i]) * int(col[j])
+                chi2_e6 += (1_000_000 * total * num * num) // (
+                    total * total * int(row[i]) * int(col[j])
+                )
+    dof = (O.shape[0] - 1) * (O.shape[1] - 1)
+    return pd.DataFrame(
+        {"n_events": [total], "n_types": [O.shape[0]],
+         "n_hours": [O.shape[1]], "dof": [dof],
+         "chi2_e6": [chi2_e6]}
+    ).astype("int64")
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -9595,6 +9702,8 @@ QUERIES = {
     "markov_stationary_event_types": markov_stationary_event_types,
     "rfm_user_segments": rfm_user_segments,
     "abc_analysis_parts": abc_analysis_parts,
+    "cohort_ltv_curve": cohort_ltv_curve,
+    "chi2_type_hour": chi2_type_hour,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -13400,4 +13509,68 @@ SQL["abc_analysis_parts"] = r"""
                     WHEN (10000 * cum) // greatest(total, 1) <= 9500 THEN 'B'
                     ELSE 'C' END AS abc_class
         FROM w
+"""
+
+SQL["cohort_ltv_curve"] = r"""
+        WITH e AS (
+          SELECT user_id,
+                 CAST(EXTRACT(year FROM ts) * 12
+                      + EXTRACT(month FROM ts) - 1 AS BIGINT) AS mon,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        um AS (SELECT user_id, mon, sum(cents) AS cents
+               FROM e GROUP BY 1, 2),
+        f AS (SELECT user_id, min(mon) AS cm FROM um GROUP BY 1),
+        t AS (
+          SELECT f.cm AS cohort_mon, um.mon - f.cm AS age, um.cents,
+                 CASE WHEN um.mon = f.cm THEN 1 ELSE 0 END AS u
+          FROM um JOIN f USING (user_id)
+        ),
+        agg AS (
+          SELECT cohort_mon, age,
+                 CAST(sum(u) AS BIGINT) AS n_cohort_users,
+                 CAST(sum(cents) AS BIGINT) AS revenue_cents
+          FROM t GROUP BY 1, 2
+        )
+        SELECT CAST(cohort_mon // 12 AS BIGINT) AS cohort_year,
+               CAST(cohort_mon % 12 + 1 AS BIGINT) AS cohort_month,
+               CAST(age AS BIGINT) AS age_months,
+               n_cohort_users, revenue_cents,
+               CAST(sum(revenue_cents) OVER (PARTITION BY cohort_mon
+                                             ORDER BY age
+                                             ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_revenue_cents
+        FROM agg
+"""
+
+SQL["chi2_type_hour"] = r"""
+        WITH cells AS (
+          SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(sum(n) AS HUGEINT) AS total FROM cells),
+        rws AS (SELECT event_type, CAST(sum(n) AS HUGEINT) AS r
+                FROM cells GROUP BY 1),
+        cls AS (SELECT hr, CAST(sum(n) AS HUGEINT) AS c
+                FROM cells GROUP BY 1),
+        grid AS (
+          SELECT rws.event_type, cls.hr, rws.r, cls.c,
+                 CAST(coalesce(cells.n, 0) AS HUGEINT) AS o
+          FROM rws CROSS JOIN cls
+          LEFT JOIN cells ON cells.event_type = rws.event_type
+                         AND cells.hr = cls.hr
+        )
+        SELECT CAST(t.total AS BIGINT) AS n_events,
+               (SELECT CAST(count(*) AS BIGINT) FROM rws) AS n_types,
+               (SELECT CAST(count(*) AS BIGINT) FROM cls) AS n_hours,
+               CAST(((SELECT count(*) FROM rws) - 1)
+                    * ((SELECT count(*) FROM cls) - 1) AS BIGINT) AS dof,
+               CAST((SELECT sum(
+                       (1000000 * t2.total * (g.o * t2.total - g.r * g.c)
+                        * (g.o * t2.total - g.r * g.c))
+                       // (t2.total * t2.total * g.r * g.c)
+                     ) FROM grid g, tot t2) AS BIGINT) AS chi2_e6
+        FROM tot t
 """
