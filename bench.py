@@ -234,6 +234,7 @@ def run_queries() -> dict[str, float]:
         "abc_analysis_parts",
         "cohort_ltv_curve",
         "chi2_type_hour",
+        "cluster_canonical_docs",
     ]
     out = {}
     for name in picks:

@@ -1753,6 +1753,55 @@ def dedup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def cluster_canonical_docs(sf_dir: str):
+    """Canonical-representative selection per near-dup cluster: within each
+    connected component of the near-duplicate graph, elect the longest
+    document (ties -> lowest doc_id) as the keeper — the curation step
+    that turns cluster IDs into an actual keep/drop decision while
+    retaining provenance (every member points at its canonical doc).
+
+    Scale shape: the cluster table is pair-graph-sized (an aggregate, not
+    the corpus) and broadcasts once via ray.put; member length lookup
+    runs inside map_batches over documents (text never leaves the scan);
+    the per-cluster argmax folds over cluster-cardinality rows."""
+    import ray as _ray
+
+    cl = dedup_clusters(sf_dir)
+    cl = cl.to_pandas() if hasattr(cl, "to_pandas") else cl
+    cmap_ref = _ray.put(
+        dict(zip((int(d) for d in cl["doc_id"]),
+                 (int(c) for c in cl["cluster_id"])))
+    )
+
+    def member_len(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = _ray.get(cmap_ref)
+        m = df["doc_id"].isin(cmap)
+        sub = df.loc[m]
+        return pd.DataFrame(
+            {"doc_id": sub["doc_id"].to_numpy(dtype="int64"),
+             "cluster_id": np.fromiter(
+                 (cmap[int(d)] for d in sub["doc_id"]), dtype="int64",
+                 count=len(sub)),
+             "n_chars": sub["n_chars"].to_numpy(dtype="int64")}
+        )
+
+    mem = (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(member_len, batch_format="pandas")
+        .to_pandas()
+    )
+    mem = mem.sort_values(["cluster_id", "n_chars", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="stable").reset_index(drop=True)
+    canon = mem.groupby("cluster_id", sort=False)["doc_id"].transform("first")
+    return pd.DataFrame(
+        {"doc_id": mem["doc_id"].astype("int64"),
+         "cluster_id": mem["cluster_id"].astype("int64"),
+         "canonical_doc_id": canon.astype("int64"),
+         "is_canonical": (mem["doc_id"] == canon)}
+    )
+
+
 def tombstone_delete_audit(sf_dir: str):
     """Right-to-be-forgotten propagation audit: apply a deletion-request
     feed to the corpus (broadcast anti-join) and emit the per-source
@@ -9704,6 +9753,7 @@ QUERIES = {
     "abc_analysis_parts": abc_analysis_parts,
     "cohort_ltv_curve": cohort_ltv_curve,
     "chi2_type_hour": chi2_type_hour,
+    "cluster_canonical_docs": cluster_canonical_docs,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -13573,4 +13623,39 @@ SQL["chi2_type_hour"] = r"""
                        // (t2.total * t2.total * g.r * g.c)
                      ) FROM grid g, tot t2) AS BIGINT) AS chi2_e6
         FROM tot t
+"""
+
+SQL["cluster_canonical_docs"] = r"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, source,
+                     list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+                                               t -> t <> '')) AS toks
+              FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(a.toks || b.toks)) >= 0.9
+        ),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        reach(node, r) AS (
+          SELECT u, u FROM e
+          UNION
+          SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+        ),
+        cl AS (SELECT node AS doc_id, min(r) AS cluster_id
+               FROM reach GROUP BY node),
+        j AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+              FROM cl JOIN documents d USING (doc_id))
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(first_value(doc_id) OVER (
+                 PARTITION BY cluster_id
+                 ORDER BY n_chars DESC, doc_id) AS BIGINT)
+                   AS canonical_doc_id,
+               doc_id = first_value(doc_id) OVER (
+                 PARTITION BY cluster_id
+                 ORDER BY n_chars DESC, doc_id) AS is_canonical
+        FROM j
 """
