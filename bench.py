@@ -235,6 +235,7 @@ def run_queries() -> dict[str, float]:
         "cohort_ltv_curve",
         "chi2_type_hour",
         "cluster_canonical_docs",
+        "funnel_latency_percentiles",
     ]
     out = {}
     for name in picks:

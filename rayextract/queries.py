@@ -4895,6 +4895,72 @@ def chi2_type_hour(sf_dir: str):
     ).astype("int64")
 
 
+def funnel_latency_percentiles(sf_dir: str):
+    """Time-to-convert distribution: for every user whose first 'view' is
+    later followed by a 'purchase', the elapsed micros between the first
+    view and the first subsequent purchase — reported as pinned order
+    statistics (lower median and the k = floor(0.95*(n-1))+1 p95) plus
+    count and total. The funnel-latency SLA table next to the count-only
+    funnel (funnel_view_click_purchase).
+
+    Scale shape: ONE bucketed exchange on user_id ships narrow (user, ts,
+    type-code) rows; the per-user first-view/first-purchase fold is a
+    vectorized sorted scan per bucket emitting ONE elapsed value per
+    converting user; the percentile pick runs on the driver over that
+    converting-user-sized list (the fixed-bin histogram op is the path
+    when even that is too big)."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].isin(["view", "purchase"])
+        sub = df.loc[m]
+        return pd.DataFrame(
+            {"user_id": sub["user_id"].to_numpy(dtype="int64"),
+             "ts_us": sub["ts"].to_numpy().astype("datetime64[us]")
+                        .astype("int64"),
+             "is_p": (sub["event_type"] == "purchase")
+                        .to_numpy().astype("int64"),
+             "event_id": sub["event_id"].to_numpy(dtype="int64")}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # first view per user, then the first purchase strictly after it
+        # in (ts, event_id) order — the tuple compare the oracle replays
+        out = []
+        for uid, grp in g.groupby("user_id", sort=False):
+            grp = grp.sort_values(["ts_us", "event_id"], kind="stable")
+            views = grp.loc[grp["is_p"] == 0]
+            if views.empty:
+                continue
+            v_ts = int(views["ts_us"].iloc[0])
+            v_id = int(views["event_id"].iloc[0])
+            p = grp.loc[(grp["is_p"] == 1)
+                        & ((grp["ts_us"] > v_ts)
+                           | ((grp["ts_us"] == v_ts)
+                              & (grp["event_id"] > v_id))), "ts_us"]
+            if p.empty:
+                continue
+            out.append(int(p.iloc[0]) - v_ts)
+        return pd.DataFrame({"elapsed_us": pd.Series(out, dtype="int64")})
+
+    el = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        ["user_id"], partial, reduce, n_buckets=32,
+    ).to_pandas()
+    v = np.sort(el["elapsed_us"].to_numpy(dtype="int64"))
+    n = len(v)
+    if n == 0:
+        return pd.DataFrame(
+            {"n_converted": [0], "total_us": [0], "p50_us": [0],
+             "p95_us": [0]}
+        ).astype("int64")
+    return pd.DataFrame(
+        {"n_converted": [n], "total_us": [int(v.sum())],
+         "p50_us": [int(v[(n + 1) // 2 - 1])],
+         "p95_us": [int(v[(95 * (n - 1)) // 100])]}
+    ).astype("int64")
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -9754,6 +9820,7 @@ QUERIES = {
     "cohort_ltv_curve": cohort_ltv_curve,
     "chi2_type_hour": chi2_type_hour,
     "cluster_canonical_docs": cluster_canonical_docs,
+    "funnel_latency_percentiles": funnel_latency_percentiles,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -13658,4 +13725,41 @@ SQL["cluster_canonical_docs"] = r"""
                  PARTITION BY cluster_id
                  ORDER BY n_chars DESC, doc_id) AS is_canonical
         FROM j
+"""
+
+SQL["funnel_latency_percentiles"] = r"""
+        WITH fv AS (
+          SELECT user_id, v_ts, v_id FROM (
+            SELECT user_id, epoch_us(ts) AS v_ts, event_id AS v_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'view')
+          WHERE rn = 1
+        ),
+        fp AS (
+          SELECT e.user_id,
+                 min(epoch_us(e.ts)) AS p_ts
+          FROM events e JOIN fv ON e.user_id = fv.user_id
+          WHERE e.event_type = 'purchase'
+            AND (epoch_us(e.ts) > fv.v_ts
+                 OR (epoch_us(e.ts) = fv.v_ts AND e.event_id > fv.v_id))
+          GROUP BY e.user_id
+        ),
+        el AS (
+          SELECT fp.p_ts - fv.v_ts AS elapsed_us
+          FROM fp JOIN fv ON fp.user_id = fv.user_id
+        ),
+        rk AS (
+          SELECT elapsed_us,
+                 row_number() OVER (ORDER BY elapsed_us) AS rn,
+                 count(*) OVER () AS n
+          FROM el
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_converted,
+               CAST(sum(elapsed_us) AS BIGINT) AS total_us,
+               CAST(max(CASE WHEN rn = (n + 1) // 2
+                             THEN elapsed_us END) AS BIGINT) AS p50_us,
+               CAST(max(CASE WHEN rn = (95 * (n - 1)) // 100 + 1
+                             THEN elapsed_us END) AS BIGINT) AS p95_us
+        FROM rk
 """
