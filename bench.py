@@ -236,6 +236,7 @@ def run_queries() -> dict[str, float]:
         "chi2_type_hour",
         "cluster_canonical_docs",
         "funnel_latency_percentiles",
+        "lm_transfer_matrix",
     ]
     out = {}
     for name in picks:

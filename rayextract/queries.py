@@ -4961,6 +4961,76 @@ def funnel_latency_percentiles(sf_dir: str):
     ).astype("int64")
 
 
+def lm_transfer_matrix(sf_dir: str):
+    """Cross-source LM transfer matrix: every source's token stream scored
+    under every source's add-one unigram LM, in integer micro-nats — the
+    cross-perplexity domain-similarity matrix data-selection methods
+    (Moore-Lewis, DSIR) build their mixture weights from. Diagonal =
+    in-domain fit; an off-diagonal close to its column's diagonal marks
+    near-duplicate feeds.
+
+    Scale shape: ONE bucketed exchange reduces the corpus to the
+    (source x token) count table; the full matrix is then a fold over
+    that vocab-sized aggregate on the driver — cross-scoring needs no
+    second corpus pass because sum_t c_eval(t) * log P_model(t) only
+    consumes counts. Each log is taken ONCE per (token, model) with
+    scalar ``math.log`` (the engine's bit-stable float contract vs
+    DuckDB ln()); everything after is order-free int sums."""
+    import math
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict = {}
+        for src, text in zip(df["source"], df["text"]):
+            for tok in _tokens(text):
+                rows[(src, tok)] = rows.get((src, tok), 0) + 1
+        if not rows:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=object),
+                 "tok": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        k = list(rows)
+        return pd.DataFrame(
+            {"source": [a for a, _ in k], "tok": [b for _, b in k],
+             "n": pd.Series([rows[x] for x in k], dtype="int64")}
+        )
+
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["source", "text"]),
+        ["source", "tok"], partial,
+        lambda g: g.groupby(["source", "tok"], sort=False,
+                            as_index=False)["n"].sum(),
+        n_buckets=32,
+    ).to_pandas()
+    vocab = sorted(counts["tok"].unique())
+    v = len(vocab)
+    sources = sorted(counts["source"].unique())
+    totals = counts.groupby("source")["n"].sum().to_dict()
+    cmap = {(r.source, r.tok): int(r.n) for r in counts.itertuples()}
+    out = []
+    for model in sources:
+        denom = int(totals[model]) + v
+        # one log per (token, model); OOV-for-model tokens share one value
+        logp = {t: math.log((cmap.get((model, t), 0) + 1) / denom)
+                for t in vocab}
+        for ev in sources:
+            s = 0
+            n_tok = 0
+            for t in vocab:
+                c = cmap.get((ev, t), 0)
+                if c:
+                    s += c * int(_round_half_away(
+                        np.array([logp[t] * 1e6]))[0])
+                    n_tok += c
+            out.append((ev, model, n_tok, s))
+    return pd.DataFrame(
+        out, columns=["src_eval", "src_model", "n_tokens", "micro_nats"]
+    ).astype({"n_tokens": "int64", "micro_nats": "int64"})
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -9821,6 +9891,7 @@ QUERIES = {
     "chi2_type_hour": chi2_type_hour,
     "cluster_canonical_docs": cluster_canonical_docs,
     "funnel_latency_percentiles": funnel_latency_percentiles,
+    "lm_transfer_matrix": lm_transfer_matrix,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -13762,4 +13833,33 @@ SQL["funnel_latency_percentiles"] = r"""
                CAST(max(CASE WHEN rn = (95 * (n - 1)) // 100 + 1
                              THEN elapsed_us END) AS BIGINT) AS p95_us
         FROM rk
+"""
+
+SQL["lm_transfer_matrix"] = r"""
+        WITH tk AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ),
+        c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+              FROM tk GROUP BY 1, 2),
+        v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM c),
+        tot AS (SELECT source, sum(n) AS t FROM c GROUP BY 1),
+        srcs AS (SELECT DISTINCT source FROM c),
+        vt AS (SELECT DISTINCT tok FROM c),
+        logs AS (
+          SELECT m.source AS model, vt.tok,
+                 CAST(round(1000000 * ln((coalesce(cm.n, 0) + 1)
+                                         / CAST(tm.t + v.v AS DOUBLE)))
+                      AS BIGINT) AS lp
+          FROM srcs m CROSS JOIN vt
+          LEFT JOIN c cm ON cm.source = m.source AND cm.tok = vt.tok
+          JOIN tot tm ON tm.source = m.source, v
+        )
+        SELECT e.source AS src_eval, l.model AS src_model,
+               CAST(sum(e.n) AS BIGINT) AS n_tokens,
+               CAST(sum(e.n * l.lp) AS BIGINT) AS micro_nats
+        FROM c e JOIN logs l ON l.tok = e.tok
+        GROUP BY 1, 2
 """
