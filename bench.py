@@ -237,6 +237,9 @@ def run_queries() -> dict[str, float]:
         "cluster_canonical_docs",
         "funnel_latency_percentiles",
         "lm_transfer_matrix",
+        "balanced_sample_per_label",
+        "rendezvous_shard_audit",
+        "trending_tokens",
     ]
     out = {}
     for name in picks:

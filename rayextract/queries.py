@@ -5031,6 +5031,162 @@ def lm_transfer_matrix(sf_dir: str):
     ).astype({"n_tokens": "int64", "micro_nats": "int64"})
 
 
+def balanced_sample_per_label(sf_dir: str):
+    """Class-balanced deterministic sampling: exactly min(32, class size)
+    vectors per label, chosen by md5 priority — the rebalancing step
+    before training a classifier on skewed labels (the per-class-cap
+    complement of the fraction-based stratified_sample_per_source).
+
+    Scale shape: the per-label cap makes per-batch partials safe (a
+    batch's top-32-per-label is a superset of the global winners); ONE
+    bucketed exchange on label collapses them to the true per-label
+    bottom-32 priorities. Priority = md5_number_upper(vec_id), the
+    engine's shared DuckDB-recomputable hash."""
+    import hashlib
+
+    from .bucketed import bucketed_group_reduce
+
+    K = 32
+
+    def prio(v) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(str(int(x)).encode()).digest()[:8],
+                            "little") >> 1 for x in v),  # >>1: fits int64
+            dtype="int64", count=len(v),
+        )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"label": df["label"].to_numpy(dtype="int64"),
+             "vec_id": df["vec_id"].to_numpy(dtype="int64")}
+        )
+        t["prio"] = prio(t["vec_id"])
+        return (
+            t.sort_values(["prio", "vec_id"], kind="stable")
+            .groupby("label", sort=False).head(K)
+        )
+
+    out = bucketed_group_reduce(
+        _read(sf_dir, "embeddings", ["vec_id", "label"]),
+        ["label"], topk, topk, n_buckets=8,
+    ).to_pandas()
+    return pd.DataFrame(
+        {"label": out["label"].astype("int64"),
+         "vec_id": out["vec_id"].astype("int64")}
+    ).sort_values(["label", "vec_id"]).reset_index(drop=True)
+
+
+def rendezvous_shard_audit(sf_dir: str):
+    """Rendezvous (highest-random-weight) sharding audit: assign every
+    document its HRW shard under 16 and under 17 shards and measure how
+    many move — consistent hashing's core guarantee (~1/17 of keys move
+    when a shard is added, vs ~16/17 under mod-hashing). The shard-count
+    resizing story for this engine's partitioned outputs and resumable
+    manifests. Weights are md5_number_upper(doc_id || ':' || shard), ties
+    -> lowest shard, so the oracle replays the argmax exactly.
+
+    Scale shape: pure per-batch arithmetic (32 hashes per row, no state,
+    no shuffle); the audit row folds from per-batch partial counts."""
+    import hashlib
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        best16 = np.zeros(len(ids), dtype="int64")
+        best17 = np.zeros(len(ids), dtype="int64")
+        w16 = np.full(len(ids), -1, dtype=object)
+        w17 = np.full(len(ids), -1, dtype=object)
+        for s in range(17):
+            w = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(f"{int(d)}:{s}".encode()).digest()[:8],
+                    "little") for d in ids),
+                dtype=object, count=len(ids),
+            )
+            if s < 16:
+                m = w > w16
+                best16[m] = s
+                w16[m] = w[m]
+            m = w > w17
+            best17[m] = s
+            w17[m] = w[m]
+        moved = best16 != best17
+        return pd.DataFrame(
+            {"n_docs": [len(ids)], "n_moved": [int(moved.sum())]}
+        )
+
+    parts = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(assign, batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(parts["n_docs"].sum())
+    mv = int(parts["n_moved"].sum())
+    return pd.DataFrame(
+        {"n_docs": [n], "n_moved": [mv],
+         "moved_bp": [(10000 * mv) // max(n, 1)]}
+    ).astype("int64")
+
+
+def trending_tokens(sf_dir: str):
+    """Trending-vocabulary detection: tokens whose frequency shifts most
+    between the corpus's two halves (doc_id parity as the deterministic
+    epoch proxy; in production the split is a date column) — the drift
+    monitor run before refreshing a tokenizer or mixture. Score =
+    integer micro-nat log ratio of add-one rates, top 20 by
+    (|score| DESC, token ASC), minimum 5 occurrences overall.
+
+    Scale shape: ONE bucketed exchange to (token, half) counts; the
+    scored ranking folds over the vocab-sized aggregate on the driver
+    with one scalar ``math.log`` per token (the engine's float
+    contract)."""
+    import math
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict = {}
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            h = int(doc_id) % 2
+            for tok in _tokens(text):
+                rows[(tok, h)] = rows.get((tok, h), 0) + 1
+        k = list(rows)
+        return pd.DataFrame(
+            {"tok": [a for a, _ in k],
+             "half": pd.Series([b for _, b in k], dtype="int64"),
+             "n": pd.Series([rows[x] for x in k], dtype="int64")}
+        )
+
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        ["tok"], partial,
+        lambda g: g.groupby(["tok", "half"], sort=False,
+                            as_index=False)["n"].sum(),
+        n_buckets=32,
+    ).to_pandas()
+    piv = counts.pivot_table(index="tok", columns="half", values="n",
+                             aggfunc="sum", fill_value=0)
+    c0 = piv.get(0, pd.Series(0, index=piv.index)).astype("int64")
+    c1 = piv.get(1, pd.Series(0, index=piv.index)).astype("int64")
+    t0, t1 = int(c0.sum()), int(c1.sum())
+    keep = (c0 + c1) >= 5
+    toks = piv.index[keep]
+    score = {}
+    for t in toks:
+        r1 = (int(c1[t]) + 1) / (t1 + 1)
+        r0 = (int(c0[t]) + 1) / (t0 + 1)
+        score[t] = int(_round_half_away(
+            np.array([math.log(r1 / r0) * 1e6]))[0])
+    top = sorted(score, key=lambda t: (-abs(score[t]), t))[:20]
+    return pd.DataFrame(
+        {"token": top,
+         "n_first_half": [int(c0[t]) for t in top],
+         "n_second_half": [int(c1[t]) for t in top],
+         "shift_micro_nats": [score[t] for t in top]}
+    ).astype({"n_first_half": "int64", "n_second_half": "int64",
+              "shift_micro_nats": "int64"})
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -9892,6 +10048,9 @@ QUERIES = {
     "cluster_canonical_docs": cluster_canonical_docs,
     "funnel_latency_percentiles": funnel_latency_percentiles,
     "lm_transfer_matrix": lm_transfer_matrix,
+    "balanced_sample_per_label": balanced_sample_per_label,
+    "rendezvous_shard_audit": rendezvous_shard_audit,
+    "trending_tokens": trending_tokens,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -13862,4 +14021,78 @@ SQL["lm_transfer_matrix"] = r"""
                CAST(sum(e.n * l.lp) AS BIGINT) AS micro_nats
         FROM c e JOIN logs l ON l.tok = e.tok
         GROUP BY 1, 2
+"""
+
+SQL["balanced_sample_per_label"] = r"""
+        WITH r AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 CAST(vec_id AS BIGINT) AS vec_id,
+                 row_number() OVER (
+                   PARTITION BY label
+                   ORDER BY md5_number_upper(CAST(vec_id AS VARCHAR)) >> 1,
+                            vec_id) AS rn
+          FROM embeddings
+        )
+        SELECT label, vec_id FROM r WHERE rn <= 32
+"""
+
+SQL["rendezvous_shard_audit"] = r"""
+        WITH s AS (
+          SELECT doc_id, CAST(x AS BIGINT) AS shard,
+                 md5_number_upper(CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(x AS VARCHAR)) AS w
+          FROM documents, unnest(range(17)) AS r(x)
+        ),
+        a16 AS (
+          SELECT doc_id, shard FROM (
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY w DESC, shard) AS rn
+            FROM s WHERE shard < 16) WHERE rn = 1
+        ),
+        a17 AS (
+          SELECT doc_id, shard FROM (
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY w DESC, shard) AS rn
+            FROM s) WHERE rn = 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN a16.shard <> a17.shard
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+               CAST((10000 * sum(CASE WHEN a16.shard <> a17.shard
+                                      THEN 1 ELSE 0 END))
+                    // greatest(count(*), 1) AS BIGINT) AS moved_bp
+        FROM a16 JOIN a17 USING (doc_id)
+"""
+
+SQL["trending_tokens"] = r"""
+        WITH tk AS (
+          SELECT doc_id % 2 AS half,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ),
+        c AS (SELECT tok, half, CAST(count(*) AS BIGINT) AS n
+              FROM tk GROUP BY 1, 2),
+        p AS (
+          SELECT tok,
+                 sum(CASE WHEN half = 0 THEN n ELSE 0 END) AS c0,
+                 sum(CASE WHEN half = 1 THEN n ELSE 0 END) AS c1
+          FROM c GROUP BY 1
+        ),
+        t AS (SELECT sum(c0) AS t0, sum(c1) AS t1 FROM p),
+        sc AS (
+          SELECT tok, c0, c1,
+                 CAST(round(1000000 * ln(
+                   ((c1 + 1) / CAST(t1 + 1 AS DOUBLE))
+                   / ((c0 + 1) / CAST(t0 + 1 AS DOUBLE)))) AS BIGINT) AS s
+          FROM p, t WHERE c0 + c1 >= 5
+        ),
+        rk AS (SELECT *, row_number() OVER (ORDER BY abs(s) DESC, tok)
+                   AS rn FROM sc)
+        SELECT tok AS token, CAST(c0 AS BIGINT) AS n_first_half,
+               CAST(c1 AS BIGINT) AS n_second_half,
+               s AS shift_micro_nats
+        FROM rk WHERE rn <= 20
 """
