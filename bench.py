@@ -240,6 +240,7 @@ def run_queries() -> dict[str, float]:
         "balanced_sample_per_label",
         "rendezvous_shard_audit",
         "trending_tokens",
+        "peak_concurrent_sessions",
     ]
     out = {}
     for name in picks:

@@ -5187,6 +5187,91 @@ def trending_tokens(sf_dir: str):
               "shift_micro_nats": "int64"})
 
 
+def peak_concurrent_sessions(sf_dir: str):
+    """Sweep-line peak concurrency: the maximum number of user sessions
+    (30-min inactivity gap, inclusive [first,last] intervals) open at the
+    same instant — the capacity-planning number behind connection pools
+    and rate limits. A global running sum over ordered +1/-1 boundaries
+    cannot tree-reduce naively, but it IS mergeable per time bin:
+    max-prefix(bin) and sum(bin) compose as offset_k + max_prefix_k over
+    bin order — the distributed sweep-line / prefix-scan decomposition.
+
+    Scale shape: exchange 1 buckets events on user_id and folds each
+    user's sessions to (start, end) boundary rows in-bucket; exchange 2
+    buckets boundaries on the day bin and emits ONE (sum, max_prefix)
+    row per bin; the driver composes ~days-many bin summaries. Ties at
+    equal timestamps count starts before ends (inclusive overlap), same
+    ordering in the SQL window oracle."""
+    from .bucketed import bucketed_group_reduce
+
+    GAP_US = 1_800_000_000
+    BIN_US = 86_400_000_000
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(dtype="int64"),
+             "t_us": df["ts"].to_numpy().astype("datetime64[us]")
+                       .astype("int64"),
+             "event_id": df["event_id"].to_numpy(dtype="int64")}
+        )
+
+    def r1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        gap = g.groupby("user_id", sort=False)["t_us"].diff()
+        new_s = gap.isna() | (gap > GAP_US)
+        sid = np.cumsum(new_s.to_numpy())
+        t = pd.DataFrame({"s": sid, "t_us": g["t_us"].to_numpy()})
+        sess = t.groupby("s", sort=False).agg(st=("t_us", "min"),
+                                              en=("t_us", "max"))
+        return pd.DataFrame(
+            {"t": np.concatenate([sess["st"].to_numpy(),
+                                  sess["en"].to_numpy()]).astype("int64"),
+             "d": np.concatenate([np.ones(len(sess), dtype="int64"),
+                                  -np.ones(len(sess), dtype="int64")])}
+        )
+
+    bounds = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]),
+        ["user_id"], p1, r1, n_buckets=32,
+    )
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["bin"] = out["t"].to_numpy(dtype="int64") // BIN_US
+        return out
+
+    def r2(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b, grp in g.groupby("bin", sort=False):
+            grp = grp.sort_values(["t", "d"], ascending=[True, False],
+                                  kind="stable")
+            c = np.cumsum(grp["d"].to_numpy(dtype="int64"))
+            out.append((int(b), int(c[-1]), int(c.max()),
+                        int(grp["d"].gt(0).sum())))
+        return pd.DataFrame(
+            out, columns=["bin", "sum_d", "max_prefix", "n_starts"]
+        ).astype("int64")
+
+    bins = bucketed_group_reduce(
+        bounds, ["bin"], p2, r2, n_buckets=16,
+    ).to_pandas()
+    bins = bins.groupby("bin", sort=True, as_index=False).agg(
+        sum_d=("sum_d", "sum"), max_prefix=("max_prefix", "max"),
+        n_starts=("n_starts", "sum"),
+    )
+    # NB: a bin split across buckets can't happen (equal bins co-locate),
+    # so max_prefix per bin is exact; compose offsets across sorted bins
+    off = np.concatenate(
+        [[0], np.cumsum(bins["sum_d"].to_numpy(dtype="int64"))[:-1]]
+    )
+    peak = int((off + bins["max_prefix"].to_numpy(dtype="int64")).max())
+    return pd.DataFrame(
+        {"n_sessions": [int(bins["n_starts"].sum())],
+         "peak_concurrency": [peak]}
+    ).astype("int64")
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10051,6 +10136,7 @@ QUERIES = {
     "balanced_sample_per_label": balanced_sample_per_label,
     "rendezvous_shard_audit": rendezvous_shard_audit,
     "trending_tokens": trending_tokens,
+    "peak_concurrent_sessions": peak_concurrent_sessions,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -14095,4 +14181,37 @@ SQL["trending_tokens"] = r"""
                CAST(c1 AS BIGINT) AS n_second_half,
                s AS shift_micro_nats
         FROM rk WHERE rn <= 20
+"""
+
+SQL["peak_concurrent_sessions"] = r"""
+        WITH o AS (
+          SELECT user_id, epoch_us(ts) AS t, event_id,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        marked AS (
+          SELECT user_id, t,
+                 CASE WHEN prev IS NULL OR t - prev > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM o
+        ),
+        sid AS (
+          SELECT user_id, t,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS s
+          FROM marked
+        ),
+        sess AS (SELECT user_id, s, min(t) AS st, max(t) AS en
+                 FROM sid GROUP BY 1, 2),
+        b AS (SELECT st AS t, 1 AS d FROM sess
+              UNION ALL SELECT en, -1 FROM sess),
+        run AS (
+          SELECT sum(d) OVER (ORDER BY t, d DESC
+                              ROWS UNBOUNDED PRECEDING) AS c
+          FROM b
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
+               CAST(max(c) AS BIGINT) AS peak_concurrency
+        FROM run
 """
