@@ -241,6 +241,7 @@ def run_queries() -> dict[str, float]:
         "rendezvous_shard_audit",
         "trending_tokens",
         "peak_concurrent_sessions",
+        "vocab_jaccard_sources",
     ]
     out = {}
     for name in picks:

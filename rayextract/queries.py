@@ -5272,6 +5272,69 @@ def peak_concurrent_sessions(sf_dir: str):
     ).astype("int64")
 
 
+def vocab_jaccard_sources(sf_dir: str):
+    """Vocabulary-overlap matrix: exact Jaccard between every pair of
+    sources' distinct token SETS (the set-based companion to the
+    frequency-weighted lm_transfer_matrix) — near-identical vocabularies
+    flag mirrored feeds even when token frequencies differ.
+
+    Scale shape: the corpus collapses to distinct (token, source) pairs
+    in per-batch partials; ONE bucketed exchange on token; each token's
+    source list emits its within-token source pairs (sources are few, so
+    a token row fans out to at most C(sources,2) pair counts) and the
+    per-pair intersection sums plus per-source set sizes fold driver-side
+    into exact-integer Jaccard basis points."""
+    from itertools import combinations
+
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .textstats import _tokens
+
+        seen = set()
+        for src, text in zip(df["source"], df["text"]):
+            for tok in _tokens(text):
+                seen.add((tok, src))
+        k = sorted(seen)
+        return pd.DataFrame(
+            {"tok": [a for a, _ in k], "source": [b for _, b in k]}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["tok", "source"])
+        sizes = g.groupby("source", sort=False).size().rename("n")
+        pair_counts: dict = {}
+        for _, grp in g.groupby("tok", sort=False):
+            srcs = sorted(grp["source"])
+            for a, b in combinations(srcs, 2):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+        rows = [("", s, int(n), 0) for s, n in sizes.items()]
+        rows += [(a, b, 0, c) for (a, b), c in pair_counts.items()]
+        return pd.DataFrame(
+            rows, columns=["src_a", "src_b", "size_n", "inter_n"]
+        ).astype({"size_n": "int64", "inter_n": "int64"})
+
+    parts = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["source", "text"]),
+        ["tok"], partial, reduce, n_buckets=32,
+    ).to_pandas()
+    sizes = (
+        parts.loc[parts["src_a"] == ""]
+        .groupby("src_b", sort=False)["size_n"].sum().to_dict()
+    )
+    inter = (
+        parts.loc[parts["src_a"] != ""]
+        .groupby(["src_a", "src_b"], sort=False)["inter_n"].sum()
+    )
+    out = []
+    for (a, b), i in sorted(inter.items()):
+        union = int(sizes[a]) + int(sizes[b]) - int(i)
+        out.append((a, b, int(i), union, (10000 * int(i)) // max(union, 1)))
+    return pd.DataFrame(
+        out, columns=["src_a", "src_b", "inter_n", "union_n", "jaccard_bp"]
+    ).astype({"inter_n": "int64", "union_n": "int64", "jaccard_bp": "int64"})
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10137,6 +10200,7 @@ QUERIES = {
     "rendezvous_shard_audit": rendezvous_shard_audit,
     "trending_tokens": trending_tokens,
     "peak_concurrent_sessions": peak_concurrent_sessions,
+    "vocab_jaccard_sources": vocab_jaccard_sources,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -14214,4 +14278,29 @@ SQL["peak_concurrent_sessions"] = r"""
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
                CAST(max(c) AS BIGINT) AS peak_concurrency
         FROM run
+"""
+
+SQL["vocab_jaccard_sources"] = r"""
+        WITH ts AS (
+          SELECT DISTINCT source, tok FROM (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents)
+        ),
+        sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM ts GROUP BY 1),
+        pr AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS inter_n
+          FROM ts a JOIN ts b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT pr.src_a, pr.src_b, pr.inter_n,
+               CAST(sa.n + sb.n - pr.inter_n AS BIGINT) AS union_n,
+               CAST((10000 * pr.inter_n)
+                    // greatest(sa.n + sb.n - pr.inter_n, 1) AS BIGINT)
+                   AS jaccard_bp
+        FROM pr JOIN sz sa ON sa.source = pr.src_a
+        JOIN sz sb ON sb.source = pr.src_b
 """
