@@ -242,6 +242,8 @@ def run_queries() -> dict[str, float]:
         "trending_tokens",
         "peak_concurrent_sessions",
         "vocab_jaccard_sources",
+        "turn_idx_integrity_audit",
+        "token_concentration_per_source",
     ]
     out = {}
     for name in picks:

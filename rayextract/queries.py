@@ -5335,6 +5335,92 @@ def vocab_jaccard_sources(sf_dir: str):
     ).astype({"inter_n": "int64", "union_n": "int64", "jaccard_bp": "int64"})
 
 
+def turn_idx_integrity_audit(sf_dir: str):
+    """Turn-ordering integrity audit over the derived transcript corpus:
+    per conversation, duplicate turn_idx count, gap count and span —
+    the ingest check a transcript pipeline runs before any
+    order-dependent fold (the flagship's first-match semantics silently
+    change if turn ids repeat or jump). The derived corpus has a
+    BY-CONSTRUCTION gap at idx 1 for doc_id % 3 != 0 conversations, so
+    the audit's output is non-trivial and the oracle reproduces it
+    arithmetically.
+
+    Scale shape: ONE bucketed exchange on conv_id over (conv, idx) int
+    rows; per-conversation stats are one vectorized sorted pass per
+    bucket."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"],
+             "turn_idx": df["turn_idx"].astype("int64")}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        agg = g.groupby("conv_id", sort=False).agg(
+            n_turns=("turn_idx", "size"),
+            n_distinct=("turn_idx", "nunique"),
+            mn=("turn_idx", "min"), mx=("turn_idx", "max"),
+        ).reset_index()
+        agg["n_dup_idx"] = (agg["n_turns"] - agg["n_distinct"]).astype("int64")
+        agg["n_gaps"] = (agg["mx"] - agg["mn"] + 1
+                         - agg["n_distinct"]).astype("int64")
+        agg["starts_at_zero"] = agg["mn"] == 0
+        return agg[["conv_id", "n_turns", "n_dup_idx", "n_gaps",
+                    "starts_at_zero"]].astype(
+            {"n_turns": "int64"})
+
+    return bucketed_group_reduce(
+        _docs_to_transcripts(sf_dir).select_columns(["conv_id", "turn_idx"]),
+        ["conv_id"], partial, reduce, n_buckets=64,
+    )
+
+
+def token_concentration_per_source(sf_dir: str):
+    """Vocabulary mass concentration: per source, the share of all token
+    OCCURRENCES owned by its 10 most frequent tokens (basis points,
+    top-10 picked by count DESC then token ASC) — the Zipf-head metric
+    that separates templated feeds (head-heavy) from diverse prose.
+
+    Scale shape: ONE bucketed exchange to (source, token) counts; the
+    per-source top-10 and share fold over that vocab-sized aggregate
+    driver-side (per-batch partials pre-combine, so the exchange carries
+    batch x vocab rows at most)."""
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict = {}
+        for src, text in zip(df["source"], df["text"]):
+            for tok in _tokens(text):
+                rows[(src, tok)] = rows.get((src, tok), 0) + 1
+        k = list(rows)
+        return pd.DataFrame(
+            {"source": [a for a, _ in k], "tok": [b for _, b in k],
+             "n": pd.Series([rows[x] for x in k], dtype="int64")}
+        )
+
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["source", "text"]),
+        ["source", "tok"], partial,
+        lambda g: g.groupby(["source", "tok"], sort=False,
+                            as_index=False)["n"].sum(),
+        n_buckets=32,
+    ).to_pandas()
+    out = []
+    for src, grp in counts.groupby("source", sort=False):
+        total = int(grp["n"].sum())
+        top = grp.sort_values(["n", "tok"], ascending=[False, True],
+                              kind="stable").head(10)
+        head = int(top["n"].sum())
+        out.append((src, total, head, (10000 * head) // max(total, 1)))
+    return pd.DataFrame(
+        out, columns=["source", "total_tokens", "top10_tokens", "head_bp"]
+    ).astype({"total_tokens": "int64", "top10_tokens": "int64",
+              "head_bp": "int64"}).sort_values("source").reset_index(drop=True)
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10201,6 +10287,8 @@ QUERIES = {
     "trending_tokens": trending_tokens,
     "peak_concurrent_sessions": peak_concurrent_sessions,
     "vocab_jaccard_sources": vocab_jaccard_sources,
+    "turn_idx_integrity_audit": turn_idx_integrity_audit,
+    "token_concentration_per_source": token_concentration_per_source,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -14303,4 +14391,58 @@ SQL["vocab_jaccard_sources"] = r"""
                    AS jaccard_bp
         FROM pr JOIN sz sa ON sa.source = pr.src_a
         JOIN sz sb ON sb.source = pr.src_b
+"""
+
+SQL["turn_idx_integrity_audit"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                 greatest(CAST(ceil(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                                    x -> x <> '')) / 12.0) AS BIGINT),
+                          1) AS nchunks
+          FROM documents
+        ),
+        turns AS (
+          SELECT conv_id, CAST(0 AS BIGINT) AS idx FROM d
+          UNION ALL
+          SELECT conv_id, CAST(1 AS BIGINT) FROM d WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT conv_id, CAST(i AS BIGINT)
+          FROM d, unnest(range(2, nchunks + 2)) AS r(i)
+        )
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(count(*) - count(DISTINCT idx) AS BIGINT) AS n_dup_idx,
+               CAST(max(idx) - min(idx) + 1 - count(DISTINCT idx) AS BIGINT)
+                   AS n_gaps,
+               min(idx) = 0 AS starts_at_zero
+        FROM turns GROUP BY conv_id
+"""
+
+SQL["token_concentration_per_source"] = r"""
+        WITH tk AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ),
+        c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+              FROM tk GROUP BY 1, 2),
+        rk AS (
+          SELECT source, n,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n DESC, tok) AS rn
+          FROM c
+        ),
+        agg AS (
+          SELECT source,
+                 CAST(sum(n) AS BIGINT) AS total_tokens,
+                 CAST(sum(CASE WHEN rn <= 10 THEN n ELSE 0 END) AS BIGINT)
+                     AS top10_tokens
+          FROM rk GROUP BY source
+        )
+        SELECT source, total_tokens, top10_tokens,
+               CAST((10000 * top10_tokens) // greatest(total_tokens, 1)
+                    AS BIGINT) AS head_bp
+        FROM agg
 """
