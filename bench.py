@@ -244,6 +244,7 @@ def run_queries() -> dict[str, float]:
         "vocab_jaccard_sources",
         "turn_idx_integrity_audit",
         "token_concentration_per_source",
+        "doc_length_percentile_rank",
     ]
     out = {}
     for name in picks:

@@ -5421,6 +5421,32 @@ def token_concentration_per_source(sf_dir: str):
               "head_bp": "int64"}).sort_values("source").reset_index(drop=True)
 
 
+def doc_length_percentile_rank(sf_dir: str):
+    """Percentile rank attached to EVERY document, computed distributed:
+    pct_bp = 10000*(rank-1) // (N-1) over (n_chars, doc_id) order — the
+    per-row percentile feature a curriculum or filtering stage consumes
+    (and the distributed answer to RFM's driver-side quartiles: this one
+    never collects the corpus). Reuses relational.global_rank's
+    bin-offset machinery; the oracle is the row_number window."""
+    from .relational import global_rank
+
+    ranked, total = global_rank(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        "n_chars", "doc_id", bin_width=256,
+    )
+    denom = max(total - 1, 1)
+
+    def pct(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rank"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "n_chars": df["n_chars"].astype("int64"),
+             "pct_bp": (10000 * (r - 1)) // denom}
+        )
+
+    return ranked.map_batches(pct, batch_format="pandas")
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10289,6 +10315,7 @@ QUERIES = {
     "vocab_jaccard_sources": vocab_jaccard_sources,
     "turn_idx_integrity_audit": turn_idx_integrity_audit,
     "token_concentration_per_source": token_concentration_per_source,
+    "doc_length_percentile_rank": doc_length_percentile_rank,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -14445,4 +14472,17 @@ SQL["token_concentration_per_source"] = r"""
                CAST((10000 * top10_tokens) // greatest(total_tokens, 1)
                     AS BIGINT) AS head_bp
         FROM agg
+"""
+
+SQL["doc_length_percentile_rank"] = r"""
+        WITH r AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                 row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+                 count(*) OVER () AS n
+          FROM documents
+        )
+        SELECT doc_id, n_chars,
+               CAST((10000 * (rn - 1)) // greatest(n - 1, 1) AS BIGINT)
+                   AS pct_bp
+        FROM r
 """
