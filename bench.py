@@ -245,6 +245,8 @@ def run_queries() -> dict[str, float]:
         "turn_idx_integrity_audit",
         "token_concentration_per_source",
         "doc_length_percentile_rank",
+        "event_throttle_dedup",
+        "ks_length_drift_per_source",
     ]
     out = {}
     for name in picks:

@@ -5447,6 +5447,119 @@ def doc_length_percentile_rank(sf_dir: str):
     return ranked.map_batches(pct, batch_format="pandas")
 
 
+def event_throttle_dedup(sf_dir: str):
+    """Stream throttling / event-level dedup: within each (user, type)
+    stream, suppress events arriving within 5 minutes of the last KEPT
+    event — the client-retry / double-fire cleaner every event pipeline
+    runs at ingest. Note the stateful subtlety: the gate compares to the
+    last KEPT event (a running anchor), not the previous row — a burst
+    of N retries collapses to ceil(span/5min) keepers, which a naive
+    LAG-based filter gets wrong. Output kept/suppressed counts per type.
+
+    Scale shape: ONE bucketed exchange on user_id; the anchor scan is
+    per-(user,type) sequential — bounded by a user's own stream, the
+    same partitioning contract as sessionize; per-type counts fold from
+    bucket partials. The oracle replays the anchor recurrence as a
+    recursive CTE."""
+    from .bucketed import bucketed_group_reduce
+
+    WIN_US = 300_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(dtype="int64"),
+             "event_type": df["event_type"],
+             "t_us": df["ts"].to_numpy().astype("datetime64[us]")
+                       .astype("int64"),
+             "event_id": df["event_id"].to_numpy(dtype="int64")}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "t_us", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        kept = np.zeros(len(g), dtype=bool)
+        # per-(user,type) anchor scan; python loop over STREAMS not rows:
+        # each stream's scan is a short numpy walk (kept-anchor jumps)
+        for _, grp in g.groupby(["user_id", "event_type"], sort=False):
+            ts = grp["t_us"].to_numpy()
+            idx = grp.index.to_numpy()
+            i = 0
+            while i < len(ts):
+                kept[idx[i]] = True
+                nxt = np.searchsorted(ts, ts[i] + WIN_US, side="left")
+                i = max(nxt, i + 1)
+        t = pd.DataFrame(
+            {"event_type": g["event_type"],
+             "kept": kept.astype("int64"),
+             "supp": (~kept).astype("int64")}
+        )
+        return t.groupby("event_type", sort=False, as_index=False).sum()
+
+    parts = bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        ["user_id"], partial, reduce, n_buckets=32,
+    ).to_pandas()
+    out = parts.groupby("event_type", sort=False, as_index=False)[
+        ["kept", "supp"]
+    ].sum()
+    return pd.DataFrame(
+        {"event_type": out["event_type"],
+         "n_kept": out["kept"].astype("int64"),
+         "n_suppressed": out["supp"].astype("int64")}
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+def ks_length_drift_per_source(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov drift: for every source, the KS
+    statistic between its document-length distribution and the whole
+    corpus — the distribution-shift monitor behind per-source quality
+    regressions. Exact rational arithmetic: the max runs over the
+    integer |cum_src * N_total - cum_all * n_src| and only the final
+    statistic is floored to basis points, so there is no float anywhere.
+
+    Scale shape: ONE exchange to (source, n_chars) counts (value domain
+    is bounded); the CDF grid walk folds over that histogram-sized
+    aggregate on the driver."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"source": df["source"],
+             "n_chars": df["n_chars"].to_numpy(dtype="int64"),
+             "n": np.int64(1)}
+        )
+        return t.groupby(["source", "n_chars"], sort=False,
+                         as_index=False).sum()
+
+    counts = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["source", "n_chars"]),
+        ["source", "n_chars"], partial,
+        lambda g: g.groupby(["source", "n_chars"], sort=False,
+                            as_index=False)["n"].sum(),
+        n_buckets=16,
+    ).to_pandas()
+    values = np.sort(counts["n_chars"].unique())
+    all_cum = (
+        counts.groupby("n_chars")["n"].sum()
+        .reindex(values, fill_value=0).cumsum().to_numpy(dtype="int64")
+    )
+    N = int(all_cum[-1])
+    out = []
+    for src, grp in counts.groupby("source", sort=False):
+        cum = (
+            grp.groupby("n_chars")["n"].sum()
+            .reindex(values, fill_value=0).cumsum().to_numpy(dtype="int64")
+        )
+        ns = int(cum[-1])
+        diff = np.abs(cum * N - all_cum * ns)
+        ks_num = int(diff.max())
+        out.append((src, ns, (10000 * ks_num) // (ns * N)))
+    return pd.DataFrame(
+        out, columns=["source", "n_docs", "ks_bp"]
+    ).astype({"n_docs": "int64", "ks_bp": "int64"}).sort_values(
+        "source").reset_index(drop=True)
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10316,6 +10429,8 @@ QUERIES = {
     "turn_idx_integrity_audit": turn_idx_integrity_audit,
     "token_concentration_per_source": token_concentration_per_source,
     "doc_length_percentile_rank": doc_length_percentile_rank,
+    "event_throttle_dedup": event_throttle_dedup,
+    "ks_length_drift_per_source": ks_length_drift_per_source,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -14485,4 +14600,71 @@ SQL["doc_length_percentile_rank"] = r"""
                CAST((10000 * (rn - 1)) // greatest(n - 1, 1) AS BIGINT)
                    AS pct_bp
         FROM r
+"""
+
+SQL["event_throttle_dedup"] = r"""
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        rec(user_id, event_type, rn, t) AS (
+          SELECT user_id, event_type, rn, t FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_type, e.rn, e.t
+          FROM rec r JOIN e ON e.user_id = r.user_id
+                           AND e.event_type = r.event_type
+                           AND e.rn > r.rn AND e.t >= r.t + 300000000
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e e2
+            WHERE e2.user_id = e.user_id AND e2.event_type = e.event_type
+              AND e2.rn > r.rn AND e2.t >= r.t + 300000000
+              AND e2.rn < e.rn)
+        ),
+        k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+              FROM rec GROUP BY 1),
+        a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_all
+              FROM e GROUP BY 1)
+        SELECT a.event_type, coalesce(k.n_kept, 0) AS n_kept,
+               CAST(a.n_all - coalesce(k.n_kept, 0) AS BIGINT)
+                   AS n_suppressed
+        FROM a LEFT JOIN k USING (event_type)
+"""
+
+SQL["ks_length_drift_per_source"] = r"""
+        WITH c AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS v,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2
+        ),
+        vals AS (SELECT DISTINCT v FROM c),
+        srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns
+                 FROM c GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM c),
+        grid AS (SELECT s.source, s.ns, vals.v
+                 FROM srcs s CROSS JOIN vals),
+        j AS (SELECT g.source, g.ns, g.v, coalesce(c.n, 0) AS n
+              FROM grid g LEFT JOIN c ON c.source = g.source
+                                     AND c.v = g.v),
+        cum AS (
+          SELECT source, ns, v,
+                 sum(n) OVER (PARTITION BY source ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cums
+          FROM j
+        ),
+        ac AS (
+          SELECT v, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cumall
+          FROM (SELECT v, sum(n) AS n FROM c GROUP BY 1)
+        ),
+        ks AS (
+          SELECT cum.source, max(cum.ns) AS ns, t.N AS N,
+                 max(abs(cum.cums * t.N - ac.cumall * cum.ns)) AS num
+          FROM cum JOIN ac USING (v), tot t
+          GROUP BY cum.source, t.N
+        )
+        SELECT source, CAST(ns AS BIGINT) AS n_docs,
+               CAST((10000 * num) // (ns * N) AS BIGINT) AS ks_bp
+        FROM ks
 """
