@@ -247,6 +247,7 @@ def run_queries() -> dict[str, float]:
         "doc_length_percentile_rank",
         "event_throttle_dedup",
         "ks_length_drift_per_source",
+        "typo_token_clusters",
     ]
     out = {}
     for name in picks:

@@ -5560,6 +5560,106 @@ def ks_length_drift_per_source(sf_dir: str):
         "source").reset_index(drop=True)
 
 
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 check (two-pointer, O(len))."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution allowed
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = diff = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        else:
+            diff += 1
+            if diff > 1:
+                return False
+            j += 1  # skip the inserted char in the longer string
+    return True
+
+
+def typo_token_clusters(sf_dir: str):
+    """Fuzzy reference-code matching, SymSpell-style: the corpus's order
+    reference codes ('AB' || doc_id || 'X', the E5 extractor's grammar)
+    clustered by edit distance <= 1 — the OCR-misread / typo'd-ticket-id
+    reconciliation every document pipeline needs when free-text codes
+    must join against a master list. Candidate generation is the
+    deletion-neighborhood trick (two strings at ED <= 1 ALWAYS share a
+    single-deletion key, so blocking is complete, never approximate);
+    candidates are verified with an exact two-pointer ED check, and the
+    toy-scale SQL oracle cross-joins the code list with DuckDB's
+    levenshtein() + the same recursive-CC shape as dedup_clusters.
+
+    Scale shape: ONE bucketed exchange on the deletion key (each code
+    emits len+1 keys — narrow string rows, not documents); within-bucket
+    verification touches only key-sharing candidates; the surviving pair
+    list is code-vocabulary-bounded and feeds the engine's hybrid
+    connected-components. Output (token, cluster_rep) for clustered
+    codes."""
+    from itertools import combinations
+
+    import ray.data as _rd
+
+    from .bucketed import bucketed_group_reduce
+    from .graph import connected_components
+
+    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"tok": ["AB" + str(int(d)) + "X" for d in df["doc_id"]]}
+        )
+
+    def key_explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks, keys = [], []
+        for tok in df["tok"].drop_duplicates():
+            variants = {tok} | {tok[:i] + tok[i + 1:]
+                                for i in range(len(tok))}
+            for k in variants:
+                toks.append(tok)
+                keys.append(k)
+        return pd.DataFrame({"key": keys, "tok": toks})
+
+    def pair_verify(g: pd.DataFrame) -> pd.DataFrame:
+        out = set()
+        for _, grp in g.groupby("key", sort=False):
+            cand = sorted(grp["tok"].drop_duplicates())
+            for a, b in combinations(cand, 2):
+                if _ed_le1(a, b):
+                    out.add((a, b))
+        k = sorted(out)
+        return pd.DataFrame(
+            {"tok_a": [a for a, _ in k], "tok_b": [b for _, b in k]}
+        )
+
+    pairs = bucketed_group_reduce(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            vocab_partial, batch_format="pandas"
+        ).map_batches(key_explode, batch_format="pandas"),
+        ["key"], lambda df: df, pair_verify, n_buckets=32,
+    ).to_pandas().drop_duplicates(["tok_a", "tok_b"])
+    if pairs.empty:
+        return pd.DataFrame(
+            {"token": pd.Series([], dtype=object),
+             "cluster_rep": pd.Series([], dtype=object)}
+        )
+    vocab = sorted(set(pairs["tok_a"]) | set(pairs["tok_b"]))
+    tid = {t: i for i, t in enumerate(vocab)}
+    idpairs = pd.DataFrame(
+        {"doc_a": [tid[t] for t in pairs["tok_a"]],
+         "doc_b": [tid[t] for t in pairs["tok_b"]]}
+    ).astype("int64")
+    cc = connected_components(_rd.from_pandas(idpairs)).to_pandas()
+    return pd.DataFrame(
+        {"token": [vocab[int(i)] for i in cc["doc_id"]],
+         "cluster_rep": [vocab[int(c)] for c in cc["cluster_id"]]}
+    ).sort_values("token").reset_index(drop=True)
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10431,6 +10531,7 @@ QUERIES = {
     "doc_length_percentile_rank": doc_length_percentile_rank,
     "event_throttle_dedup": event_throttle_dedup,
     "ks_length_drift_per_source": ks_length_drift_per_source,
+    "typo_token_clusters": typo_token_clusters,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -14667,4 +14768,26 @@ SQL["ks_length_drift_per_source"] = r"""
         SELECT source, CAST(ns AS BIGINT) AS n_docs,
                CAST((10000 * num) // (ns * N) AS BIGINT) AS ks_bp
         FROM ks
+"""
+
+SQL["typo_token_clusters"] = r"""
+        WITH RECURSIVE vv AS (
+          SELECT DISTINCT 'AB' || CAST(doc_id AS VARCHAR) || 'X' AS tok
+          FROM documents
+        ),
+        p AS (
+          SELECT a.tok AS ta, b.tok AS tb
+          FROM vv a JOIN vv b ON a.tok < b.tok
+          WHERE abs(len(a.tok) - len(b.tok)) <= 1
+            AND levenshtein(a.tok, b.tok) <= 1
+        ),
+        e AS (SELECT ta AS u, tb AS w FROM p
+              UNION SELECT tb, ta FROM p),
+        reach(node, r) AS (
+          SELECT u, u FROM e
+          UNION
+          SELECT e.u, reach.r FROM e JOIN reach ON e.w = reach.node
+        )
+        SELECT node AS token, min(r) AS cluster_rep
+        FROM reach GROUP BY node
 """
