@@ -248,6 +248,8 @@ def run_queries() -> dict[str, float]:
         "event_throttle_dedup",
         "ks_length_drift_per_source",
         "typo_token_clusters",
+        "gini_user_activity",
+        "fano_burstiness_per_type",
     ]
     out = {}
     for name in picks:

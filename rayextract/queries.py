@@ -5660,6 +5660,92 @@ def typo_token_clusters(sf_dir: str):
     ).sort_values("token").reset_index(drop=True)
 
 
+def gini_user_activity(sf_dir: str):
+    """Gini coefficient of per-user event activity — the single-number
+    skew summary behind "10% of users generate 90% of traffic" capacity
+    decisions (and this engine's own hot-key salting choices). Exact
+    rational arithmetic on the sorted-cumulative formula
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)), floored once to
+    basis points.
+
+    Scale shape: per-user counts collapse in ONE bucketed exchange; the
+    sorted index-weighted sum folds over that user-cardinality aggregate
+    on the driver (relational.global_rank is the distributed path when
+    even the user table is too big)."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(dtype="int64"),
+             "n": np.int64(1)}
+        )
+        return t.groupby("user_id", sort=False, as_index=False).sum()
+
+    u = bucketed_group_reduce(
+        _read(sf_dir, "events", ["user_id"]),
+        ["user_id"], partial,
+        lambda g: g.groupby("user_id", sort=False, as_index=False)["n"].sum(),
+        n_buckets=16,
+    ).to_pandas()
+    x = np.sort(u["n"].to_numpy(dtype="int64"))
+    n = len(x)
+    s0 = int(x.sum())
+    s1 = int((np.arange(1, n + 1, dtype="int64") * x).sum())
+    gini_bp = (10000 * (2 * s1 - (n + 1) * s0)) // max(n * s0, 1)
+    return pd.DataFrame(
+        {"n_users": [n], "n_events": [s0], "gini_bp": [int(gini_bp)]}
+    ).astype("int64")
+
+
+def fano_burstiness_per_type(sf_dir: str):
+    """Fano factor (variance-to-mean ratio of hourly counts) per event
+    type — the burstiness test separating Poisson-like steady streams
+    (F~1) from bursty ones (F>>1), the signal behind batch-size and
+    rate-limit tuning. Exact rational: with hourly counts x over the
+    type's n PRESENT hours, F = n*(n*sum(x^2) - sum(x)^2) /
+    ((n-1)*n*sum(x)) floored once to micro-units.
+
+    Scale shape: raw rows collapse to (type, hour) cells in per-batch
+    partials, ONE bucketed exchange on type, and the three integer
+    moments fold per type in-bucket."""
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"event_type": df["event_type"],
+             "hr": df["ts"].dt.floor("h").to_numpy()
+                     .astype("datetime64[us]").astype("int64"),
+             "n": np.int64(1)}
+        )
+        return t.groupby(["event_type", "hr"], sort=False,
+                         as_index=False).sum()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "hr"], sort=False, as_index=False).sum()
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            x = grp["n"].to_numpy(dtype="int64")
+            n = len(x)
+            sx = int(x.sum())
+            sxx = int((x * x).sum())
+            if n < 2 or sx == 0:
+                out.append((et, n, sx, -1))
+                continue
+            fano_e6 = (1_000_000 * n * (n * sxx - sx * sx)) // (
+                (n - 1) * n * sx
+            )
+            out.append((et, n, sx, int(fano_e6)))
+        return pd.DataFrame(
+            out, columns=["event_type", "n_hours", "n_events", "fano_e6"]
+        ).astype({"n_hours": "int64", "n_events": "int64",
+                  "fano_e6": "int64"})
+
+    return bucketed_group_reduce(
+        _read(sf_dir, "events", ["event_type", "ts"]),
+        ["event_type"], partial, reduce, n_buckets=8,
+    )
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10532,6 +10618,8 @@ QUERIES = {
     "event_throttle_dedup": event_throttle_dedup,
     "ks_length_drift_per_source": ks_length_drift_per_source,
     "typo_token_clusters": typo_token_clusters,
+    "gini_user_activity": gini_user_activity,
+    "fano_burstiness_per_type": fano_burstiness_per_type,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -14790,4 +14878,40 @@ SQL["typo_token_clusters"] = r"""
         )
         SELECT node AS token, min(r) AS cluster_rep
         FROM reach GROUP BY node
+"""
+
+SQL["gini_user_activity"] = r"""
+        WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+        r AS (
+          SELECT n, row_number() OVER (ORDER BY n) AS i,
+                 count(*) OVER () AS cnt, sum(n) OVER () AS s0
+          FROM u
+        )
+        SELECT CAST(max(cnt) AS BIGINT) AS n_users,
+               CAST(max(s0) AS BIGINT) AS n_events,
+               CAST((10000 * (2 * sum(i * n) - (max(cnt) + 1) * max(s0)))
+                    // greatest(max(cnt) * max(s0), 1) AS BIGINT)
+                   AS gini_bp
+        FROM r
+"""
+
+SQL["fano_burstiness_per_type"] = r"""
+        WITH c AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+                 CAST(sum(n) AS BIGINT) AS sx,
+                 CAST(sum(n * n) AS BIGINT) AS sxx
+          FROM c GROUP BY 1
+        )
+        SELECT event_type, nh AS n_hours, sx AS n_events,
+               CAST(CASE WHEN nh < 2 OR sx = 0 THEN -1
+                         ELSE (1000000 * nh * (nh * sxx - sx * sx))
+                              // ((nh - 1) * nh * sx) END AS BIGINT)
+                   AS fano_e6
+        FROM a
 """
