@@ -215,6 +215,80 @@ def topk(
     )
 
 
+def copartition_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Generic big-big inner equi-join as ONE tagged-union bucketed
+    exchange (the q7/q8/q9 pattern extracted): both sides project to
+    (key + payload + side tag), union, hash-bucket on the key, and each
+    bucket runs a single vectorized pandas merge. No aggregator-actor
+    pool spin-up (unlike Dataset.join) and the exchange carries only the
+    projected columns.
+
+    PARTITIONING ASSUMPTION: equal keys co-locate; one hot key is bounded
+    by its bucket (salt upstream if a single key's rows exceed a worker's
+    heap)."""
+    from .bucketed import bucketed_group_reduce
+
+    lcols, rcols = list(left_cols), list(right_cols)
+
+    def tag(side: str, cols: Sequence[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[[on, *cols]].copy()
+            out["_side"] = side
+            return out
+
+        return fn
+
+    both = left.map_batches(tag("l", lcols), batch_format="pandas").union(
+        right.map_batches(tag("r", rcols), batch_format="pandas")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["_side"] == "l", [on, *lcols]]
+        r = g.loc[g["_side"] == "r", [on, *rcols]]
+        return l.merge(r, on=on)
+
+    return bucketed_group_reduce(
+        both, [on], lambda df: df, per_bucket, n_buckets=n_buckets,
+        arrow_exchange=False,
+    )
+
+
+def auto_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    broadcast_threshold_rows: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Size-aware join strategy selection — the optimizer-lite dispatch
+    this engine's queries otherwise hand-pick: count the build (right)
+    side (metadata-cheap on parquet reads) and either broadcast it via
+    ``ray.put`` + map-side merge (no shuffle at all) or fall back to the
+    co-partition tagged-union exchange. The default threshold is sized
+    so the broadcast table stays ~tens of MB in every worker heap; at
+    multi-node scale pass a threshold derived from worker memory, not a
+    constant. Both paths produce identical rows (pytest-pinned)."""
+    n = right.count()
+    if n <= broadcast_threshold_rows:
+        small = right.to_pandas()[[on, *list(right_cols)]]
+        return broadcast_join(
+            left.map_batches(
+                lambda df, c=[on, *list(left_cols)]: df[c],
+                batch_format="pandas",
+            ),
+            small, on=on,
+        )
+    return copartition_join(left, right, on, left_cols, right_cols)
+
+
 def global_rank(
     ds: "ray.data.Dataset",
     value_col: str,
