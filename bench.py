@@ -250,6 +250,7 @@ def run_queries() -> dict[str, float]:
         "typo_token_clusters",
         "gini_user_activity",
         "fano_burstiness_per_type",
+        "auto_join_revenue_by_priority",
     ]
     out = {}
     for name in picks:

@@ -5746,6 +5746,54 @@ def fano_burstiness_per_type(sf_dir: str):
     )
 
 
+def auto_join_revenue_by_priority(sf_dir: str):
+    """Revenue per order priority through the size-aware join dispatcher
+    (relational.auto_join): the build side is COUNTED first and the
+    engine picks broadcast (no shuffle) or the tagged-union co-partition
+    exchange — here orders at sf0.1 sits under the default threshold so
+    the broadcast path fires, while the forced-low-threshold pytest pins
+    the co-partition path to the same rows. The per-query hand-picking
+    the other TPC-H shapes do, automated.
+
+    Scale shape: whichever path wins, lineitem is pre-projected to
+    (orderkey, cents) inside its scan tasks before the join."""
+    from .bucketed import bucketed_group_reduce
+    from .relational import auto_join
+
+    def li_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(dtype="int64"),
+             "cents": _round_half_away(
+                 df["l_extendedprice"].to_numpy()
+                 * (1.0 - df["l_discount"].to_numpy()) * 100.0
+             )}
+        )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_proj, batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    joined = auto_join(li, orders, "l_orderkey",
+                       ["cents"], ["o_orderpriority"])
+    agg = bucketed_group_reduce(
+        joined, ["o_orderpriority"],
+        lambda df: df.groupby("o_orderpriority", sort=False,
+                              as_index=False)["cents"].sum(),
+        lambda g: g.groupby("o_orderpriority", sort=False,
+                            as_index=False)["cents"].sum(),
+        n_buckets=4,
+    ).to_pandas()
+    return pd.DataFrame(
+        {"o_orderpriority": agg["o_orderpriority"],
+         "revenue_cents": agg["cents"].astype("int64")}
+    ).sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10620,6 +10668,7 @@ QUERIES = {
     "typo_token_clusters": typo_token_clusters,
     "gini_user_activity": gini_user_activity,
     "fano_burstiness_per_type": fano_burstiness_per_type,
+    "auto_join_revenue_by_priority": auto_join_revenue_by_priority,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -14914,4 +14963,13 @@ SQL["fano_burstiness_per_type"] = r"""
                               // ((nh - 1) * nh * sx) END AS BIGINT)
                    AS fano_e6
         FROM a
+"""
+
+SQL["auto_join_revenue_by_priority"] = r"""
+        SELECT o.o_orderpriority,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
 """
