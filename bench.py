@@ -251,6 +251,7 @@ def run_queries() -> dict[str, float]:
         "gini_user_activity",
         "fano_burstiness_per_type",
         "auto_join_revenue_by_priority",
+        "markov_conditional_entropy",
     ]
     out = {}
     for name in picks:

@@ -5794,6 +5794,46 @@ def auto_join_revenue_by_priority(sf_dir: str):
     ).sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def markov_conditional_entropy(sf_dir: str):
+    """Conditional entropy H(next | current) of the event-type Markov
+    chain, per current type and overall — the predictability measure of
+    a user stream (0 = deterministic next step, log(types) = uniform):
+    the information-theoretic complement to the stationary-distribution
+    and transition-count ops. Per-from-type entropy in integer
+    micro-nats: H_i = -sum_j (c_ij/row_i) ln(c_ij/row_i), each term
+    rounded once from one scalar ``math.log`` (the engine's float
+    contract), the weighted total an exact integer combination.
+
+    Scale shape: the distributed work is the (types x types) transition
+    count (event_transitions' bucketed sort+shift); the entropy fold is
+    O(types^2) driver arithmetic on that tiny table."""
+    import math
+
+    trans = event_transitions(sf_dir)
+    rows = []
+    total_n = int(trans["n"].sum())
+    weighted = 0
+    for frm, grp in trans.groupby("from_type", sort=False):
+        row = int(grp["n"].sum())
+        h = 0
+        for n in grp["n"]:
+            # term = -(c/row)*ln(c/row) in micro-nats, one log per cell
+            t = -math.log(int(n) / row) * (int(n) / row) * 1e6
+            h += int(_round_half_away(np.array([t]))[0])
+        rows.append((frm, row, h))
+        weighted += row * h
+    out = pd.DataFrame(
+        rows, columns=["from_type", "n_transitions", "h_micro_nats"]
+    ).sort_values("from_type").reset_index(drop=True)
+    out["n_transitions"] = out["n_transitions"].astype("int64")
+    out["h_micro_nats"] = out["h_micro_nats"].astype("int64")
+    overall = pd.DataFrame(
+        {"from_type": ["__ALL__"], "n_transitions": [total_n],
+         "h_micro_nats": [weighted // max(total_n, 1)]}
+    ).astype({"n_transitions": "int64", "h_micro_nats": "int64"})
+    return pd.concat([out, overall], ignore_index=True)
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10669,6 +10709,7 @@ QUERIES = {
     "gini_user_activity": gini_user_activity,
     "fano_burstiness_per_type": fano_burstiness_per_type,
     "auto_join_revenue_by_priority": auto_join_revenue_by_priority,
+    "markov_conditional_entropy": markov_conditional_entropy,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -14972,4 +15013,38 @@ SQL["auto_join_revenue_by_priority"] = r"""
                    AS revenue_cents
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1
+"""
+
+SQL["markov_conditional_entropy"] = r"""
+        WITH e2 AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+        ),
+        d AS (
+          SELECT user_id, event_type AS to_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                 ) AS from_type
+          FROM e2
+        ),
+        trans AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM d WHERE from_type IS NOT NULL
+          GROUP BY from_type, to_type
+        ),
+        rw AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS rn
+               FROM trans GROUP BY 1),
+        h AS (
+          SELECT t.from_type,
+                 CAST(max(rw.rn) AS BIGINT) AS rn,
+                 CAST(sum(CAST(round(((-ln(t.n / CAST(rw.rn AS DOUBLE)))
+                                      * (t.n / CAST(rw.rn AS DOUBLE)))
+                                     * 1000000) AS BIGINT)) AS BIGINT) AS hh
+          FROM trans t JOIN rw USING (from_type)
+          GROUP BY t.from_type
+        )
+        SELECT from_type, rn AS n_transitions, hh AS h_micro_nats FROM h
+        UNION ALL
+        SELECT '__ALL__', CAST(sum(rn) AS BIGINT),
+               CAST(sum(rn * hh) // greatest(sum(rn), 1) AS BIGINT)
+        FROM h
 """
