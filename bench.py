@@ -252,6 +252,7 @@ def run_queries() -> dict[str, float]:
         "fano_burstiness_per_type",
         "auto_join_revenue_by_priority",
         "markov_conditional_entropy",
+        "benford_first_digit_orders",
     ]
     out = {}
     for name in picks:

@@ -5834,6 +5834,45 @@ def markov_conditional_entropy(sf_dir: str):
     return pd.concat([out, overall], ignore_index=True)
 
 
+def benford_first_digit_orders(sf_dir: str):
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (synthetic or manipulated monetary data
+    drifts from the log-curve). Per leading digit of the integer-cents
+    total: observed count, observed share (basis points) and the Benford
+    expectation ln(1+1/d)/ln(10) in micro-units (one scalar ``math.log``
+    pair per digit — the float contract), plus the absolute gap.
+
+    Scale shape: the first digit is per-batch string arithmetic on the
+    pruned o_totalprice column; the 9-row digit histogram folds from
+    per-batch partials, no shuffle."""
+    import math
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["o_totalprice"])
+        first = pd.Series(cents).astype(str).str[0].astype("int64")
+        t = pd.DataFrame({"digit": first, "n": np.int64(1)})
+        return t.groupby("digit", sort=False, as_index=False).sum()
+
+    parts = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("digit", sort=True, as_index=False)["n"].sum()
+    )
+    total = int(parts["n"].sum())
+    rows = []
+    for d, n in zip(parts["digit"], parts["n"]):
+        obs_bp = (10000 * int(n)) // total
+        exp_e6 = int(_round_half_away(
+            np.array([math.log(1 + 1 / int(d)) / math.log(10) * 1e6]))[0])
+        rows.append((int(d), int(n), obs_bp, exp_e6,
+                     abs(obs_bp * 100 - exp_e6)))
+    return pd.DataFrame(
+        rows, columns=["digit", "n_orders", "observed_bp",
+                       "benford_e6", "gap_e6"]
+    ).astype("int64")
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10710,6 +10749,7 @@ QUERIES = {
     "fano_burstiness_per_type": fano_burstiness_per_type,
     "auto_join_revenue_by_priority": auto_join_revenue_by_priority,
     "markov_conditional_entropy": markov_conditional_entropy,
+    "benford_first_digit_orders": benford_first_digit_orders,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -15047,4 +15087,25 @@ SQL["markov_conditional_entropy"] = r"""
         SELECT '__ALL__', CAST(sum(rn) AS BIGINT),
                CAST(sum(rn * hh) // greatest(sum(rn), 1) AS BIGINT)
         FROM h
+"""
+
+SQL["benford_first_digit_orders"] = r"""
+        WITH c AS (
+          SELECT CAST(left(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1) AS BIGINT) AS digit
+          FROM orders
+        ),
+        p AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+              FROM c GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM p),
+        x AS (
+          SELECT digit, n, (10000 * n) // t.total AS obs,
+                 CAST(round(ln(1 + 1 / CAST(digit AS DOUBLE)) / ln(10)
+                            * 1000000) AS BIGINT) AS expd
+          FROM p, t
+        )
+        SELECT digit, n AS n_orders, CAST(obs AS BIGINT) AS observed_bp,
+               expd AS benford_e6,
+               CAST(abs(obs * 100 - expd) AS BIGINT) AS gap_e6
+        FROM x
 """
