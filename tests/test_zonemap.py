@@ -95,6 +95,35 @@ def test_z_interleave_matches_sql_form():
     assert z_interleave16([0], [1])[0] == 2
 
 
+def test_pruned_dirs_band_granularity(tmp_path):
+    from rayextract.zonemap import build_manifest, pruned_dirs
+
+    # two band dirs, two files each; dir stats = union of file stats
+    for band, starts in [("band=0", (0, 10)), ("band=1", (100, 110))]:
+        d = tmp_path / band
+        d.mkdir()
+        for i, s in enumerate(starts):
+            pq.write_table(
+                pa.table({"v": list(range(s, s + 10))}),
+                str(d / f"f{i}.parquet"),
+            )
+    build_manifest(str(tmp_path), "v")
+    keep, kept, total = pruned_dirs(str(tmp_path), {"v": (105, 106)})
+    assert (kept, total) == (1, 2)
+    # the WHOLE surviving dir is kept, including its non-overlapping file
+    assert sorted(os.path.basename(p) for p in keep) == ["f0.parquet",
+                                                         "f1.parquet"]
+    assert all("band=1" in p for p in keep)
+
+    # a stat-less file poisons only its own dir (kept conservatively)
+    pq.write_table(pa.table({"v": [5]}),
+                   str(tmp_path / "band=0" / "nostats.parquet"),
+                   write_statistics=False)
+    build_manifest(str(tmp_path), "v")
+    keep, kept, total = pruned_dirs(str(tmp_path), {"v": (500, 501)})
+    assert kept == 1 and all("band=0" in p for p in keep)
+
+
 def test_pruned_read_matches_full_scan(ray_session, tmp_path):
     import ray.data
 
