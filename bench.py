@@ -253,6 +253,7 @@ def run_queries() -> dict[str, float]:
         "auto_join_revenue_by_priority",
         "markov_conditional_entropy",
         "benford_first_digit_orders",
+        "minhash_eval_pr",
     ]
     out = {}
     for name in picks:

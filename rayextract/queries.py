@@ -5873,6 +5873,92 @@ def benford_first_digit_orders(sf_dir: str):
     ).astype("int64")
 
 
+def minhash_eval_pr(sf_dir: str):
+    """Sketch-quality evaluation harness: the MinHash+LSH near-dup pair
+    set (dedup_minhash: 128 perms, 16 bands, est >= 0.9) scored against
+    the EXACT 3-gram-Jaccard >= 0.9 ground truth — precision/recall in
+    basis points, the accept/reject evidence before trusting a sketch at
+    fleet scale. Ground truth uses an exact-integer gate (10*inter >=
+    9*union) over a shingle inverted index, so the oracle reproduces both
+    pair sets bit for bit (the sketch side via the engine's exported
+    permutation CTE).
+
+    Scale shape: the truth index is ONE bucketed exchange on the shingle
+    (pairs fan out only within a shingle's doc list — at the 0.9
+    threshold truth is sparse; at fleet scale the harness runs on a
+    sampled stratum because exhaustive ground truth is quadratic BY
+    DEFINITION, which is exactly why the sketch exists); the sketch side
+    reuses dedup_minhash unchanged."""
+    from itertools import combinations
+
+    from .bucketed import bucketed_group_reduce
+    from .textstats import _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sh_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, shs = [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            toks = _tokens(t)
+            for s in {" ".join(toks[i:i + 3])
+                      for i in range(len(toks) - 2)}:
+                ids.append(int(d))
+                shs.append(s)
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"), "s": shs}
+        )
+
+    sh = docs.map_batches(sh_partial, batch_format="pandas")
+    sizes = (
+        sh.map_batches(
+            lambda df: df.groupby("doc_id", sort=False).size()
+            .rename("n").reset_index(),
+            batch_format="pandas",
+        ).to_pandas().groupby("doc_id")["n"].sum().to_dict()
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df
+
+    def pair_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        cnt: dict = {}
+        for _, grp in g.groupby("s", sort=False):
+            ds = sorted(grp["doc_id"].drop_duplicates())
+            for a, b in combinations(ds, 2):
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+        k = list(cnt)
+        return pd.DataFrame(
+            {"doc_a": pd.Series([a for a, _ in k], dtype="int64"),
+             "doc_b": pd.Series([b for _, b in k], dtype="int64"),
+             "i": pd.Series([cnt[x] for x in k], dtype="int64")}
+        )
+
+    inter = (
+        bucketed_group_reduce(sh, ["s"], pair_partial, pair_reduce,
+                              n_buckets=64)
+        .to_pandas()
+        .groupby(["doc_a", "doc_b"], as_index=False)["i"].sum()
+    )
+    truth = set()
+    for r in inter.itertuples():
+        na, nb = int(sizes[int(r.doc_a)]), int(sizes[int(r.doc_b)])
+        if 10 * int(r.i) >= 9 * (na + nb - int(r.i)):
+            truth.add((int(r.doc_a), int(r.doc_b)))
+
+    mh = dedup_minhash(sf_dir).to_pandas()
+    sketch = set(zip((int(a) for a in mh["doc_a"]),
+                     (int(b) for b in mh["doc_b"])))
+    tp = len(truth & sketch)
+    fp = len(sketch - truth)
+    fn = len(truth - sketch)
+    return pd.DataFrame(
+        {"n_truth": [len(truth)], "n_sketch": [len(sketch)],
+         "tp": [tp], "fp": [fp], "fn": [fn],
+         "precision_bp": [(10000 * tp) // max(tp + fp, 1)],
+         "recall_bp": [(10000 * tp) // max(tp + fn, 1)]}
+    ).astype("int64")
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10750,6 +10836,7 @@ QUERIES = {
     "auto_join_revenue_by_priority": auto_join_revenue_by_priority,
     "markov_conditional_entropy": markov_conditional_entropy,
     "benford_first_digit_orders": benford_first_digit_orders,
+    "minhash_eval_pr": minhash_eval_pr,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -15108,4 +15195,39 @@ SQL["benford_first_digit_orders"] = r"""
                expd AS benford_e6,
                CAST(abs(obs * 100 - expd) AS BIGINT) AS gap_e6
         FROM x
+"""
+
+SQL["minhash_eval_pr"] = f"""
+        WITH {_MINHASH_CTE},
+        tr_sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM mh_sh GROUP BY 1),
+        tr_int AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS i
+          FROM mh_sh a JOIN mh_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        truth AS (
+          SELECT t.doc_a, t.doc_b
+          FROM tr_int t JOIN tr_sz x ON x.doc_id = t.doc_a
+          JOIN tr_sz y ON y.doc_id = t.doc_b
+          WHERE 10 * t.i >= 9 * (x.n + y.n - t.i)
+        ),
+        sk AS (SELECT doc_a, doc_b FROM mpairs),
+        m AS (
+          SELECT
+            (SELECT count(*) FROM truth) AS n_truth,
+            (SELECT count(*) FROM sk) AS n_sketch,
+            (SELECT count(*) FROM truth JOIN sk USING (doc_a, doc_b)) AS tp
+        )
+        SELECT CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_sketch AS BIGINT) AS n_sketch,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(n_sketch - tp AS BIGINT) AS fp,
+               CAST(n_truth - tp AS BIGINT) AS fn,
+               CAST((10000 * tp) // greatest(n_sketch, 1) AS BIGINT)
+                   AS precision_bp,
+               CAST((10000 * tp) // greatest(n_truth, 1) AS BIGINT)
+                   AS recall_bp
+        FROM m
 """
