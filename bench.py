@@ -254,6 +254,7 @@ def run_queries() -> dict[str, float]:
         "markov_conditional_entropy",
         "benford_first_digit_orders",
         "minhash_eval_pr",
+        "ann_recall_eval",
     ]
     out = {}
     for name in picks:

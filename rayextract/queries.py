@@ -5959,6 +5959,37 @@ def minhash_eval_pr(sf_dir: str):
     ).astype("int64")
 
 
+def ann_recall_eval(sf_dir: str):
+    """ANN quality harness: recall of the product-quantization index's
+    top-k against the brute-force exact top-k — the measurement every
+    approximate index must pass before it replaces exact search in a
+    retrieval pipeline (the query-side sibling of minhash_eval_pr).
+    Composes the two existing operators unchanged. Rows-only oracle by
+    nature: the PQ side is a trained codebook (k-means fit), the same
+    reason knn_pq_topk itself is rows-only — the IVF full-probe variant
+    would be SQL-checkable but trivially 100%.
+
+    Scale shape: both sides are the already-distributed knn operators;
+    the overlap count folds over the (queries x k)-sized result tables
+    on the driver."""
+    bf = knn_cosine_topk(sf_dir)
+    bf = bf.to_pandas() if hasattr(bf, "to_pandas") else bf
+    iv = knn_pq_topk(sf_dir)
+    iv = iv.to_pandas() if hasattr(iv, "to_pandas") else iv
+    truth = set(zip((int(q) for q in bf["query_id"]),
+                    (int(n) for n in bf["neighbor_id"])))
+    approx = set(zip((int(q) for q in iv["query_id"]),
+                     (int(n) for n in iv["neighbor_id"])))
+    n_q = bf["query_id"].nunique()
+    k = len(bf) // max(n_q, 1)
+    hit = len(truth & approx)
+    return pd.DataFrame(
+        {"n_queries": [int(n_q)], "k": [int(k)],
+         "n_truth": [len(truth)], "n_hits": [hit],
+         "recall_bp": [(10000 * hit) // max(len(truth), 1)]}
+    ).astype("int64")
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10837,6 +10868,7 @@ QUERIES = {
     "markov_conditional_entropy": markov_conditional_entropy,
     "benford_first_digit_orders": benford_first_digit_orders,
     "minhash_eval_pr": minhash_eval_pr,
+    "ann_recall_eval": ann_recall_eval,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
