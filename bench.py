@@ -255,6 +255,8 @@ def run_queries() -> dict[str, float]:
         "benford_first_digit_orders",
         "minhash_eval_pr",
         "ann_recall_eval",
+        "theil_index_user_activity",
+        "fill_rate_by_conv_length",
     ]
     out = {}
     for name in picks:

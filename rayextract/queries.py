@@ -5990,6 +5990,88 @@ def ann_recall_eval(sf_dir: str):
     ).astype("int64")
 
 
+def theil_index_user_activity(sf_dir: str):
+    """Theil T index of per-user event activity — the decomposable
+    entropy-based inequality measure next to the Gini op (Theil, unlike
+    Gini, splits exactly into between-group + within-group terms, which
+    is why mixture audits prefer it). T = (1/n) sum_i (x_i/mu) ln(x_i/mu),
+    emitted in micro-nats: one scalar ``math.log`` per DISTINCT activity
+    level (not per user — levels repeat heavily), then an exact integer
+    combination of level counts.
+
+    Scale shape: per-user counts collapse in ONE bucketed exchange; the
+    level histogram (distinct-count-valued, tiny) folds driver-side."""
+    import math
+
+    from .bucketed import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(dtype="int64"),
+             "n": np.int64(1)}
+        )
+        return t.groupby("user_id", sort=False, as_index=False).sum()
+
+    u = bucketed_group_reduce(
+        _read(sf_dir, "events", ["user_id"]),
+        ["user_id"], partial,
+        lambda g: g.groupby("user_id", sort=False, as_index=False)["n"].sum(),
+        n_buckets=16,
+    ).to_pandas()
+    n_users = len(u)
+    total = int(u["n"].sum())
+    levels = u.groupby("n").size()  # activity level -> #users at it
+    theil = 0
+    for x, cnt in levels.items():
+        # (x/mu) ln(x/mu) in micro-nats, one log per level; mu = total/n
+        r = int(x) * n_users / total
+        term = int(_round_half_away(np.array([r * math.log(r) * 1e6]))[0])
+        theil += int(cnt) * term
+    return pd.DataFrame(
+        {"n_users": [n_users], "n_events": [total],
+         "theil_micro_nats": [theil // max(n_users, 1)]}
+    ).astype("int64")
+
+
+def fill_rate_by_conv_length(sf_dir: str):
+    """Extraction fill rate by conversation length: conversations bucketed
+    by turn count (1-2, 3-4, 5-8, 9+), with invoice-number fill counts
+    per bucket — the diagnostic that catches extraction quality silently
+    degrading on long conversations (first-match folds can starve when
+    the signal is buried deep). Composes the full flagship pipeline; the
+    oracle wraps the flagship's own SQL as a subquery.
+
+    Scale shape: the fold output collapses to 4 bucket rows inside
+    map_batches partials — nothing conversation-sized reaches the
+    driver."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_turns"].astype("int64").to_numpy()
+        bucket = np.where(n <= 2, "1-2",
+                          np.where(n <= 4, "3-4",
+                                   np.where(n <= 8, "5-8", "9+")))
+        t = pd.DataFrame(
+            {"turn_bucket": bucket, "n_convs": np.int64(1),
+             "n_invoice_filled": df["invoice_number"].notna()
+                .to_numpy().astype("int64")}
+        )
+        return t.groupby("turn_bucket", sort=False, as_index=False).sum()
+
+    parts = (
+        transcript_extract(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("turn_bucket", sort=True, as_index=False)
+        .sum()
+    )
+    return pd.DataFrame(
+        {"turn_bucket": parts["turn_bucket"],
+         "n_convs": parts["n_convs"].astype("int64"),
+         "n_invoice_filled": parts["n_invoice_filled"].astype("int64"),
+         "fill_bp": ((10000 * parts["n_invoice_filled"])
+                     // parts["n_convs"]).astype("int64")}
+    )
+
+
 def corr_value_hour_per_type(sf_dir: str):
     """Pearson correlation of event value vs hour-of-day, per event type —
     the numeric-profile aggregate. All five moments (n, Σx, Σy, Σx², Σy²,
@@ -10869,6 +10951,8 @@ QUERIES = {
     "benford_first_digit_orders": benford_first_digit_orders,
     "minhash_eval_pr": minhash_eval_pr,
     "ann_recall_eval": ann_recall_eval,
+    "theil_index_user_activity": theil_index_user_activity,
+    "fill_rate_by_conv_length": fill_rate_by_conv_length,
     "q7_nation_volume": q7_nation_volume,
     "pivot_events_by_type": pivot_events_by_type,
     "rollup_orders_status_year": rollup_orders_status_year,
@@ -15263,3 +15347,40 @@ SQL["minhash_eval_pr"] = f"""
                    AS recall_bp
         FROM m
 """
+
+SQL["theil_index_user_activity"] = r"""
+        WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                       CAST(sum(n) AS BIGINT) AS t FROM u),
+        lv AS (SELECT n AS x, CAST(count(*) AS BIGINT) AS c
+               FROM u GROUP BY 1),
+        tm AS (
+          SELECT lv.c,
+                 CAST(round(((CAST(lv.x * tot.nu AS DOUBLE) / tot.t)
+                             * ln(CAST(lv.x * tot.nu AS DOUBLE) / tot.t))
+                            * 1000000) AS BIGINT) AS term
+          FROM lv, tot
+        )
+        SELECT CAST(max(tot.nu) AS BIGINT) AS n_users,
+               CAST(max(tot.t) AS BIGINT) AS n_events,
+               CAST(sum(tm.c * tm.term) // greatest(max(tot.nu), 1)
+                    AS BIGINT) AS theil_micro_nats
+        FROM tm, tot
+"""
+
+SQL["fill_rate_by_conv_length"] = (
+    "WITH base AS (" + SQL["transcript_extract"] + """),
+        b AS (
+          SELECT CASE WHEN n_turns <= 2 THEN '1-2'
+                      WHEN n_turns <= 4 THEN '3-4'
+                      WHEN n_turns <= 8 THEN '5-8' ELSE '9+' END
+                     AS turn_bucket,
+                 CASE WHEN invoice_number IS NOT NULL THEN 1 ELSE 0 END AS f
+          FROM base)
+        SELECT turn_bucket, CAST(count(*) AS BIGINT) AS n_convs,
+               CAST(sum(f) AS BIGINT) AS n_invoice_filled,
+               CAST((10000 * sum(f)) // count(*) AS BIGINT) AS fill_bp
+        FROM b GROUP BY 1
+"""
+)
